@@ -1,0 +1,130 @@
+"""Full network = input wrapper → MPNN → (BN) → dense head.
+
+Mirrors the reference driver composition
+`nn.Sequential(GraphWrapper(mpnn), [BatchNorm1d,] head)` (test_lipo.py:124-129,
+test.py:85-90) as one init/apply pair.
+
+Input wrappers (SURVEY.md §2.4 wrappers table):
+  * 'plain'      — batch dict → (afm, bfm, adj, mask)    (graph_model_wrapper.py)
+  * 'graph_norm' — batch-norm nafm (bn1d, masked) and concat onto afm
+                   (graph_norm_wrapper.py:13, the Lipo pipeline)
+  * 'batch_norm' — stateless-masked-BN afm and bfm (bfm zeroed off-adjacency)
+                   (batch_norm_graph_wrapper.py:12-17)
+
+Heads:
+  * 'linear'     — single Linear(out → classes)          (test.py:89)
+  * 'halving'    — widths halved (ceil) until ≤10, ReLU between, final
+                   Linear(→1)                            (test_lipo.py:104-110)
+  * 'mlp'        — explicit width list                   (test_single_target.py:85-97)
+  * 'none'
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mpnn_tpu.models.config import MPNNConfig
+from mpnn_tpu.models.mpnn import mpnn_init, mpnn_apply
+from mpnn_tpu.ops import bn1d_init, bn1d_apply, mask_batch_norm
+from mpnn_tpu.ops.linear import linear_init, linear_apply
+from mpnn_tpu.ops.autoencoders import _bn_rows_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkConfig:
+    mpnn: MPNNConfig
+    input_wrapper: str = "plain"        # plain|graph_norm|batch_norm
+    nafm_features: int = 0              # needed for graph_norm wrapper
+    head: str = "linear"                # linear|halving|mlp|none
+    head_dims: Tuple[int, ...] = ()     # for 'mlp': hidden+output widths
+    head_output: int = 1                # final width for linear/halving
+    head_bn: bool = False               # nn.BatchNorm1d on graph embeddings
+    kaiming_head: bool = True           # drivers apply init_weights (kaiming)
+
+
+def halving_dims(start: int, floor: int = 10) -> Sequence[Tuple[int, int]]:
+    """test_lipo.py:104-110: halve (ceil) until ≤ floor, then Linear(→1)."""
+    dims = []
+    den = start
+    while den > floor:
+        new_den = int(math.ceil(den / 2))
+        dims.append((den, new_den))
+        den = new_den
+    return dims
+
+
+def network_init(key, cfg: NetworkConfig, dtype=jnp.float32):
+    k_mpnn, k_wrap, k_head, k_bn = jax.random.split(key, 4)
+    params, state = {}, {}
+    params["mpnn"], state["mpnn"] = mpnn_init(k_mpnn, cfg.mpnn, dtype)
+
+    if cfg.input_wrapper == "graph_norm":
+        p, s = bn1d_init(cfg.nafm_features, dtype)
+        params["nafm_bn"], state["nafm_bn"] = p, s
+
+    emb = cfg.mpnn.effective_output_dim
+    if cfg.head_bn:
+        p, s = bn1d_init(emb, dtype)
+        params["head_bn"], state["head_bn"] = p, s
+
+    init = "kaiming_relu" if cfg.kaiming_head else "torch_default"
+    if cfg.head == "linear":
+        params["head"] = [linear_init(k_head, emb, cfg.head_output,
+                                      init=init, dtype=dtype)]
+    elif cfg.head == "halving":
+        widths = halving_dims(emb)
+        last = widths[-1][1] if widths else emb
+        keys = jax.random.split(k_head, len(widths) + 1)
+        params["head"] = [linear_init(k, din, dout, init=init, dtype=dtype)
+                          for k, (din, dout) in zip(keys, widths)]
+        params["head"].append(linear_init(keys[-1], last, cfg.head_output,
+                                          init=init, dtype=dtype))
+    elif cfg.head == "mlp":
+        widths = [emb] + list(cfg.head_dims)
+        keys = jax.random.split(k_head, len(cfg.head_dims))
+        params["head"] = [linear_init(k, din, dout, init=init, dtype=dtype)
+                          for k, din, dout in
+                          zip(keys, widths[:-1], widths[1:])]
+    elif cfg.head != "none":
+        raise ValueError(cfg.head)
+    return params, state
+
+
+def network_apply(params, state, cfg: NetworkConfig, batch, *,
+                  training: bool, axis_name: Optional[str] = None):
+    """batch: dict with afm, bfm, adj, mask (+ nafm for graph_norm).
+    Returns (output (B, classes), new_state)."""
+    new_state = dict(state)
+    afm, bfm = batch["afm"], batch["bfm"]
+    adj, mask = batch["adj"], batch["mask"]
+
+    if cfg.input_wrapper == "graph_norm":
+        nafm, new_state["nafm_bn"] = bn1d_apply(
+            params["nafm_bn"], state["nafm_bn"], batch["nafm"], mask,
+            training=training, axis_name=axis_name)
+        afm = jnp.concatenate([afm, nafm], axis=-1)
+    elif cfg.input_wrapper == "batch_norm":
+        afm = mask_batch_norm(afm, mask, axis_name=axis_name)
+        bfm = mask_batch_norm(bfm * adj[..., None], adj, axis_name=axis_name)
+
+    out, new_state["mpnn"] = mpnn_apply(
+        params["mpnn"], state["mpnn"], cfg.mpnn, afm, bfm, adj, mask,
+        training=training, axis_name=axis_name)
+
+    if cfg.head_bn:
+        # torch nn.BatchNorm1d over the (B, emb) graph embeddings
+        flat, new_state["head_bn"] = _bn_rows_apply(
+            params["head_bn"], state["head_bn"], out, training=training)
+        out = flat
+
+    if cfg.head != "none":
+        layers = params["head"]
+        for layer in layers[:-1]:
+            out = jax.nn.relu(linear_apply(layer, out))
+        out = linear_apply(layers[-1], out)
+    return out, new_state
