@@ -1,0 +1,385 @@
+"""Molecule model + perception (rings, aromaticity, implicit H,
+hybridization, conjugation) — RDKit-free.
+
+This module provides the subset of RDKit behavior the reference featurizer
+consumes (mol_graph/mol_graph.py:25-90):
+  atoms: GetAtomicNum, GetHybridization, IsInRing, GetIsAromatic,
+         GetFormalCharge, GetTotalNumHs, neighbor count
+  bonds: GetBondTypeAsDouble, GetIsAromatic, GetIsConjugated, IsInRing,
+         begin/end indices
+
+Hybridization codes follow RDKit's enum numbering so downstream one-hot
+classes line up when the optional RDKit backend is used instead:
+  0=UNSPECIFIED 1=S 2=SP 3=SP2 4=SP3 5=SP3D 6=SP3D2 7=OTHER
+
+Perception notes (documented divergences from RDKit):
+  - ring membership comes from a cycle-basis (shortest cycle through each
+    edge), which matches RDKit's IsInRing for fused systems in practice;
+  - aromaticity is a per-ring Hückel 4n+2 check over SSSR-like rings with
+    standard π-electron contributions (C in ring double bond → 1, pyrrole-type
+    N/O/S lone pair → 2, exocyclic C=O carbon → 0, …). Exact RDKit parity is
+    not guaranteed for exotic systems; the common heteroaromatics are covered
+    by tests.
+  - conjugation: a bond is conjugated iff aromatic, or both end atoms are
+    π-capable (participate in a multiple bond, or carry a lone pair adjacent
+    to one). Matches RDKit on typical drug-like molecules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+from mpnn_tpu.chem.periodic import (
+    ATOMIC_NUM, DEFAULT_VALENCES, SYMBOLS, VALENCE_ELECTRONS,
+)
+
+# hybridization codes (RDKit enum order)
+HYB_UNSPECIFIED, HYB_S, HYB_SP, HYB_SP2, HYB_SP3, HYB_SP3D, HYB_SP3D2, \
+    HYB_OTHER = range(8)
+
+# bond orders: aromatic is 1.5 (GetBondTypeAsDouble convention)
+BOND_SINGLE, BOND_DOUBLE, BOND_TRIPLE, BOND_QUAD = 1.0, 2.0, 3.0, 4.0
+BOND_AROMATIC = 1.5
+
+
+@dataclasses.dataclass
+class Atom:
+    atomic_num: int
+    formal_charge: int = 0
+    explicit_hs: Optional[int] = None   # from [nH] etc.; None = derive
+    aromatic: bool = False
+    isotope: int = 0
+    # perceived:
+    implicit_hs: int = 0
+    in_ring: bool = False
+    hybridization: int = HYB_UNSPECIFIED
+    idx: int = -1
+
+    @property
+    def symbol(self) -> str:
+        return SYMBOLS[self.atomic_num - 1]
+
+    @property
+    def total_hs(self) -> int:
+        return (self.explicit_hs or 0) + self.implicit_hs
+
+
+@dataclasses.dataclass
+class Bond:
+    begin: int
+    end: int
+    order: float = BOND_SINGLE          # 1, 1.5, 2, 3
+    aromatic: bool = False
+    # perceived:
+    in_ring: bool = False
+    conjugated: bool = False
+    idx: int = -1
+
+    def other(self, i: int) -> int:
+        return self.end if i == self.begin else self.begin
+
+
+class Mol:
+    """A molecular graph. Build with add_atom/add_bond, then sanitize()."""
+
+    def __init__(self):
+        self.atoms: List[Atom] = []
+        self.bonds: List[Bond] = []
+        self._adj: Dict[int, List[int]] = {}   # atom idx → bond idx list
+        self._sanitized = False
+
+    # -- construction -------------------------------------------------------
+
+    def add_atom(self, atom: Atom) -> int:
+        atom.idx = len(self.atoms)
+        self.atoms.append(atom)
+        self._adj[atom.idx] = []
+        return atom.idx
+
+    def add_bond(self, begin: int, end: int, order: float = BOND_SINGLE,
+                 aromatic: bool = False) -> int:
+        if begin == end:
+            raise ValueError("self-bond")
+        for bi in self._adj[begin]:
+            if self.bonds[bi].other(begin) == end:
+                raise ValueError(f"duplicate bond {begin}-{end}")
+        bond = Bond(begin, end, order, aromatic)
+        bond.idx = len(self.bonds)
+        self.bonds.append(bond)
+        self._adj[begin].append(bond.idx)
+        self._adj[end].append(bond.idx)
+        return bond.idx
+
+    # -- queries ------------------------------------------------------------
+
+    def num_atoms(self) -> int:
+        return len(self.atoms)
+
+    def neighbors(self, i: int) -> List[int]:
+        return [self.bonds[bi].other(i) for bi in self._adj[i]]
+
+    def atom_bonds(self, i: int) -> List[Bond]:
+        return [self.bonds[bi] for bi in self._adj[i]]
+
+    def get_bond(self, i: int, j: int) -> Optional[Bond]:
+        for bi in self._adj[i]:
+            if self.bonds[bi].other(i) == j:
+                return self.bonds[bi]
+        return None
+
+    def degree(self, i: int) -> int:
+        return len(self._adj[i])
+
+    # -- perception ---------------------------------------------------------
+
+    def sanitize(self):
+        """Perceive rings → aromaticity → implicit H → hybridization →
+        conjugation. Idempotent."""
+        self._perceive_rings()
+        self._perceive_aromaticity()
+        self._assign_implicit_hs()
+        self._perceive_hybridization()
+        self._perceive_conjugation()
+        self._sanitized = True
+        return self
+
+    # rings ------------------------------------------------------------------
+
+    def _shortest_cycle_through(self, bond: Bond) -> Optional[List[int]]:
+        """BFS from bond.begin to bond.end avoiding the bond itself →
+        the smallest ring containing this bond (None if acyclic edge)."""
+        import collections
+        start, goal = bond.begin, bond.end
+        prev = {start: None}
+        q = collections.deque([start])
+        while q:
+            cur = q.popleft()
+            for bi in self._adj[cur]:
+                if bi == bond.idx:
+                    continue
+                nxt = self.bonds[bi].other(cur)
+                if nxt in prev:
+                    continue
+                prev[nxt] = cur
+                if nxt == goal:
+                    path, node = [goal], cur
+                    while node is not None:
+                        path.append(node)
+                        node = prev[node]
+                    return path          # goal … start; bond closes the ring
+                q.append(nxt)
+        return None
+
+    def _perceive_rings(self):
+        self.rings: List[List[int]] = []
+        seen = set()
+        for bond in self.bonds:
+            cyc = self._shortest_cycle_through(bond)
+            bond.in_ring = cyc is not None
+            if cyc is not None:
+                key = frozenset(cyc)
+                if key not in seen:
+                    seen.add(key)
+                    self.rings.append(cyc)
+        for atom in self.atoms:
+            atom.in_ring = any(b.in_ring for b in self.atom_bonds(atom.idx))
+
+    # aromaticity ------------------------------------------------------------
+
+    def _pi_contribution(self, idx: int, ring: set) -> Optional[int]:
+        """π electrons this atom donates to an aromatic ring; None = blocks
+        aromaticity."""
+        atom = self.atoms[idx]
+        bonds = self.atom_bonds(idx)
+        # explicit sp3 centers block (4 sigma partners incl. hs)
+        sigma = len(bonds) + (atom.explicit_hs or 0)
+        in_ring_double = any(
+            b.order == BOND_DOUBLE and b.other(idx) in ring for b in bonds)
+        exo_double = any(
+            b.order == BOND_DOUBLE and b.other(idx) not in ring for b in bonds)
+        any_double = any(b.order >= BOND_DOUBLE for b in bonds)
+        z, q = atom.atomic_num, atom.formal_charge
+        ve = VALENCE_ELECTRONS.get(z, 4) - q
+        if atom.aromatic:
+            # input said aromatic: count 1 for C-like, 2 for lone-pair donors
+            if z == 6:
+                return 1 if not exo_double else 0
+            if z in (7, 15):        # n: pyridine-type (1) vs pyrrole-type (2)
+                hs = atom.explicit_hs or 0
+                # three sigma partners (2 ring + 1 H/substituent) → pyrrole-type
+                return 2 if (sigma >= 3 and not any_double) else 1
+            if z in (8, 16, 34, 52):
+                return 2
+            if z == 5:
+                return 0            # empty p orbital
+            return 1
+        # kekulized input
+        if in_ring_double:
+            return 1
+        if exo_double:
+            return 0                # e.g. quinone carbonyl carbon
+        if any(b.order == BOND_TRIPLE for b in bonds):
+            return None
+        # saturated atom: can it donate a lone pair?
+        bond_e = sum(int(b.order) for b in bonds)
+        lone_pairs = (ve - bond_e - atom.total_hs) // 2 \
+            if self._sanitized else (ve - bond_e - (atom.explicit_hs or 0)
+                                     - self._quick_implicit_h(atom, bonds)) // 2
+        if lone_pairs > 0 and z in (7, 8, 16, 15, 34, 52):
+            return 2
+        if z == 6 and q == -1:
+            return 2
+        if z == 6 and q == 1:
+            return 0
+        if z == 5:
+            return 0
+        return None
+
+    def _quick_implicit_h(self, atom: Atom, bonds) -> int:
+        """Implicit-H estimate usable before sanitize() finishes (the
+        aromaticity pass needs lone-pair counts before _assign_implicit_hs
+        has run). Same valence rules as _assign_implicit_hs."""
+        if atom.explicit_hs is not None:
+            return 0
+        vals = DEFAULT_VALENCES.get(atom.symbol)
+        if not vals:
+            return 0
+        import math
+        order_sum = int(math.ceil(sum(b.order for b in bonds)))
+        charge = atom.formal_charge
+        adj = charge if atom.atomic_num in (7, 8, 15, 16) else -abs(charge)
+        for v in vals:
+            target = v + adj
+            if order_sum <= target:
+                return target - order_sum
+        return 0
+
+    def _perceive_aromaticity(self):
+        """Hückel 4n+2 per ring; iterate to fixpoint so fused systems where
+        one ring's aromatization enables another's converge."""
+        changed = True
+        rounds = 0
+        while changed and rounds < 8:
+            changed = False
+            rounds += 1
+            for ring in self.rings:
+                rset = set(ring)
+                if len(ring) < 3:
+                    continue
+                contribs = [self._pi_contribution(i, rset) for i in ring]
+                if any(c is None for c in contribs):
+                    continue
+                # require every atom π-capable: sp3-saturated C with no
+                # double bond and no lone pair yields None above
+                total = sum(contribs)
+                if total >= 2 and (total - 2) % 4 == 0:
+                    ring_bonds = []
+                    ok = True
+                    for a, b in zip(ring, ring[1:] + ring[:1]):
+                        bd = self.get_bond(a, b)
+                        if bd is None:
+                            ok = False
+                            break
+                        ring_bonds.append(bd)
+                    if not ok:
+                        continue
+                    for i in ring:
+                        if not self.atoms[i].aromatic:
+                            self.atoms[i].aromatic = True
+                            changed = True
+                    for bd in ring_bonds:
+                        if not bd.aromatic:
+                            bd.aromatic = True
+                            bd.order = BOND_AROMATIC
+                            changed = True
+
+    # implicit H -------------------------------------------------------------
+
+    def _assign_implicit_hs(self):
+        import math
+        for atom in self.atoms:
+            if atom.explicit_hs is not None:
+                atom.implicit_hs = 0
+                continue
+            vals = DEFAULT_VALENCES.get(atom.symbol)
+            if vals is None:
+                atom.implicit_hs = 0    # metals etc.: no implicit H
+                continue
+            order_sum = sum(b.order for b in self.atom_bonds(atom.idx))
+            order_sum = int(math.ceil(order_sum))
+            # charge adjustment (N+: valence 4, O+: 3, C-: 3, N-: 2, O-: 1)
+            charge = atom.formal_charge
+            adj = charge if atom.atomic_num in (7, 8, 15, 16) else -abs(charge)
+            atom.implicit_hs = 0
+            for v in vals:
+                target = v + adj
+                if order_sum <= target:
+                    atom.implicit_hs = target - order_sum
+                    break
+
+    # hybridization ----------------------------------------------------------
+
+    def _perceive_hybridization(self):
+        for atom in self.atoms:
+            z = atom.atomic_num
+            if z == 1:
+                atom.hybridization = HYB_S
+                continue
+            if z not in VALENCE_ELECTRONS and z > 10:
+                # metals / uncommon: RDKit reports S/UNSPECIFIED-ish; use SP3
+                # for bonded, UNSPECIFIED for bare ions
+                atom.hybridization = (HYB_UNSPECIFIED
+                                      if self.degree(atom.idx) == 0
+                                      else HYB_SP3)
+                continue
+            bonds = self.atom_bonds(atom.idx)
+            sigma = len(bonds) + atom.total_hs
+            ve = VALENCE_ELECTRONS.get(z, 4) - atom.formal_charge
+            # one electron per sigma bond from this atom (aromatic counts 1)
+            bond_e = sum(int(round(b.order)) if not b.aromatic else 1
+                         for b in bonds) + atom.total_hs
+            lone_pairs = max(0, (ve - bond_e) // 2)
+            if atom.aromatic:
+                atom.hybridization = HYB_SP2
+                continue
+            n_pi = sum(int(b.order) - 1 for b in bonds if b.order >= 2)
+            steric = sigma + lone_pairs
+            if n_pi >= 2:
+                atom.hybridization = HYB_SP
+            elif n_pi == 1:
+                atom.hybridization = HYB_SP2
+            else:
+                atom.hybridization = {1: HYB_S, 2: HYB_SP, 3: HYB_SP2,
+                                      4: HYB_SP3, 5: HYB_SP3D,
+                                      6: HYB_SP3D2}.get(steric, HYB_OTHER)
+
+    # conjugation ------------------------------------------------------------
+
+    def _pi_capable(self, idx: int) -> bool:
+        atom = self.atoms[idx]
+        if atom.aromatic:
+            return True
+        bonds = self.atom_bonds(idx)
+        if any(b.order >= BOND_DOUBLE for b in bonds):
+            return True
+        # lone pair adjacent to a π system
+        ve = VALENCE_ELECTRONS.get(atom.atomic_num, 4) - atom.formal_charge
+        bond_e = sum(int(round(b.order)) if not b.aromatic else 1
+                     for b in bonds) + atom.total_hs
+        if (ve - bond_e) >= 2:
+            for nb in self.neighbors(idx):
+                nb_bonds = self.atom_bonds(nb)
+                if any(b.order >= BOND_DOUBLE or b.aromatic
+                       for b in nb_bonds):
+                    return True
+        return False
+
+    def _perceive_conjugation(self):
+        capable = [self._pi_capable(i) for i in range(self.num_atoms())]
+        for bond in self.bonds:
+            if bond.aromatic:
+                bond.conjugated = True
+            else:
+                bond.conjugated = (capable[bond.begin] and capable[bond.end]
+                                   and bond.order <= BOND_DOUBLE)

@@ -1,0 +1,190 @@
+"""Chemistry-layer tests: SMILES parsing, perception (aromaticity, implicit
+H, hybridization, rings), featurization, ECFP. Ground truths are standard
+chemistry facts (checked against RDKit values offline)."""
+
+import numpy as np
+import pytest
+
+from mpnn_tpu import chem
+from mpnn_tpu.chem.mol import (
+    HYB_SP, HYB_SP2, HYB_SP3,
+)
+
+
+def P(s):
+    m = chem.parse_smiles(s)
+    assert m is not None
+    return m
+
+
+class TestParsing:
+    def test_basic_chain(self):
+        m = P("CCO")
+        assert m.num_atoms() == 3
+        assert [a.symbol for a in m.atoms] == ["C", "C", "O"]
+        assert len(m.bonds) == 2
+
+    def test_branches_and_orders(self):
+        m = P("CC(=O)O")  # acetic acid
+        assert m.num_atoms() == 4
+        co = m.get_bond(1, 2)
+        assert co.order == 2.0
+        assert m.get_bond(1, 3).order == 1.0
+
+    def test_ring_closure(self):
+        m = P("C1CCCCC1")  # cyclohexane
+        assert m.num_atoms() == 6
+        assert len(m.bonds) == 6
+        assert all(a.in_ring for a in m.atoms)
+        assert all(not a.aromatic for a in m.atoms)
+
+    def test_two_letter_and_percent(self):
+        m = P("ClC%10CC%10")  # Cl on cyclopropane via %nn closure
+        assert m.atoms[0].symbol == "Cl"
+        assert len(m.bonds) == 4
+
+    def test_brackets(self):
+        m = P("[NH4+]")
+        a = m.atoms[0]
+        assert a.symbol == "N" and a.formal_charge == 1 and a.total_hs == 4
+        m = P("[13CH3][O-]")
+        assert m.atoms[0].isotope == 13 and m.atoms[0].total_hs == 3
+        assert m.atoms[1].formal_charge == -1
+
+    def test_fragments_dot(self):
+        m = P("[Na+].[Cl-]")
+        assert m.num_atoms() == 2 and len(m.bonds) == 0
+
+    def test_invalid(self):
+        assert chem.mol_from_smiles("C1CC") is None          # unclosed ring
+        assert chem.mol_from_smiles("C(") is None            # unmatched paren
+        assert chem.mol_from_smiles("Xx") is None            # unknown element
+        assert chem.mol_from_smiles("") is not None          # empty mol ok
+
+
+class TestPerception:
+    def test_benzene_aromatic_both_forms(self):
+        for s in ("c1ccccc1", "C1=CC=CC=C1"):
+            m = P(s)
+            assert all(a.aromatic for a in m.atoms), s
+            assert all(b.aromatic for b in m.bonds), s
+            assert all(a.hybridization == HYB_SP2 for a in m.atoms), s
+            assert all(a.total_hs == 1 for a in m.atoms), s
+
+    def test_pyridine(self):
+        m = P("c1ccncc1")
+        n = next(a for a in m.atoms if a.symbol == "N")
+        assert n.aromatic and n.total_hs == 0
+
+    def test_pyrrole_furan_thiophene(self):
+        for s, het in (("c1cc[nH]1", "N"), ("c1cco1", "O"), ("c1ccs1", "S")):
+            m = P(s)
+            assert all(a.aromatic for a in m.atoms), s
+            a = next(x for x in m.atoms if x.symbol == het)
+            if het == "N":
+                assert a.total_hs == 1
+
+    def test_kekulized_pyridine(self):
+        m = P("C1=CC=NC=C1")
+        assert all(a.aromatic for a in m.atoms)
+
+    def test_naphthalene_fused(self):
+        m = P("c1ccc2ccccc2c1")
+        assert m.num_atoms() == 10
+        assert all(a.aromatic for a in m.atoms)
+
+    def test_cyclohexene_not_aromatic(self):
+        m = P("C1=CCCCC1")
+        assert not any(a.aromatic for a in m.atoms)
+        assert all(a.in_ring for a in m.atoms)
+
+    def test_implicit_hydrogens(self):
+        assert P("C").atoms[0].total_hs == 4        # methane
+        assert P("C=C").atoms[0].total_hs == 2      # ethene
+        assert P("C#N").atoms[0].total_hs == 1      # HCN carbon
+        assert P("O").atoms[0].total_hs == 2        # water
+        assert P("N").atoms[0].total_hs == 3        # ammonia
+        assert P("[O-]C").atoms[0].total_hs == 0    # alkoxide
+        assert P("C[N+](C)(C)C").atoms[1].total_hs == 0
+
+    def test_hybridization(self):
+        m = P("CC=CC#C")
+        hybs = [a.hybridization for a in m.atoms]
+        assert hybs[0] == HYB_SP3
+        assert hybs[1] == HYB_SP2 and hybs[2] == HYB_SP2
+        assert hybs[3] == HYB_SP and hybs[4] == HYB_SP
+        assert P("O").atoms[0].hybridization == HYB_SP3   # water: 2 lp + 2 H
+
+    def test_conjugation(self):
+        m = P("C=CC=C")  # butadiene: central single bond conjugated
+        assert m.get_bond(1, 2).conjugated
+        assert m.get_bond(0, 1).conjugated
+        m2 = P("C=CCC=C")  # penta-1,4-diene: sp3 CH2 breaks conjugation
+        assert not m2.get_bond(1, 2).conjugated
+        m3 = P("CC(=O)N")  # amide: C-N conjugated via N lone pair
+        assert m3.get_bond(1, 3).conjugated
+
+    def test_charged_ring(self):
+        m = P("c1cc[n+](C)c1")  # N-methyl pyrrolium-ish; parses + perceives
+        assert m.num_atoms() == 6
+
+
+class TestFeaturization:
+    def test_atom_features_shapes_and_values(self):
+        m = P("c1ccccc1O")  # phenol
+        afm, nafm = chem.atom_features(m)
+        assert afm.shape == (7, 4) and nafm.shape == (7, 3)
+        # carbons: atomic 6, sp2=3, in ring, aromatic
+        assert list(afm[0]) == [6, 3, 1, 1]
+        # oxygen: atomic 8, not in ring, not aromatic
+        assert afm[6, 0] == 8 and afm[6, 2] == 0 and afm[6, 3] == 0
+        assert nafm[6, 1] == 1          # OH hydrogen
+        assert nafm[6, 2] == 1          # one neighbor
+
+    def test_bond_features_dense(self):
+        m = P("C=CC")  # propene
+        bfm, adj = chem.bond_features_dense(m)
+        assert bfm.shape == (3, 3, 4) and adj.shape == (3, 3)
+        assert bfm[0, 1, 0] == 4        # 2·double
+        assert bfm[1, 2, 0] == 2        # 2·single
+        assert bfm[1, 0, 0] == 4        # symmetric
+        assert adj.sum() == 4
+        # aromatic bond becomes class 3
+        mb = P("c1ccccc1")
+        bfmb, _ = chem.bond_features_dense(mb)
+        assert bfmb[0, 1, 0] == 3
+
+    def test_edge_list_matches_dense(self):
+        m = P("CC(=O)O")
+        bfm, adj = chem.bond_features_dense(m)
+        src, dst, feats = chem.edge_list(m)
+        assert len(src) == 2 * len(m.bonds)
+        for s, d, f in zip(src, dst, feats):
+            np.testing.assert_array_equal(bfm[s, d], f)
+
+
+class TestECFP:
+    def test_per_atom_bits(self):
+        m = P("CCO")
+        arr = chem.ecfp_bits_per_atom(m, radius=2, nbits=1024)
+        assert arr.shape == (3, 1024)
+        assert arr.sum() > 0
+        # each atom has at least its radius-0 bit
+        assert (arr.sum(axis=1) >= 1).all()
+
+    def test_isomorphic_atoms_share_bits(self):
+        m = P("CC(C)C")  # three equivalent methyls
+        arr = chem.ecfp_bits_per_atom(m, radius=1, nbits=2048)
+        np.testing.assert_array_equal(arr[0], arr[2])
+        np.testing.assert_array_equal(arr[0], arr[3])
+        assert not np.array_equal(arr[0], arr[1])
+
+    def test_different_mols_differ(self):
+        a = chem.ecfp_bitvector(P("c1ccccc1"), nbits=2048)
+        b = chem.ecfp_bitvector(P("C1CCCCC1"), nbits=2048)
+        assert not np.array_equal(a, b)
+
+    def test_invariant_under_atom_renumbering(self):
+        a = chem.ecfp_bitvector(P("OCC"), nbits=2048)
+        b = chem.ecfp_bitvector(P("CCO"), nbits=2048)
+        np.testing.assert_array_equal(a, b)
