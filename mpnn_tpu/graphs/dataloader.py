@@ -1,0 +1,74 @@
+"""Batching iterators: shuffle + bucket-grouped static-shape batches.
+
+Replaces torch DataLoader(GraphDataSet, collate_fn) (data_loader.py:91-104,
+test.py:115). Bucketed mode groups same-bucket graphs so every batch of a
+bucket compiles once (SURVEY.md §7 static-shape strategy); plain mode mirrors
+the reference's per-batch max padding.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mpnn_tpu.graphs.batching import (
+    DEFAULT_NODE_BUCKETS, bucket_for, collate_dense, collate_packed,
+)
+from mpnn_tpu.graphs.graph import MolGraph
+
+
+class GraphLoader:
+    """Iterates dicts of numpy arrays (feed to device with jnp.asarray or
+    jax.device_put under a sharding)."""
+
+    def __init__(self, graphs: List[MolGraph], batch_size: int,
+                 shuffle: bool = False, seed: int = 317,
+                 collate: str = "dense",
+                 bucketed: bool = True,
+                 buckets: Sequence[int] = DEFAULT_NODE_BUCKETS,
+                 drop_last: bool = False,
+                 with_nafm: bool = True):
+        self.graphs = graphs
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.collate = collate
+        self.bucketed = bucketed
+        self.buckets = buckets
+        self.drop_last = drop_last
+        self.with_nafm = with_nafm
+
+    def __len__(self):
+        n = len(self.graphs)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.graphs))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        if self.bucketed:
+            # stable sort by bucket keeps the shuffle inside each bucket
+            keys = np.asarray([bucket_for(self.graphs[i].num_atoms,
+                                          self.buckets) for i in idx])
+            idx = idx[np.argsort(keys, kind="stable")]
+        return idx
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._order()
+        bs = self.batch_size
+        for s in range(0, len(idx), bs):
+            chunk = [self.graphs[i] for i in idx[s:s + bs]]
+            if self.drop_last and len(chunk) < bs:
+                break
+            if self.collate == "dense":
+                cap = max(bucket_for(g.num_atoms, self.buckets)
+                          for g in chunk) if self.bucketed else None
+                yield collate_dense(chunk, num_nodes=cap,
+                                    with_nafm=self.with_nafm)
+            elif self.collate == "packed":
+                yield collate_packed(chunk).as_dict()
+            else:
+                raise ValueError(self.collate)
