@@ -1,0 +1,177 @@
+"""CLI: `python -m mpnn_tpu.train.cli <verb>`.
+
+Verbs (the reference's shell invocation `python test_X.py <stem>` becomes
+`train --experiment X --data stem.csv`; featurize/resume/eval are new
+first-class verbs — SURVEY.md §5 checkpoint/resume):
+
+  featurize  CSV → encoded graph cache (.npz)
+  train      train an experiment (optionally --resume)
+  eval       evaluate a checkpoint on a dataset
+  bench      single-chip throughput microbench (see also bench.py)
+  list       list experiments and model-zoo entries
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_for(exp, data_path, cache=None):
+    from mpnn_tpu import graphs as G
+    if cache and os.path.exists(cache):
+        gs, ge, _meta = G.load_cache(cache)
+        return gs, ge
+    if exp.task == "classification":
+        gs, _n, _labels, ge = G.load_classification_dataset(
+            data_path, exp.mol_col, exp.label_col)
+    elif exp.task == "regression":
+        gs, ge = G.load_number_dataset(data_path, exp.mol_col, exp.label_col)
+    elif exp.task == "affinity":
+        gs, _n, _labels, ge = G.load_affinity_dataset(
+            data_path, exp.mol_col, exp.label_col, exp.affinity_col)
+    elif exp.task == "ecfp":
+        gs, ge = G.load_ecfp_dataset(data_path, exp.mol_col, exp.label_col)
+    else:
+        raise ValueError(exp.task)
+    if cache:
+        G.save_cache(cache, gs, ge)
+    return gs, ge
+
+
+def _build_net(exp, ge, n_out):
+    from mpnn_tpu.models import build
+    return build(exp.model, afm=ge.atom_width(), bfm=ge.bond_width(),
+                 nafm=3, n_out=n_out)
+
+
+def _n_out_for(exp, gs):
+    if exp.task == "classification":
+        return int(max(g.label for g in gs)) + 1
+    if exp.task == "ecfp":
+        return int(np.asarray(gs[0].label).shape[-1])
+    return 1
+
+
+def cmd_featurize(args):
+    from mpnn_tpu.train import experiments
+    exp = experiments.get(args.experiment)
+    gs, ge = _load_for(exp, args.data, cache=None)
+    from mpnn_tpu import graphs as G
+    G.save_cache(args.out, gs, ge)
+    print(json.dumps({"graphs": len(gs), "atom_width": ge.atom_width(),
+                      "bond_width": ge.bond_width(), "cache": args.out}))
+
+
+def cmd_train(args):
+    import dataclasses
+    from sklearn.model_selection import train_test_split
+    from mpnn_tpu.graphs import GraphLoader
+    from mpnn_tpu.train import experiments, trainer
+    exp = experiments.get(args.experiment)
+    gs, ge = _load_for(exp, args.data, cache=args.cache)
+    n_out = _n_out_for(exp, gs)
+    net_cfg = _build_net(exp, ge, n_out)
+    tcfg = exp.train
+    overrides = {}
+    if args.epochs is not None:
+        overrides["epochs"] = args.epochs
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.ckpt_dir:
+        overrides["ckpt_dir"] = args.ckpt_dir
+    if args.log:
+        overrides["log_path"] = args.log
+    if overrides:
+        tcfg = dataclasses.replace(tcfg, **overrides)
+    # reference split discipline: 0.1 test, then 0.1 val, random_state=seed
+    # (test_lipo.py:143-146)
+    train_gs, test_gs = train_test_split(gs, test_size=0.1,
+                                         random_state=tcfg.seed)
+    train_gs, val_gs = train_test_split(train_gs, test_size=0.1,
+                                        random_state=tcfg.seed)
+    params, state, opt_state, history = trainer.train(
+        net_cfg, tcfg, train_gs, val_gs, resume=args.resume)
+    test_loader = GraphLoader(test_gs, tcfg.batch_size,
+                              with_nafm=net_cfg.input_wrapper == "graph_norm")
+    test_metrics = trainer.evaluate(params, state, net_cfg, test_loader,
+                                    exp.loss, tcfg.metric_average)
+    print(json.dumps({"experiment": exp.name, "epochs": len(history),
+                      "test": test_metrics}))
+
+
+def cmd_eval(args):
+    from mpnn_tpu.train import experiments, trainer
+    from mpnn_tpu.train.checkpoint import load_checkpoint
+    from mpnn_tpu.models.network import network_init
+    from mpnn_tpu import graphs as G
+    import jax
+    exp = experiments.get(args.experiment)
+    gs, ge = _load_for(exp, args.data, cache=args.cache)
+    net_cfg = _build_net(exp, ge, _n_out_for(exp, gs))
+    params, state = network_init(jax.random.PRNGKey(exp.train.seed), net_cfg)
+    params, state, _, _ = load_checkpoint(args.ckpt, params=params,
+                                          state=state)
+    loader = G.GraphLoader(gs, exp.train.batch_size,
+                           with_nafm=net_cfg.input_wrapper == "graph_norm")
+    print(json.dumps(trainer.evaluate(params, state, net_cfg, loader,
+                                      exp.loss, exp.train.metric_average)))
+
+
+def cmd_list(args):
+    from mpnn_tpu.train import experiments
+    from mpnn_tpu.models.zoo import ZOO
+    for name, e in experiments.EXPERIMENTS.items():
+        print(f"{name:28s} task={e.task:14s} model={e.model:14s} {e.notes}")
+    print("zoo:", ", ".join(sorted(ZOO)))
+
+
+def cmd_bench(args):
+    import bench as bench_mod  # repo-root bench harness
+    bench_mod.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mpnn_tpu")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    f = sub.add_parser("featurize")
+    f.add_argument("--experiment", required=True)
+    f.add_argument("--data", required=True)
+    f.add_argument("--out", required=True)
+    f.set_defaults(fn=cmd_featurize)
+
+    t = sub.add_parser("train")
+    t.add_argument("--experiment", required=True)
+    t.add_argument("--data", required=True)
+    t.add_argument("--cache")
+    t.add_argument("--epochs", type=int)
+    t.add_argument("--batch-size", type=int)
+    t.add_argument("--ckpt-dir")
+    t.add_argument("--log")
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--experiment", required=True)
+    e.add_argument("--data", required=True)
+    e.add_argument("--cache")
+    e.add_argument("--ckpt", required=True)
+    e.set_defaults(fn=cmd_eval)
+
+    l = sub.add_parser("list")
+    l.set_defaults(fn=cmd_list)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

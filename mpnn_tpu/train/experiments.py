@@ -1,0 +1,100 @@
+"""Experiment registry — one named entry per reference driver script
+(SURVEY.md §2.5 table; BASELINE.json configs). Each experiment bundles the
+dataset loader flavor, model-zoo builder, loss, and the driver's
+hyperparameters (batch size, lr, weight decay, schedules, gates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+from mpnn_tpu.models import zoo
+from mpnn_tpu.train.trainer import TrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class Experiment:
+    name: str
+    task: str                       # classification|regression|affinity|ecfp
+    model: str                      # zoo builder name
+    loss: str
+    train: TrainConfig
+    mol_col: str = "smiles"
+    label_col: str = "target"
+    affinity_col: Optional[str] = None
+    notes: str = ""
+
+
+EXPERIMENTS: Dict[str, Experiment] = {}
+
+
+def _register(e: Experiment):
+    EXPERIMENTS[e.name] = e
+    return e
+
+
+# test.py: multi-class classification, bs 16, 500 epochs, plain Adam,
+# F1>0.78 checkpoint gate
+_register(Experiment(
+    name="basic_classification", task="classification", model="basic",
+    loss="ce",
+    train=TrainConfig(epochs=500, batch_size=16, learning_rate=1e-3, loss="ce",
+                      metric_average="weighted", ckpt_f1_gate=0.78),
+    label_col="target",
+    notes="test.py driver equivalent (InChI input needs the RDKit backend; "
+          "SMILES works built-in)"))
+
+# test_adv.py: attention model, early-stop at train loss < 0.02
+_register(Experiment(
+    name="adv_classification", task="classification", model="adv", loss="ce",
+    train=TrainConfig(epochs=500, batch_size=16, learning_rate=1e-3, loss="ce",
+                      early_stop_loss=0.02),
+    notes="test_adv.py: MolGraphModelNoRep (AttEdge+AttAgg+Set2Vec)"))
+
+# test_lipo.py: regression, Adam 1e-2/wd 1e-4 + ReduceLROnPlateau, bs 16,
+# 1000 epochs
+_register(Experiment(
+    name="lipo", task="regression", model="lipo", loss="mse",
+    train=TrainConfig(epochs=1000, batch_size=16, learning_rate=1e-2,
+                      weight_decay=1e-4, loss="mse", plateau=True),
+    label_col="exp",
+    notes="test_lipo.py: the flagship Lipophilicity config"))
+
+# test_graph_norm.py: normed model classification
+_register(Experiment(
+    name="graph_norm_classification", task="classification",
+    model="graph_norm", loss="ce",
+    train=TrainConfig(epochs=500, batch_size=16, learning_rate=1e-3, loss="ce",
+                      ckpt_f1_gate=0.78),
+    notes="test_graph_norm.py: per-step messages + stateless masked BN"))
+
+# test_graph_encode_norm.py: encoded model, bs 128, Adam 1e-3 wd 1e-5,
+# micro metrics, F1>0.8 gate
+_register(Experiment(
+    name="encoded_classification", task="classification", model="encoded",
+    loss="ce",
+    train=TrainConfig(epochs=500, batch_size=128, learning_rate=1e-3,
+                      weight_decay=1e-5, loss="ce", metric_average="micro",
+                      ckpt_f1_gate=0.8),
+    notes="test_graph_encode_norm.py: frozen AEs + per-step BN pairs"))
+
+# test_graph_encode_affinity.py: affinity regression, bs 128
+_register(Experiment(
+    name="encoded_affinity", task="affinity", model="encoded", loss="mse",
+    train=TrainConfig(epochs=500, batch_size=128, learning_rate=1e-3,
+                      weight_decay=1e-5, loss="mse"),
+    affinity_col="pXC50",
+    notes="test_graph_encode_affinity.py: label = affinity for the target "
+          "class else constant"))
+
+# test_graph_encode_norm_ecfp.py: ECFP multi-label, bs 128
+_register(Experiment(
+    name="encoded_ecfp", task="ecfp", model="encoded_ecfp", loss="ecfp_mse",
+    train=TrainConfig(epochs=500, batch_size=128, learning_rate=1e-3,
+                      weight_decay=1e-5, loss="ecfp_mse"),
+    notes="test_graph_encode_norm_ecfp.py: 16384-bit Morgan multi-label"))
+
+
+def get(name: str) -> Experiment:
+    return EXPERIMENTS[name]

@@ -1,0 +1,222 @@
+"""Training loops: jitted train step + epoch driver with eval, plateau LR,
+JSONL metrics, and checkpoint/resume.
+
+Mirrors the reference driver template (SURVEY.md §2.5): seed 317, Adam,
+epoch loop, per-epoch eval with sklearn-style metrics, F1-gated checkpoints
+(test.py:122-138) — plus the pieces the reference lacks: resume, bucketed
+static-shape batching, optional data-parallel sharding (parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mpnn_tpu.graphs.dataloader import GraphLoader
+from mpnn_tpu.models.network import NetworkConfig, network_apply, network_init
+from mpnn_tpu.train import metrics as M
+from mpnn_tpu.train.checkpoint import (
+    latest_checkpoint, load_checkpoint, save_checkpoint,
+)
+from mpnn_tpu.train.logging import MetricLogger
+from mpnn_tpu.train.optim import (
+    ReduceLROnPlateau, adam, get_learning_rate, set_learning_rate,
+)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 100
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    loss: str = "ce"                 # ce | mse | ecfp_mse
+    seed: int = 317
+    plateau: bool = False            # ReduceLROnPlateau on val loss
+    metric_average: str = "weighted"
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 1
+    ckpt_f1_gate: Optional[float] = None   # reference F1>0.78/0.8 gating
+    early_stop_loss: Optional[float] = None  # test_adv.py:96-98 (<0.02)
+    log_path: Optional[str] = None
+    shuffle: bool = True
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def make_loss_fn(net_cfg: NetworkConfig, kind: str):
+    def loss_fn(params, state, batch, training: bool):
+        out, new_state = network_apply(params, state, net_cfg, batch,
+                                       training=training)
+        labels = batch["labels"]
+        if kind == "ce":
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                out, labels.astype(jnp.int32)).mean()
+        elif kind == "mse":
+            target = labels.astype(out.dtype)
+            if target.ndim == out.ndim - 1:
+                target = target[..., None]
+            loss = ((out - target) ** 2).mean()
+        elif kind == "ecfp_mse":
+            # MSE(sigmoid(out·mask), per-atom bits)
+            # (test_graph_encode_norm_ecfp.py:137)
+            pred = jax.nn.sigmoid(out[:, None, :] * batch["mask"])
+            loss = ((pred - labels) ** 2).mean()
+        else:
+            raise ValueError(kind)
+        return loss, (out, new_state)
+    return loss_fn
+
+
+# ---------------------------------------------------------------------------
+# steps
+# ---------------------------------------------------------------------------
+
+def make_train_step(net_cfg: NetworkConfig, tx, loss_kind: str):
+    loss_fn = make_loss_fn(net_cfg, loss_kind)
+
+    @jax.jit
+    def step(params, state, opt_state, batch):
+        (loss, (out, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, batch, True)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return loss, params, new_state, opt_state
+
+    return step
+
+
+from functools import lru_cache
+
+
+# NetworkConfig is frozen/hashable — caching avoids re-jitting per epoch
+@lru_cache(maxsize=64)
+def make_eval_step(net_cfg: NetworkConfig, loss_kind: str):
+    loss_fn = make_loss_fn(net_cfg, loss_kind)
+
+    @jax.jit
+    def step(params, state, batch):
+        loss, (out, _) = loss_fn(params, state, batch, False)
+        return loss, out
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def evaluate(params, state, net_cfg: NetworkConfig, loader: GraphLoader,
+             loss_kind: str, metric_average: str = "weighted"
+             ) -> Dict[str, float]:
+    step = make_eval_step(net_cfg, loss_kind)
+    tot_loss, preds, trues = 0.0, [], []
+    n_batches = 0
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        loss, out = step(params, state, jb)
+        tot_loss += float(loss)
+        n_batches += 1
+        if loss_kind == "ce":
+            preds.extend(np.asarray(out).argmax(-1).tolist())
+            trues.extend(np.asarray(batch["labels"]).tolist())
+        elif loss_kind == "mse":
+            preds.extend(np.asarray(out).reshape(-1).tolist())
+            trues.extend(np.asarray(batch["labels"]).reshape(-1).tolist())
+    result = {"loss": tot_loss / max(n_batches, 1)}
+    if loss_kind == "ce":
+        result.update(M.classification_report(trues, preds, metric_average))
+    elif loss_kind == "mse":
+        result["mse"] = M.mean_squared_error(trues, preds)
+        result["rmse"] = M.rmse(trues, preds)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# the epoch driver
+# ---------------------------------------------------------------------------
+
+def train(net_cfg: NetworkConfig, cfg: TrainConfig,
+          train_graphs, val_graphs=None, *,
+          params=None, state=None, resume: bool = False,
+          with_nafm: Optional[bool] = None):
+    if with_nafm is None:
+        with_nafm = net_cfg.input_wrapper == "graph_norm"
+    key = jax.random.PRNGKey(cfg.seed)
+    if params is None:
+        params, state = network_init(key, net_cfg)
+    tx = adam(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+    sched = ReduceLROnPlateau(cfg.learning_rate) if cfg.plateau else None
+    start_epoch = 0
+
+    if resume and cfg.ckpt_dir:
+        ck = latest_checkpoint(cfg.ckpt_dir)
+        if ck:
+            params, state, opt_state, meta = load_checkpoint(
+                ck, params=params, state=state, opt_state=opt_state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            if sched and "sched" in meta:
+                sched.load_state_dict(meta["sched"])
+
+    logger = MetricLogger(cfg.log_path)
+    step_fn = make_train_step(net_cfg, tx, cfg.loss)
+    train_loader = GraphLoader(train_graphs, cfg.batch_size,
+                               shuffle=cfg.shuffle, seed=cfg.seed,
+                               with_nafm=with_nafm)
+    val_loader = (GraphLoader(val_graphs, cfg.batch_size, shuffle=False,
+                              with_nafm=with_nafm)
+                  if val_graphs is not None else None)
+
+    history = []
+    for epoch in range(start_epoch, cfg.epochs):
+        epoch_loss, n_batches = 0.0, 0
+        for batch in train_loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss, params, state, opt_state = step_fn(
+                params, state, opt_state, jb)
+            epoch_loss += float(loss)
+            n_batches += 1
+        record = {"epoch": epoch, "train_loss": epoch_loss,
+                  "lr": get_learning_rate(opt_state)}
+
+        if val_loader is not None:
+            val = evaluate(params, state, net_cfg, val_loader, cfg.loss,
+                           cfg.metric_average)
+            record.update({f"val_{k}": v for k, v in val.items()})
+            if sched:
+                new_lr = sched.step(val["loss"])
+                opt_state = set_learning_rate(opt_state, new_lr)
+        logger.log(**record)
+        history.append(record)
+
+        if cfg.ckpt_dir and (epoch % cfg.ckpt_every == 0
+                             or epoch == cfg.epochs - 1):
+            gate_ok = True
+            if cfg.ckpt_f1_gate is not None:
+                f1 = record.get("val_f1")
+                gate_ok = f1 is not None and np.isfinite(f1) \
+                    and f1 > cfg.ckpt_f1_gate
+            if gate_ok:
+                os.makedirs(cfg.ckpt_dir, exist_ok=True)
+                save_checkpoint(
+                    os.path.join(cfg.ckpt_dir, f"ckpt_{epoch}.npz"),
+                    params=params, state=state, opt_state=opt_state,
+                    meta={"epoch": epoch,
+                          "sched": sched.state_dict() if sched else None})
+
+        if cfg.early_stop_loss is not None \
+                and epoch_loss < cfg.early_stop_loss:
+            break
+
+    logger.close()
+    return params, state, opt_state, history

@@ -1,0 +1,202 @@
+"""Training-stack tests: metrics vs sklearn, Adam vs torch, plateau
+scheduler vs torch, checkpoint round-trip/resume, tiny end-to-end runs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mpnn_tpu.train import metrics as M
+from mpnn_tpu.train.optim import ReduceLROnPlateau
+
+
+class TestMetricsVsSklearn:
+    y_true = [0, 1, 2, 2, 1, 0, 1, 2, 2, 0]
+    y_pred = [0, 2, 2, 2, 1, 1, 1, 0, 2, 0]
+
+    @pytest.mark.parametrize("avg", ["weighted", "micro", "macro"])
+    def test_prf(self, avg):
+        import sklearn.metrics as SK
+        p, r, f = M.precision_recall_f1(self.y_true, self.y_pred, avg)
+        assert p == pytest.approx(SK.precision_score(
+            self.y_true, self.y_pred, average=avg, zero_division=0))
+        assert r == pytest.approx(SK.recall_score(
+            self.y_true, self.y_pred, average=avg, zero_division=0))
+        assert f == pytest.approx(SK.f1_score(
+            self.y_true, self.y_pred, average=avg, zero_division=0))
+
+    def test_binary(self):
+        import sklearn.metrics as SK
+        yt = [0, 1, 1, 0, 1]
+        yp = [1, 1, 0, 0, 1]
+        p, r, f = M.precision_recall_f1(yt, yp, "binary")
+        assert p == pytest.approx(SK.precision_score(yt, yp))
+        assert r == pytest.approx(SK.recall_score(yt, yp))
+
+    def test_accuracy_mse(self):
+        import sklearn.metrics as SK
+        assert M.accuracy(self.y_true, self.y_pred) == pytest.approx(
+            SK.accuracy_score(self.y_true, self.y_pred))
+        a = np.linspace(0, 1, 7)
+        b = a + 0.3
+        assert M.mean_squared_error(a, b) == pytest.approx(
+            SK.mean_squared_error(a, b))
+
+
+class TestAdamVsTorch:
+    def test_trajectory_matches_torch(self):
+        """Coupled weight decay + Adam must track torch.optim.Adam."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+        from mpnn_tpu.train.optim import adam
+
+        w0 = np.linspace(-1, 1, 6).astype(np.float32).reshape(2, 3)
+        lr, wd = 1e-2, 1e-2
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+
+        tx = adam(lr, weight_decay=wd)
+        jw = jnp.asarray(w0)
+        opt_state = tx.init(jw)
+
+        for step in range(10):
+            g = (0.1 * (step + 1) * np.ones_like(w0)).astype(np.float32)
+            topt.zero_grad()
+            tw.grad = torch.from_numpy(g.copy())
+            topt.step()
+            updates, opt_state = tx.update(jnp.asarray(g), opt_state, jw)
+            jw = jw + updates
+        np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(),
+                                   atol=1e-5)
+
+
+class TestPlateauVsTorch:
+    def test_matches_torch_scheduler(self):
+        import torch
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1.0)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt)
+        ours = ReduceLROnPlateau(1.0)
+        rs = np.random.RandomState(0)
+        metric = 10.0
+        for step in range(60):
+            # plateau after step 20
+            metric = metric * 0.9 if step < 20 else metric
+            tsched.step(metric)
+            lr_ours = ours.step(metric)
+            assert lr_ours == pytest.approx(opt.param_groups[0]["lr"]), step
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import jax
+        from mpnn_tpu.train.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+        params = {"a": np.arange(6.0).reshape(2, 3),
+                  "b": [{"w": np.ones((2,))}, {"w": np.zeros((3,))}]}
+        state = {"bn": {"running_mean": np.full((4,), 7.0)}}
+        p = os.path.join(str(tmp_path), "ck.npz")
+        save_checkpoint(p, params=params, state=state, meta={"epoch": 3})
+        tpl_p = jax.tree.map(np.zeros_like, params)
+        tpl_s = jax.tree.map(np.zeros_like, state)
+        rp, rs, _, meta = load_checkpoint(p, params=tpl_p, state=tpl_s)
+        np.testing.assert_array_equal(rp["a"], params["a"])
+        np.testing.assert_array_equal(rs["bn"]["running_mean"],
+                                      state["bn"]["running_mean"])
+        assert meta["epoch"] == 3
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        import jax
+        from mpnn_tpu.train.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+        p = os.path.join(str(tmp_path), "ck.npz")
+        save_checkpoint(p, params={"a": np.zeros((2,))})
+        with pytest.raises(ValueError, match="shape mismatch"):
+            load_checkpoint(p, params={"a": np.zeros((3,))})
+
+
+class TestEndToEnd:
+    SMILES = ["CCO", "CCCO", "CCCCO", "CC(C)O", "CCC(C)O", "c1ccccc1O",
+              "CC(=O)O", "CCC(=O)O", "CCN", "CCCN", "CC(C)N", "c1ccccc1N"]
+
+    def _csv(self, tmp_path, label_kind):
+        import pandas as pd
+        if label_kind == "float":
+            labels = [0.1 * len(s) for s in self.SMILES]
+        else:
+            labels = [int("N" in s) for s in self.SMILES]
+        path = os.path.join(str(tmp_path), "d.csv")
+        pd.DataFrame({"smiles": self.SMILES, "exp": labels,
+                      "target": labels}).to_csv(path, index=False)
+        return path
+
+    def test_lipo_experiment_loss_decreases(self, tmp_path):
+        import dataclasses
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import build
+        from mpnn_tpu.train import trainer
+        path = self._csv(tmp_path, "float")
+        gs, ge = G.load_number_dataset(path, "smiles", "exp")
+        cfg = build("lipo", afm=ge.atom_width(), bfm=ge.bond_width(),
+                    nafm=3, n_out=1)
+        m = dataclasses.replace(cfg.mpnn, edge_mlp_tail_repeats=2,
+                                message_steps=2)
+        cfg = dataclasses.replace(cfg, mpnn=m)
+        tcfg = trainer.TrainConfig(epochs=8, batch_size=4,
+                                   learning_rate=1e-2, weight_decay=1e-4,
+                                   loss="mse", plateau=True,
+                                   log_path=os.path.join(str(tmp_path),
+                                                         "log.jsonl"))
+        params, state, opt, hist = trainer.train(cfg, tcfg, gs, gs)
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+        # JSONL log written
+        with open(tcfg.log_path) as f:
+            lines = [json.loads(l) for l in f]
+        assert len(lines) == 8 and "val_rmse" in lines[-1]
+
+    def test_classification_resume(self, tmp_path):
+        import dataclasses
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import build
+        from mpnn_tpu.train import trainer
+        path = self._csv(tmp_path, "int")
+        gs, n_classes, _, ge = G.load_classification_dataset(
+            path, "smiles", "target")
+        cfg = build("basic", afm=ge.atom_width(), bfm=ge.bond_width(),
+                    n_out=n_classes)
+        m = dataclasses.replace(cfg.mpnn, edge_mlp_tail_repeats=2,
+                                message_steps=2)
+        cfg = dataclasses.replace(cfg, mpnn=m)
+        ckdir = os.path.join(str(tmp_path), "ck")
+        tcfg = trainer.TrainConfig(epochs=3, batch_size=4, loss="ce",
+                                   ckpt_dir=ckdir)
+        trainer.train(cfg, tcfg, gs, gs)
+        assert os.path.exists(os.path.join(ckdir, "ckpt_2.npz"))
+        # resume continues from epoch 3
+        tcfg2 = dataclasses.replace(tcfg, epochs=5)
+        _, _, _, hist = trainer.train(cfg, tcfg2, gs, gs, resume=True)
+        assert [h["epoch"] for h in hist] == [3, 4]
+
+    def test_eval_metrics_present(self, tmp_path):
+        import dataclasses
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import build
+        from mpnn_tpu.train import trainer
+        path = self._csv(tmp_path, "int")
+        gs, n_classes, _, ge = G.load_classification_dataset(
+            path, "smiles", "target")
+        cfg = build("basic", afm=ge.atom_width(), bfm=ge.bond_width(),
+                    n_out=n_classes)
+        m = dataclasses.replace(cfg.mpnn, edge_mlp_tail_repeats=1,
+                                message_steps=1)
+        cfg = dataclasses.replace(cfg, mpnn=m)
+        import jax
+        from mpnn_tpu.models.network import network_init
+        params, state = network_init(jax.random.PRNGKey(0), cfg)
+        loader = G.GraphLoader(gs, 4, with_nafm=False)
+        out = trainer.evaluate(params, state, cfg, loader, "ce", "weighted")
+        for k in ("loss", "accuracy", "precision", "recall", "f1"):
+            assert k in out
