@@ -1,0 +1,173 @@
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures edge-message throughput of the flagship (lipo-config) TRAINING step
+— forward + backward + Adam — on the packed sparse path:
+
+    edges/s = real_edges × message_steps × iters / elapsed
+
+The baseline is the dense PyTorch restatement of the reference semantics
+(scripts/measure_baseline_torch.py) measured on this container's CPU and
+recorded in BASELINE.md; the reference publishes no numbers of its own
+(BASELINE.md), so the baseline is measured, not quoted.
+
+Flags: --mode sparse|dense, --batch N, --iters N, --baseline-only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# measured via scripts/measure_baseline_torch.py (dense reference semantics,
+# torch CPU, this container, batch 256×~26 edges, 2.78 s/step) — BASELINE.md
+BASELINE_EDGE_MSGS_PER_S = 14386.3
+
+SMILES = [
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O",          # ibuprofen
+    "CN1C=NC2=C1C(=O)N(C(=O)N2C)C",        # caffeine
+    "CC(=O)Oc1ccccc1C(=O)O",               # aspirin
+    "c1ccc2c(c1)cccc2O",                   # naphthol
+    "CCN(CC)CCNC(=O)c1ccc(N)cc1",          # procainamide
+    "NC(=O)c1ccccc1", "OC(=O)c1ccccc1O", "c1ccncc1CCO",
+    "CC(C)(C)NCC(O)c1ccc(O)c(CO)c1",       # salbutamol
+    "ClC1=CC=CC=C1C(=O)NCCN",
+]
+
+
+def build_batch(batch_size: int):
+    from mpnn_tpu import graphs as G
+    smiles = (SMILES * (batch_size // len(SMILES) + 1))[:batch_size]
+    gs = G.generate_molgraphs(smiles, [0.1 * i for i in range(len(smiles))])
+    gs, ge = G.encode_molgraphs(gs)
+    return gs, ge
+
+
+def flagship_mpnn_cfg(ge):
+    from mpnn_tpu import models
+    nf = ge.atom_width() + 3     # afm + nafm, as the lipo wrapper feeds it
+    return models.MPNNConfig(
+        node_features=nf, edge_features=ge.bond_width(),
+        message_features=nf, output_dim=2 * ge.atom_width(),
+        message_steps=6, msg_norm="bn1d", state_norm="bn1d",
+        edge_mlp_tail_repeats=50)
+
+
+def bench_sparse(batch_size: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mpnn_tpu import graphs as G
+    from mpnn_tpu import models
+    from mpnn_tpu.models.sparse import sparse_mpnn_apply
+    from mpnn_tpu.train.optim import adam
+
+    gs, ge = build_batch(batch_size)
+    cfg = flagship_mpnn_cfg(ge)
+    params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
+    packed = G.collate_packed(gs).as_dict()
+    packed["node_feats"] = np.concatenate(
+        [packed["node_feats"], packed["node_nafm"]], axis=-1)
+    real_edges = int(packed["edge_mask"].sum())
+    jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+          for k, v in packed.items()}
+    labels = jnp.asarray(
+        np.random.RandomState(0).randn(
+            packed["graph_mask"].shape[0]).astype(np.float32))
+
+    tx = adam(1e-3, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, opt_state, jb, labels):
+        def loss_fn(p):
+            out, ns = sparse_mpnn_apply(p, state, cfg, jb, training=True)
+            gm = jb["graph_mask"][:, None]
+            per = ((out - labels[:, None]) ** 2) * gm
+            return per.sum() / gm.sum(), ns
+        (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(g, opt_state, params)
+        import optax
+        params2 = optax.apply_updates(params, updates)
+        return l, params2, ns, opt_state2
+
+    # warmup/compile
+    l, params, state, opt_state = step(params, state, opt_state, jb, labels)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        l, params, state, opt_state = step(params, state, opt_state, jb,
+                                           labels)
+    jax.block_until_ready(l)
+    dt = time.perf_counter() - t0
+    edge_msgs = real_edges * cfg.message_steps * iters
+    return edge_msgs / dt, real_edges, float(l)
+
+
+def bench_dense(batch_size: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mpnn_tpu import graphs as G
+    from mpnn_tpu import models
+    from mpnn_tpu.train.optim import adam
+    import optax
+
+    gs, ge = build_batch(batch_size)
+    cfg = flagship_mpnn_cfg(ge)
+    params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
+    batch = G.collate_dense(gs, num_nodes=32)
+    afm = np.concatenate([batch["afm"], batch["nafm"]], axis=-1)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    jb["afm"] = jnp.asarray(afm)
+    real_edges = int(batch["adj"].sum())
+    labels = jnp.asarray(np.random.RandomState(0).randn(
+        len(gs)).astype(np.float32))
+
+    tx = adam(1e-3, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, opt_state, jb, labels):
+        def loss_fn(p):
+            out, ns = models.mpnn_apply(p, state, cfg, jb["afm"], jb["bfm"],
+                                        jb["adj"], jb["mask"], training=True)
+            return ((out - labels[:, None]) ** 2).mean(), ns
+        (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(g, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return l, params2, ns, opt_state2
+
+    l, params, state, opt_state = step(params, state, opt_state, jb, labels)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        l, params, state, opt_state = step(params, state, opt_state, jb,
+                                           labels)
+    jax.block_until_ready(l)
+    dt = time.perf_counter() - t0
+    edge_msgs = real_edges * cfg.message_steps * iters
+    return edge_msgs / dt, real_edges, float(l)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="sparse", choices=["sparse", "dense"])
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--iters", type=int, default=30)
+    args = p.parse_args(argv)
+
+    fn = bench_sparse if args.mode == "sparse" else bench_dense
+    value, real_edges, last_loss = fn(args.batch, args.iters)
+    print(json.dumps({
+        "metric": f"edge_messages_per_s_train_step_{args.mode}",
+        "value": round(value, 1),
+        "unit": "edge-messages/s",
+        "vs_baseline": round(value / BASELINE_EDGE_MSGS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
