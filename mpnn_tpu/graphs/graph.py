@@ -33,6 +33,7 @@ class MolGraph:
     label: object = None
     affinity: Optional[float] = None
     is_encoded: bool = False
+    e_dist: Optional[np.ndarray] = None     # (A, A) 3D distances (Graph3D)
 
     @property
     def num_atoms(self) -> int:
@@ -64,3 +65,19 @@ def from_mol(mol: Mol, label=None, affinity=None) -> MolGraph:
     return MolGraph(afm=afm, nafm=nafm, bfm=bfm, adj=adj,
                     edge_src=src, edge_dst=dst, edge_feats=feats,
                     label=label, affinity=affinity)
+
+
+def from_mol_3d(mol: Mol, label=None, affinity=None,
+                n_conf=None, seed: int = 317) -> list:
+    """Conformer-ensemble graphs — one MolGraph per surviving conformer,
+    each carrying its 3D distance matrix (the reference's Mol2DGraph.to_3d →
+    [Mol3DGraph], mol_graph.py:250-307)."""
+    import dataclasses
+    from mpnn_tpu.chem.conformers import distance_matrix, generate_conformers
+    base = from_mol(mol, label=label, affinity=affinity)
+    out = []
+    for coords, _energy in generate_conformers(mol, n_conf=n_conf,
+                                               seed=seed):
+        g = dataclasses.replace(base, e_dist=distance_matrix(coords))
+        out.append(g)
+    return out

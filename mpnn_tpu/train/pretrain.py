@@ -90,6 +90,12 @@ def build_vocab(graphs: List[MolGraph], kind: str = "atom"
     test_embed.py:79-90)."""
     rows = _row_matrix(graphs, kind)
     vocab: Dict[str, int] = {}
+    if kind == "bond":
+        # the dense bfm contains all-zero rows for non-bond pairs; the
+        # reference's bond_dict covers them (test_embed.py:87 embeds every
+        # bfm row before zeroing by adjacency)
+        zero = "".join("0" for _ in range(rows.shape[1]))
+        vocab[zero] = 0
     for row in rows:
         key = "".join(str(int(v)) for v in row)
         if key not in vocab:
