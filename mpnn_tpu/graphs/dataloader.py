@@ -28,7 +28,8 @@ class GraphLoader:
                  bucketed: bool = True,
                  buckets: Sequence[int] = DEFAULT_NODE_BUCKETS,
                  drop_last: bool = False,
-                 with_nafm: bool = True):
+                 with_nafm: bool = True,
+                 use_native: bool = True):
         self.graphs = graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -38,6 +39,10 @@ class GraphLoader:
         self.buckets = buckets
         self.drop_last = drop_last
         self.with_nafm = with_nafm
+        if use_native:
+            from mpnn_tpu import native
+            use_native = native.available()
+        self.use_native = use_native
 
     def __len__(self):
         n = len(self.graphs)
@@ -65,10 +70,26 @@ class GraphLoader:
                 break
             if self.collate == "dense":
                 cap = max(bucket_for(g.num_atoms, self.buckets)
-                          for g in chunk) if self.bucketed else None
-                yield collate_dense(chunk, num_nodes=cap,
-                                    with_nafm=self.with_nafm)
+                          for g in chunk) if self.bucketed else \
+                    max(g.num_atoms for g in chunk)
+                if self.use_native:
+                    from mpnn_tpu import native
+                    batch = native.pack_dense_native(chunk, n_cap=cap)
+                    if not self.with_nafm:
+                        batch.pop("nafm")
+                    yield batch
+                else:
+                    yield collate_dense(chunk, num_nodes=cap,
+                                        with_nafm=self.with_nafm)
             elif self.collate == "packed":
-                yield collate_packed(chunk).as_dict()
+                if self.use_native:
+                    from mpnn_tpu import native
+                    total_n = sum(g.num_atoms for g in chunk)
+                    total_e = sum(g.num_edges for g in chunk)
+                    yield native.pack_batch_native(
+                        chunk, node_cap=bucket_for(total_n + 1),
+                        edge_cap=bucket_for(total_e))
+                else:
+                    yield collate_packed(chunk).as_dict()
             else:
                 raise ValueError(self.collate)
