@@ -136,7 +136,22 @@ def autoencoder(afm: int, bfm: int, nafm: int = 0,
         head="none")
 
 
+def single_target(afm: int, bfm: int, nafm: int = 0,
+                  n_out: int = 2) -> NetworkConfig:
+    """Binary one-vs-rest (test_single_target.py:78-98): basic MPNN with
+    out = 4·afm and a 4-layer halving MLP head → 2 logits."""
+    out = 4 * afm
+    return NetworkConfig(
+        mpnn=MPNNConfig(
+            node_features=afm, edge_features=bfm, message_features=afm,
+            output_dim=out, message_steps=3, share_message_weights=True),
+        head="mlp",
+        head_dims=(out // 2, out // 4, max(out // 8, 4), n_out),
+        kaiming_head=False)
+
+
 ZOO: Dict[str, Callable[..., NetworkConfig]] = {
+    "single_target": single_target,
     "basic": basic,
     "adv": adv,
     "lipo": lipo,

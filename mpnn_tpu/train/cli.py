@@ -43,10 +43,13 @@ def _load_for(exp, data_path, cache=None):
     return gs, ge
 
 
-def _build_net(exp, ge, n_out):
+def _build_net(exp, gs, n_out):
     from mpnn_tpu.models import build
-    return build(exp.model, afm=ge.atom_width(), bfm=ge.bond_width(),
-                 nafm=3, n_out=n_out)
+    # take widths from the (possibly transformed/embedded) graphs themselves
+    afm = int(gs[0].afm.shape[-1])
+    bfm = int(gs[0].bfm.shape[-1])
+    nafm = int(gs[0].nafm.shape[-1])
+    return build(exp.model, afm=afm, bfm=bfm, nafm=nafm, n_out=n_out)
 
 
 def _n_out_for(exp, gs):
@@ -67,6 +70,27 @@ def cmd_featurize(args):
                       "bond_width": ge.bond_width(), "cache": args.out}))
 
 
+def _apply_experiment_transforms(exp, gs):
+    """Filters / one-vs-rest / embedding-feature steps declared on the
+    experiment (the reference drivers' inline preprocessing)."""
+    from mpnn_tpu.graphs.filters import (binarize_target,
+                                         filter_by_label_count)
+    if exp.filter_lower_count is not None or exp.filter_keep_first \
+            is not None or exp.filter_upper_count is not None:
+        gs, _, _ = filter_by_label_count(
+            gs, lower_cutoff=exp.filter_lower_count,
+            upper_cutoff=exp.filter_upper_count,
+            keep_first=exp.filter_keep_first)
+    if exp.binarize_target_class is not None:
+        gs = binarize_target(gs, exp.binarize_target_class)
+    if exp.embed_features:
+        from mpnn_tpu.train import pretrain
+        ap, _, av, _ = pretrain.pretrain_embedding_encoder(gs, "atom")
+        bp, _, bv, _ = pretrain.pretrain_embedding_encoder(gs, "bond")
+        gs = pretrain.embed_graphs(gs, ap, av, bp, bv)
+    return gs
+
+
 def cmd_train(args):
     import dataclasses
     from sklearn.model_selection import train_test_split
@@ -74,8 +98,9 @@ def cmd_train(args):
     from mpnn_tpu.train import experiments, trainer
     exp = experiments.get(args.experiment)
     gs, ge = _load_for(exp, args.data, cache=args.cache)
+    gs = _apply_experiment_transforms(exp, gs)
     n_out = _n_out_for(exp, gs)
-    net_cfg = _build_net(exp, ge, n_out)
+    net_cfg = _build_net(exp, gs, n_out)
     tcfg = exp.train
     overrides = {}
     if args.epochs is not None:
@@ -112,7 +137,7 @@ def cmd_eval(args):
     import jax
     exp = experiments.get(args.experiment)
     gs, ge = _load_for(exp, args.data, cache=args.cache)
-    net_cfg = _build_net(exp, ge, _n_out_for(exp, gs))
+    net_cfg = _build_net(exp, gs, _n_out_for(exp, gs))
     params, state = network_init(jax.random.PRNGKey(exp.train.seed), net_cfg)
     params, state, _, _ = load_checkpoint(args.ckpt, params=params,
                                           state=state)
@@ -120,6 +145,36 @@ def cmd_eval(args):
                            with_nafm=net_cfg.input_wrapper == "graph_norm")
     print(json.dumps(trainer.evaluate(params, state, net_cfg, loader,
                                       exp.loss, exp.train.metric_average)))
+
+
+def cmd_pretrain(args):
+    """Pretrain atom/bond autoencoders or embedding encoders and save the
+    artifacts (the reference's offline `.state_dict`/vocab-pickle flow,
+    pickle-free)."""
+    import json as _json
+    from mpnn_tpu.train import experiments, pretrain
+    from mpnn_tpu.train.checkpoint import save_checkpoint
+    exp = experiments.get(args.experiment)
+    gs, ge = _load_for(exp, args.data, cache=args.cache)
+    results = {}
+    if args.kind in ("autoencoder", "both"):
+        for which in ("atom", "bond"):
+            params, state, loss = pretrain.pretrain_autoencoder(
+                gs, which, epochs=args.epochs)
+            save_checkpoint(f"{args.out}_{which}_ae.npz", params=params,
+                            state=state, meta={"kind": f"{which}_ae",
+                                               "loss": loss})
+            results[f"{which}_ae_loss"] = loss
+    if args.kind in ("embedding", "both"):
+        for which in ("atom", "bond"):
+            params, state, vocab, acc = pretrain.pretrain_embedding_encoder(
+                gs, which, epochs=args.epochs)
+            save_checkpoint(f"{args.out}_{which}_embed.npz", params=params,
+                            state=state,
+                            meta={"kind": f"{which}_embed", "vocab": vocab,
+                                  "accuracy": acc})
+            results[f"{which}_embed_acc"] = acc
+    print(_json.dumps(results))
 
 
 def cmd_list(args):
@@ -136,6 +191,14 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    # honor an explicit JAX_PLATFORMS=cpu request even when a sitecustomize
+    # plugin re-exported another platform (config wins at lazy backend init)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     p = argparse.ArgumentParser(prog="mpnn_tpu")
     sub = p.add_subparsers(dest="verb", required=True)
 
@@ -162,6 +225,16 @@ def main(argv=None):
     e.add_argument("--cache")
     e.add_argument("--ckpt", required=True)
     e.set_defaults(fn=cmd_eval)
+
+    pr = sub.add_parser("pretrain")
+    pr.add_argument("--experiment", required=True)
+    pr.add_argument("--data", required=True)
+    pr.add_argument("--cache")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--kind", default="both",
+                    choices=["autoencoder", "embedding", "both"])
+    pr.add_argument("--epochs", type=int, default=200)
+    pr.set_defaults(fn=cmd_pretrain)
 
     l = sub.add_parser("list")
     l.set_defaults(fn=cmd_list)

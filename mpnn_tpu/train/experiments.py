@@ -23,6 +23,11 @@ class Experiment:
     mol_col: str = "smiles"
     label_col: str = "target"
     affinity_col: Optional[str] = None
+    binarize_target_class: Optional[int] = None   # one-vs-rest (test_single_target.py:101)
+    filter_lower_count: Optional[int] = None      # class-count filter
+    filter_upper_count: Optional[int] = None
+    filter_keep_first: Optional[int] = None       # (test_graph_encode_norm.py:101)
+    embed_features: bool = False    # pretrain+apply embedding encoders (test_embed)
     notes: str = ""
 
 
@@ -94,6 +99,27 @@ _register(Experiment(
     train=TrainConfig(epochs=500, batch_size=128, learning_rate=1e-3,
                       weight_decay=1e-5, loss="ecfp_mse"),
     notes="test_graph_encode_norm_ecfp.py: 16384-bit Morgan multi-label"))
+
+
+# test_single_target.py: binary one-vs-rest on a hardcoded target class
+# (243), basic model + 4-layer MLP head
+_register(Experiment(
+    name="single_target", task="classification", model="single_target",
+    loss="ce",
+    train=TrainConfig(epochs=500, batch_size=16, learning_rate=1e-3,
+                      loss="ce", metric_average="binary"),
+    binarize_target_class=243,
+    notes="test_single_target.py: one-vs-rest target 243, MLP head"))
+
+# test_embed.py: classification over pretrained embedding features; the
+# embedding encoders are pretrained in-run (the reference loads pickles)
+_register(Experiment(
+    name="embed_classification", task="classification", model="basic",
+    loss="ce",
+    train=TrainConfig(epochs=500, batch_size=16, learning_rate=1e-3,
+                      loss="ce"),
+    embed_features=True,
+    notes="test_embed.py: afm/bfm replaced by pretrained 4-d/2-d embeddings"))
 
 
 def get(name: str) -> Experiment:
