@@ -83,6 +83,132 @@ def sparse_edge_network_fused(mparams, pen, pen0, h, edge_src, edge_dst,
     return agg + base + mparams["message_bias"]
 
 
+def sparse_ggnn_fused(mparams, bond_types, h, edge_src, edge_dst, *,
+                      nf: int, mf: int):
+    """GGNN sparse message+aggregate: A_0 is pinned to zero (ggnn_msg_pass.py:19)
+    so non-edges contribute nothing — pure edge-sum, exactly the dense result.
+
+    bond_types: (E,) int edge-type ids (0 = padded edge → zero matrix)."""
+    node_cap = h.shape[0]
+    ef = mparams["adj_w"].shape[0]
+    w = jnp.concatenate([jnp.zeros((1, mf, nf), mparams["adj_w"].dtype),
+                         mparams["adj_w"]], axis=0)         # (T+1, mf, nf)
+    v = jnp.einsum("tmf,nf->tnm", w, h,
+                   preferred_element_type=h.dtype)          # (T+1,node,mf)
+    edge_msg = v[bond_types, edge_src]                      # (E, mf)
+    agg = jax.ops.segment_sum(edge_msg, edge_dst, num_segments=node_cap)
+    return agg + mparams["message_bias"]
+
+
+def sparse_att_edge_network(mparams, pen, pen0, h, edge_feats, edge_src,
+                            edge_dst, node_graph, graph_mask, *, nf: int,
+                            mf: int, aggregation: str = "adj"):
+    """Attention message family, sparsified exactly for the aggregators whose
+    dense semantics are padding-independent:
+
+      per-pair msg m(v,w) = A(e_vw) · (softmax_feat(attn([h_v ‖ e_vw])) ⊙ h_w)
+
+      * 'adj' (adjacent_message_agg.py): selects real edges only → pure
+        edge-sum of per-edge messages.
+      * 'att' (attention_message_agg.py): the learned gate softmaxes a
+        singleton axis → constant 1.0 weights; the dense sum runs over ALL
+        pairs, but padded h_w = 0, so the non-edge part decomposes per node:
+        A(0)·(g0_v ⊙ S_g) with g0_v = softmax(attn([h_v ‖ 0])) — a rank-1
+        correction like the EdgeNetwork A0 path.
+      * 'wadj' is intrinsically padding-dependent (softmax over the raw
+        dense adjacency row counts padded columns) and stays dense.
+    """
+    node_cap = h.shape[0]
+    pf = pen.shape[-1]
+    wf = mparams["final"]["w"].reshape(pf, mf, nf)
+    bf = mparams["final"]["b"].reshape(mf, nf)
+
+    # per-edge gate: softmax over features of attn([h_dst ‖ e])
+    cat = jnp.concatenate([h[edge_dst], edge_feats], axis=-1)
+    gate = jax.nn.softmax(linear_apply(mparams["attn"], cat), axis=-1)
+    g = gate * h[edge_src]                                  # (E, nf)
+    # per-edge matrix application via the penultimate re-association
+    t = jnp.einsum("pmf,ef->epm", wf, g,
+                   preferred_element_type=h.dtype)
+    edge_msg = jnp.einsum("ep,epm->em", pen, t,
+                          preferred_element_type=h.dtype) + g @ bf.T
+    agg = jax.ops.segment_sum(edge_msg, edge_dst, num_segments=node_cap)
+
+    if aggregation == "att":
+        # non-edge correction: A(0)·(g0_v ⊙ (S_g − 0)) summed over all w
+        num_graphs = graph_mask.shape[0]
+        s = jax.ops.segment_sum(h, node_graph, num_segments=num_graphs + 1)
+        zero_e = jnp.zeros((1, edge_feats.shape[-1]), h.dtype)
+        cat0 = jnp.concatenate(
+            [h, jnp.broadcast_to(zero_e, (node_cap, zero_e.shape[-1]))],
+            axis=-1)
+        g0 = jax.nn.softmax(linear_apply(mparams["attn"], cat0), axis=-1)
+        a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
+        gated_sum = g0 * s[node_graph]                      # (node_cap, nf)
+        agg = agg + gated_sum @ a0.T
+        # subtract the double-counted real-edge A(0) part? No: the dense
+        # 'att' sum is Σ_w m(v,w) over ALL w; real edges use A(e), non-edges
+        # use A(0) with the zero-e gate. The edge-sum above used the real
+        # gate+A(e); the correction must therefore exclude real neighbors:
+        corr = jax.ops.segment_sum(
+            (g0[edge_dst] * h[edge_src]), edge_dst, num_segments=node_cap)
+        agg = agg - corr @ a0.T
+    return agg
+
+
+def sparse_bilinear(h, edge_feats, edge_src, edge_dst, *, nf: int):
+    """Bilinear message (ef == nf³), adj-aggregated: W(0) = 0 so non-edges
+    vanish — pure edge-sum of h_dstᵀ·W(e)·h_src chains
+    (bilinear_edge_network.py literal index order, see ops/message.py)."""
+    node_cap = h.shape[0]
+    e = edge_feats.shape[-1]
+    assert e == nf ** 3
+    w = edge_feats.reshape(-1, nf, nf, nf)
+    x = jnp.einsum("en,enij->eij", h[edge_src], w)
+    msg = jnp.einsum("ej,eij->ei", h[edge_dst], x)
+    return jax.ops.segment_sum(msg, edge_dst, num_segments=node_cap)
+
+
+def sparse_set2vec(rparams, x, node_mask, node_graph, num_graphs: int, *,
+                   time_steps: int = 100, batch_softmax: bool = True):
+    """Packed set2set readout (set2vec.py semantics on the flat node axis).
+    batch_softmax=True normalizes over every real node in the whole batch
+    (the reference's dim-0 softmax, set2vec.py:139); False per graph."""
+    node_cap, width = x.shape
+    dtype = x.dtype
+    mprev = jnp.zeros((num_graphs, 2 * width), dtype)
+    cprev = jnp.zeros((num_graphs, width), dtype)
+    add_mask = (1.0 - node_mask[:, 0]) * _BIG_NEGATIVE
+
+    from mpnn_tpu.ops.readout import _lstm_hidden_apply
+
+    def step(carry, _):
+        mprev, cprev = carry
+        m, c = _lstm_hidden_apply(rparams["lstm"], mprev, cprev)
+        query = linear_apply(rparams["q_attn"], m)          # (G, width)
+        q_per_node = query[jnp.clip(node_graph, 0, num_graphs - 1)]
+        energies = linear_apply(
+            rparams["e_attn"], jnp.tanh(q_per_node + x))[:, 0]
+        energies = energies + add_mask
+        if batch_softmax:
+            att = jax.nn.softmax(energies)                  # over all nodes
+        else:
+            emax = jax.ops.segment_max(energies, node_graph,
+                                       num_segments=num_graphs + 1)
+            z = jnp.exp(energies - emax[node_graph])
+            denom = jax.ops.segment_sum(z, node_graph,
+                                        num_segments=num_graphs + 1)
+            att = z / denom[node_graph]
+        read = jax.ops.segment_sum(att[:, None] * x, node_graph,
+                                   num_segments=num_graphs + 1)[:-1]
+        m_out = jnp.concatenate([m, read], axis=1)
+        return (m_out, c), None
+
+    (m_final, _), _ = jax.lax.scan(step, (mprev, cprev), None,
+                                   length=time_steps)
+    return m_final
+
+
 def sparse_graph_level_output(rparams, x, node_mask, node_graph,
                               num_graphs: int):
     """Packed gated readout: per-node gating then segment-sum per graph
@@ -105,12 +231,11 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
     batch keys: node_feats, node_nafm, node_mask, node_graph, edge_src,
     edge_dst, edge_feats, edge_mask, labels, graph_mask.
     Returns (graph_out (num_graphs, out), new_state)."""
-    if cfg.message_fn != "edge_network":
+    if cfg.message_fn == "att_edge_network" and cfg.aggregation == "wadj":
         raise NotImplementedError(
-            f"sparse path covers the fused edge_network family; "
-            f"{cfg.message_fn} runs densely")
-    if cfg.readout != "graph_level":
-        raise NotImplementedError("sparse path readout: graph_level only")
+            "wadj aggregation softmaxes the raw dense adjacency row — its "
+            "result depends on the dense padding width, so it has no "
+            "padding-free sparse form; use the dense path")
 
     new_state = dict(state)
     h0 = batch["node_feats"]
@@ -138,22 +263,47 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
             batch["edge_mask"][:, None],
             training=training, axis_name=axis_name)
 
-    pens = [_edge_penultimates(mp, edge_feats, cfg)
-            for mp in params["message"]]
+    needs_pen = cfg.message_fn in ("edge_network", "att_edge_network")
+    pens = ([_edge_penultimates(mp, edge_feats, cfg)
+             for mp in params["message"]] if needs_pen else None)
 
     ma_bn_state = list(state.get("ma_bn", []))
     bn_state = list(state.get("bn", []))
 
     h = h0
+    history = [h0]
     for step in range(cfg.message_steps):
         mi = 0 if cfg.share_message_weights else step
         ni = step if cfg.per_step_norms else 0
         msg_src = h0 if cfg.message_input == "initial" else h
-        pen, pen0 = pens[mi]
-        msgs = sparse_edge_network_fused(
-            params["message"][mi], pen, pen0, msg_src,
-            batch["edge_src"], batch["edge_dst"], node_graph, graph_mask,
-            nf=cfg.node_features, mf=cfg.message_features, spmm_fn=spmm_fn)
+        if cfg.message_fn == "edge_network":
+            pen, pen0 = pens[mi]
+            msgs = sparse_edge_network_fused(
+                params["message"][mi], pen, pen0, msg_src,
+                batch["edge_src"], batch["edge_dst"], node_graph,
+                graph_mask, nf=cfg.node_features,
+                mf=cfg.message_features, spmm_fn=spmm_fn)
+        elif cfg.message_fn == "ggnn":
+            msgs = sparse_ggnn_fused(
+                params["message"][mi], batch["edge_types"], msg_src,
+                batch["edge_src"], batch["edge_dst"],
+                nf=cfg.node_features, mf=cfg.message_features)
+        elif cfg.message_fn == "att_edge_network":
+            pen, pen0 = pens[mi]
+            msgs = sparse_att_edge_network(
+                params["message"][mi], pen, pen0, msg_src, edge_feats,
+                batch["edge_src"], batch["edge_dst"], node_graph,
+                graph_mask, nf=cfg.node_features,
+                mf=cfg.message_features, aggregation=cfg.aggregation)
+        elif cfg.message_fn == "bilinear":
+            if cfg.aggregation != "adj":
+                raise NotImplementedError(
+                    "sparse bilinear supports adj aggregation")
+            msgs = sparse_bilinear(msg_src, edge_feats, batch["edge_src"],
+                                   batch["edge_dst"],
+                                   nf=cfg.node_features)
+        else:
+            raise NotImplementedError(cfg.message_fn)
         if cfg.msg_norm == "bn1d":
             msgs, ma_bn_state[ni] = bn1d_apply(
                 params["ma_bn"][ni], ma_bn_state[ni], msgs, mask,
@@ -166,15 +316,27 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
             h, bn_state[ni] = bn1d_apply(
                 params["bn"][ni], bn_state[ni], h, mask,
                 training=training, axis_name=axis_name)
+        history.append(h)
 
     if ma_bn_state:
         new_state["ma_bn"] = ma_bn_state
     if bn_state:
         new_state["bn"] = bn_state
 
-    readout_in = jnp.concatenate([h, h0], axis=-1)
-    out = sparse_graph_level_output(params["readout"], readout_in, mask,
-                                    node_graph, num_graphs)
+    if cfg.concat_state_history:
+        readout_in = jnp.concatenate(history, axis=-1)
+    else:
+        readout_in = jnp.concatenate([h, h0], axis=-1)
+
+    if cfg.readout == "graph_level":
+        out = sparse_graph_level_output(params["readout"], readout_in, mask,
+                                        node_graph, num_graphs)
+    elif cfg.readout == "set2vec":
+        out = sparse_set2vec(params["readout"], readout_in, mask, node_graph,
+                             num_graphs, time_steps=cfg.set2vec_steps,
+                             batch_softmax=cfg.set2vec_batch_softmax)
+    else:
+        raise NotImplementedError(cfg.readout)
 
     if cfg.output_norm:
         gm = graph_mask[:, None]

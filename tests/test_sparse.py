@@ -111,10 +111,127 @@ def test_padded_edges_are_null():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
 
 
-def test_unsupported_configs_raise():
+def test_wadj_rejected():
     gs, ge = setup_graphs()
-    cfg = mpnn_cfg(ge, message_fn="att_edge_network", aggregation="att")
+    cfg = mpnn_cfg(ge, message_fn="att_edge_network", aggregation="wadj")
     params, state = models.mpnn_init(jax.random.PRNGKey(2), cfg)
     _, packed = dense_and_packed(gs)
     with pytest.raises(NotImplementedError):
         sparse_mpnn_apply(params, state, cfg, packed, training=True)
+
+
+@pytest.mark.parametrize("agg", ["adj", "att"])
+def test_attention_family_parity(agg):
+    """Sparse attention messages (incl. the A0 non-edge correction for the
+    'att' aggregator) must equal the dense per-pair path."""
+    gs, ge = setup_graphs()
+    cfg = mpnn_cfg(ge, message_fn="att_edge_network", aggregation=agg)
+    params, state = models.mpnn_init(jax.random.PRNGKey(5), cfg)
+    dense, packed = dense_and_packed(gs)
+    out_d, _ = models.mpnn_apply(params, state, cfg, dense["afm"],
+                                 dense["bfm"], dense["adj"], dense["mask"],
+                                 training=True)
+    out_s, _ = sparse_mpnn_apply(params, state, cfg, packed, training=True)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               atol=5e-4)
+
+
+def test_set2vec_packed_parity():
+    gs, ge = setup_graphs()
+    cfg = mpnn_cfg(ge, message_fn="att_edge_network", aggregation="adj",
+                   readout="set2vec", set2vec_steps=5)
+    params, state = models.mpnn_init(jax.random.PRNGKey(6), cfg)
+    dense, packed = dense_and_packed(gs)
+    out_d, _ = models.mpnn_apply(params, state, cfg, dense["afm"],
+                                 dense["bfm"], dense["adj"], dense["mask"],
+                                 training=True)
+    out_s, _ = sparse_mpnn_apply(params, state, cfg, packed, training=True)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               atol=5e-4)
+
+
+def test_ggnn_sparse_parity():
+    gs, ge = setup_graphs()
+    n_types = 5
+    nf = ge.atom_width()
+    cfg = models.MPNNConfig(node_features=nf, edge_features=n_types,
+                            message_features=nf, output_dim=8,
+                            message_fn="ggnn", ggnn_num_edge_types=n_types,
+                            message_steps=3)
+    params, state = models.mpnn_init(jax.random.PRNGKey(7), cfg)
+    dense, packed = dense_and_packed(gs)
+    rs = np.random.RandomState(8)
+    # integer edge types consistent between the two layouts
+    adj = np.asarray(dense["adj"])
+    types_dense = (rs.randint(1, n_types + 1, size=adj.shape)
+                   * adj).astype(np.int32)
+    # symmetric types (undirected bonds)
+    types_dense = np.maximum(types_dense, types_dense.transpose(0, 2, 1))
+    src = np.asarray(packed["edge_src"])
+    dst = np.asarray(packed["edge_dst"])
+    emask = np.asarray(packed["edge_mask"])
+    # map each packed edge back to its (graph, local) dense pair
+    node_graph = np.asarray(packed["node_graph"])
+    offsets = {}
+    off = 0
+    edge_types = np.zeros_like(src)
+    for gi, g in enumerate(gs):
+        offsets[gi] = off
+        off += g.num_atoms
+    for e in range(len(src)):
+        if emask[e] == 0:
+            continue
+        gi = node_graph[src[e]]
+        s_local = src[e] - offsets[gi]
+        d_local = dst[e] - offsets[gi]
+        edge_types[e] = types_dense[gi, s_local, d_local]
+    packed = dict(packed)
+    packed["edge_types"] = jnp.asarray(edge_types)
+    out_d, _ = models.mpnn_apply(params, state, cfg, dense["afm"],
+                                 jnp.asarray(types_dense), dense["adj"],
+                                 dense["mask"], training=True)
+    out_s, _ = sparse_mpnn_apply(params, state, cfg, packed, training=True)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               atol=5e-4)
+
+
+def test_bilinear_sparse_parity():
+    nf = 2
+    rs = np.random.RandomState(9)
+    # synthetic graphs with ef = nf^3 edge features
+    from mpnn_tpu.graphs.graph import MolGraph
+    gs = []
+    for i in range(4):
+        a = rs.randint(3, 7)
+        adj = np.triu((rs.rand(a, a) < 0.5).astype(np.int64), 1)
+        adj = adj + adj.T
+        src, dst = np.nonzero(adj)
+        feats = rs.randn(len(src), nf ** 3).astype(np.float32)
+        # symmetrize so both directions share features
+        fdict = {}
+        for k, (s, d) in enumerate(zip(src, dst)):
+            key = (min(s, d), max(s, d))
+            if key not in fdict:
+                fdict[key] = feats[k]
+            feats[k] = fdict[key]
+        bfm = np.zeros((a, a, nf ** 3), np.float32)
+        bfm[src, dst] = feats
+        gs.append(MolGraph(
+            afm=rs.randn(a, nf).astype(np.float32),
+            nafm=np.zeros((a, 1), np.float32), bfm=bfm, adj=adj,
+            edge_src=src.astype(np.int32), edge_dst=dst.astype(np.int32),
+            edge_feats=feats, label=float(i), is_encoded=True))
+    cfg = models.MPNNConfig(node_features=nf, edge_features=nf ** 3,
+                            message_features=nf, output_dim=4,
+                            message_fn="bilinear", aggregation="adj",
+                            message_steps=2, message_input="state",
+                            update_hidden="initial",
+                            concat_state_history=True)
+    params, state = models.mpnn_init(jax.random.PRNGKey(10), cfg)
+    dense, packed = dense_and_packed(gs)
+    out_d, _ = models.mpnn_apply(params, state, cfg, dense["afm"],
+                                 dense["bfm"], dense["adj"], dense["mask"],
+                                 training=True)
+    out_s, _ = sparse_mpnn_apply(params, state, cfg, packed, training=True)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               atol=5e-4)
