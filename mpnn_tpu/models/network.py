@@ -128,3 +128,48 @@ def network_apply(params, state, cfg: NetworkConfig, batch, *,
             out = jax.nn.relu(linear_apply(layer, out))
         out = linear_apply(layers[-1], out)
     return out, new_state
+
+
+def network_apply_packed(params, state, cfg: NetworkConfig, batch, *,
+                         training: bool, axis_name: Optional[str] = None,
+                         spmm_fn=None):
+    """Packed-batch network forward: same params as network_init; the MPNN
+    runs on the sparse path (models/sparse.py). batch: PackedBatch dict.
+    Returns (out (num_graphs, classes), new_state)."""
+    from mpnn_tpu.models.sparse import sparse_mpnn_apply
+
+    new_state = dict(state)
+    node_feats = batch["node_feats"]
+    mask = batch["node_mask"]
+
+    if cfg.input_wrapper == "graph_norm":
+        nafm, new_state["nafm_bn"] = bn1d_apply(
+            params["nafm_bn"], state["nafm_bn"], batch["node_nafm"], mask,
+            training=training, axis_name=axis_name)
+        node_feats = jnp.concatenate([node_feats, nafm], axis=-1)
+    elif cfg.input_wrapper == "batch_norm":
+        node_feats = mask_batch_norm(node_feats, mask, axis_name=axis_name)
+        batch = dict(batch)
+        batch["edge_feats"] = mask_batch_norm(
+            batch["edge_feats"], batch["edge_mask"][:, None],
+            axis_name=axis_name)
+
+    mb = dict(batch)
+    mb["node_feats"] = node_feats
+    out, new_state["mpnn"] = sparse_mpnn_apply(
+        params["mpnn"], state["mpnn"], cfg.mpnn, mb,
+        training=training, axis_name=axis_name, spmm_fn=spmm_fn)
+
+    if cfg.head_bn:
+        # same torch-BatchNorm1d semantics as the dense path; assumes no
+        # padded graph slots (collate_packed defaults to exact graph count —
+        # padded slots would shift the statistics)
+        out, new_state["head_bn"] = _bn_rows_apply(
+            params["head_bn"], state["head_bn"], out, training=training)
+
+    if cfg.head != "none":
+        layers = params["head"]
+        for layer in layers[:-1]:
+            out = jax.nn.relu(linear_apply(layer, out))
+        out = linear_apply(layers[-1], out)
+    return out, new_state

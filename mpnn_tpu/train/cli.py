@@ -111,6 +111,8 @@ def cmd_train(args):
         overrides["ckpt_dir"] = args.ckpt_dir
     if args.log:
         overrides["log_path"] = args.log
+    if args.packed:
+        overrides["packed"] = True
     if overrides:
         tcfg = dataclasses.replace(tcfg, **overrides)
     # reference split discipline: 0.1 test, then 0.1 val, random_state=seed
@@ -122,6 +124,7 @@ def cmd_train(args):
     params, state, opt_state, history = trainer.train(
         net_cfg, tcfg, train_gs, val_gs, resume=args.resume)
     test_loader = GraphLoader(test_gs, tcfg.batch_size,
+                              collate="packed" if tcfg.packed else "dense",
                               with_nafm=net_cfg.input_wrapper == "graph_norm")
     test_metrics = trainer.evaluate(params, state, net_cfg, test_loader,
                                     exp.loss, tcfg.metric_average)
@@ -217,6 +220,8 @@ def main(argv=None):
     t.add_argument("--ckpt-dir")
     t.add_argument("--log")
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--packed", action="store_true",
+                   help="train on the sparse packed-COO path")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval")

@@ -38,6 +38,7 @@ class TrainConfig:
     learning_rate: float = 1e-3
     weight_decay: float = 0.0
     loss: str = "ce"                 # ce | mse | ecfp_mse
+    packed: bool = False             # sparse packed-COO path (fast on TPU)
     seed: int = 317
     plateau: bool = False            # ReduceLROnPlateau on val loss
     metric_average: str = "weighted"
@@ -55,20 +56,33 @@ class TrainConfig:
 
 def make_loss_fn(net_cfg: NetworkConfig, kind: str):
     def loss_fn(params, state, batch, training: bool):
-        out, new_state = network_apply(params, state, net_cfg, batch,
-                                       training=training)
+        packed = "node_feats" in batch
+        if packed:
+            from mpnn_tpu.models.network import network_apply_packed
+            b = {k: v for k, v in batch.items() if k != "num_graphs"}
+            out, new_state = network_apply_packed(params, state, net_cfg, b,
+                                                  training=training)
+            gm = batch["graph_mask"]
+        else:
+            out, new_state = network_apply(params, state, net_cfg, batch,
+                                           training=training)
+            gm = None
         labels = batch["labels"]
         if kind == "ce":
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                out, labels.astype(jnp.int32)).mean()
+            per = optax.softmax_cross_entropy_with_integer_labels(
+                out, labels.astype(jnp.int32))
+            loss = per.mean() if gm is None else \
+                (per * gm).sum() / gm.sum()
         elif kind == "mse":
             target = labels.astype(out.dtype)
             if target.ndim == out.ndim - 1:
                 target = target[..., None]
-            loss = ((out - target) ** 2).mean()
+            per = (out - target) ** 2
+            loss = per.mean() if gm is None else \
+                (per * gm[:, None]).sum() / (gm.sum() * out.shape[-1])
         elif kind == "ecfp_mse":
             # MSE(sigmoid(out·mask), per-atom bits)
-            # (test_graph_encode_norm_ecfp.py:137)
+            # (test_graph_encode_norm_ecfp.py:137); dense-only layout
             pred = jax.nn.sigmoid(out[:, None, :] * batch["mask"])
             loss = ((pred - labels) ** 2).mean()
         else:
@@ -170,11 +184,12 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
 
     logger = MetricLogger(cfg.log_path)
     step_fn = make_train_step(net_cfg, tx, cfg.loss)
+    collate = "packed" if cfg.packed else "dense"
     train_loader = GraphLoader(train_graphs, cfg.batch_size,
                                shuffle=cfg.shuffle, seed=cfg.seed,
-                               with_nafm=with_nafm)
+                               collate=collate, with_nafm=with_nafm)
     val_loader = (GraphLoader(val_graphs, cfg.batch_size, shuffle=False,
-                              with_nafm=with_nafm)
+                              collate=collate, with_nafm=with_nafm)
                   if val_graphs is not None else None)
 
     history = []

@@ -200,3 +200,36 @@ class TestEndToEnd:
         out = trainer.evaluate(params, state, cfg, loader, "ce", "weighted")
         for k in ("loss", "accuracy", "precision", "recall", "f1"):
             assert k in out
+
+
+class TestPackedTraining:
+    def test_packed_matches_dense_trajectory(self, tmp_path):
+        """Training on the packed sparse path must track the dense path
+        (same params/seed; bucketed batch composition identical with
+        shuffle off)."""
+        import dataclasses
+        import pandas as pd
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import build
+        from mpnn_tpu.train import trainer
+        smiles = TestEndToEnd.SMILES
+        path = os.path.join(str(tmp_path), "d.csv")
+        pd.DataFrame({"smiles": smiles,
+                      "exp": [0.1 * len(s) for s in smiles]}).to_csv(
+            path, index=False)
+        gs, ge = G.load_number_dataset(path, "smiles", "exp")
+        cfg = build("lipo", afm=ge.atom_width(), bfm=ge.bond_width(),
+                    nafm=3, n_out=1)
+        m = dataclasses.replace(cfg.mpnn, edge_mlp_tail_repeats=2,
+                                message_steps=2)
+        cfg = dataclasses.replace(cfg, mpnn=m)
+        base = trainer.TrainConfig(epochs=3, batch_size=4,
+                                   learning_rate=1e-2, loss="mse",
+                                   shuffle=False)
+        _, _, _, hist_d = trainer.train(cfg, base, gs, gs)
+        _, _, _, hist_p = trainer.train(
+            cfg, dataclasses.replace(base, packed=True), gs, gs)
+        for hd, hp in zip(hist_d, hist_p):
+            assert hd["train_loss"] == pytest.approx(hp["train_loss"],
+                                                     rel=2e-3)
+            assert hd["val_mse"] == pytest.approx(hp["val_mse"], rel=1e-2)
