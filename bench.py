@@ -55,10 +55,12 @@ def flagship_mpnn_cfg(ge):
         edge_mlp_tail_repeats=50)
 
 
-def bench_sparse(batch_size: int, iters: int):
+def bench_sparse(batch_size: int, iters: int, dtype: str = "float32"):
+    import functools
     import jax
     import jax.numpy as jnp
     import numpy as np
+    import optax
     from mpnn_tpu import graphs as G
     from mpnn_tpu import models
     from mpnn_tpu.models.sparse import sparse_mpnn_apply
@@ -76,33 +78,55 @@ def bench_sparse(batch_size: int, iters: int):
     labels = jnp.asarray(
         np.random.RandomState(0).randn(
             packed["graph_mask"].shape[0]).astype(np.float32))
+    cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    if dtype == "bfloat16":
+        # mixed precision: bf16 activations/compute, f32 master params
+        jb = {k: (v.astype(cdtype) if hasattr(v, "dtype")
+                  and v.dtype == jnp.float32 else v) for k, v in jb.items()}
 
     tx = adam(1e-3, weight_decay=1e-4)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, state, opt_state, jb, labels):
-        def loss_fn(p):
-            out, ns = sparse_mpnn_apply(p, state, cfg, jb, training=True)
-            gm = jb["graph_mask"][:, None]
-            per = ((out - labels[:, None]) ** 2) * gm
-            return per.sum() / gm.sum(), ns
-        (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state2 = tx.update(g, opt_state, params)
-        import optax
-        params2 = optax.apply_updates(params, updates)
-        return l, params2, ns, opt_state2
+    STEPS_PER_CALL = 10   # amortize host→device dispatch latency
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def multi_step(params, state, opt_state, jb, labels):
+        def body(carry, _):
+            params, state, opt_state = carry
+
+            def loss_fn(p, s):
+                cp = jax.tree.map(lambda x: x.astype(cdtype), p) \
+                    if dtype == "bfloat16" else p
+                cs = jax.tree.map(lambda x: x.astype(cdtype), s) \
+                    if dtype == "bfloat16" else s
+                out, ns = sparse_mpnn_apply(cp, cs, cfg, jb, training=True)
+                gm = jb["graph_mask"][:, None]
+                per = ((out.astype(jnp.float32) - labels[:, None]) ** 2) * gm
+                return per.sum() / gm.sum(), ns
+
+            (l, ns), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state)
+            g = jax.tree.map(lambda x: x.astype(jnp.float32), g)
+            ns = jax.tree.map(lambda x: x.astype(jnp.float32), ns)
+            updates, opt_state2 = tx.update(g, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return (params2, ns, opt_state2), l
+
+        (params, state, opt_state), ls = jax.lax.scan(
+            body, (params, state, opt_state), None, length=STEPS_PER_CALL)
+        return params, state, opt_state, ls[-1]
 
     # warmup/compile
-    l, params, state, opt_state = step(params, state, opt_state, jb, labels)
+    params, state, opt_state, l = multi_step(params, state, opt_state, jb,
+                                             labels)
     jax.block_until_ready(l)
     t0 = time.perf_counter()
     for _ in range(iters):
-        l, params, state, opt_state = step(params, state, opt_state, jb,
-                                           labels)
+        params, state, opt_state, l = multi_step(params, state, opt_state,
+                                                 jb, labels)
     jax.block_until_ready(l)
     dt = time.perf_counter() - t0
-    edge_msgs = real_edges * cfg.message_steps * iters
+    edge_msgs = real_edges * cfg.message_steps * iters * STEPS_PER_CALL
     return edge_msgs / dt, real_edges, float(l)
 
 
@@ -157,10 +181,15 @@ def main(argv=None):
     p.add_argument("--mode", default="sparse", choices=["sparse", "dense"])
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
 
-    fn = bench_sparse if args.mode == "sparse" else bench_dense
-    value, real_edges, last_loss = fn(args.batch, args.iters)
+    if args.mode == "sparse":
+        value, real_edges, last_loss = bench_sparse(args.batch, args.iters,
+                                                    args.dtype)
+    else:
+        value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     print(json.dumps({
         "metric": f"edge_messages_per_s_train_step_{args.mode}",
         "value": round(value, 1),
