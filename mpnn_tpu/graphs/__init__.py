@@ -24,4 +24,4 @@ from mpnn_tpu.graphs.dataset import (
     load_number_dataset,
     save_cache,
 )
-from mpnn_tpu.graphs.dataloader import GraphLoader
+from mpnn_tpu.graphs.dataloader import GraphLoader, PrefetchLoader

@@ -93,3 +93,43 @@ class GraphLoader:
                     yield collate_packed(chunk).as_dict()
             else:
                 raise ValueError(self.collate)
+
+
+class PrefetchLoader:
+    """Wraps a GraphLoader with a background-thread prefetch queue so host
+    collation overlaps device compute (the input-pipeline overlap the
+    reference's synchronous DataLoader lacks)."""
+
+    def __init__(self, loader: GraphLoader, prefetch: int = 2,
+                 to_device=None):
+        self.loader = loader
+        self.prefetch = prefetch
+        self.to_device = to_device      # optional fn(batch) → device batch
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    if self.to_device is not None:
+                        batch = self.to_device(batch)
+                    q.put(batch)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()

@@ -98,7 +98,9 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str):
 def make_train_step(net_cfg: NetworkConfig, tx, loss_kind: str):
     loss_fn = make_loss_fn(net_cfg, loss_kind)
 
-    @jax.jit
+    # donate params/state/opt buffers — the loop always rebinds them, and
+    # in-place reuse avoids a full parameter copy per step on TPU
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, state, opt_state, batch):
         (loss, (out, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, state, batch, True)

@@ -178,3 +178,26 @@ class TestLoadersAndCache:
             np.testing.assert_array_equal(a.adj, b.adj)
             assert float(a.label) == pytest.approx(float(b.label))
         assert ge2.atom_width() == ge.atom_width()
+
+
+class TestPrefetchLoader:
+    def test_same_batches_as_inner_loader(self):
+        gs, ge = make_graphs()
+        inner1 = graphs.GraphLoader(gs, 3, shuffle=True, seed=5)
+        inner2 = graphs.GraphLoader(gs, 3, shuffle=True, seed=5)
+        from mpnn_tpu.graphs import PrefetchLoader
+        pre = PrefetchLoader(inner2, prefetch=2)
+        got = list(pre)
+        want = list(inner1)
+        assert len(got) == len(want) == len(pre)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+
+    def test_to_device_hook(self):
+        gs, ge = make_graphs()
+        from mpnn_tpu.graphs import PrefetchLoader
+        calls = []
+        pre = PrefetchLoader(graphs.GraphLoader(gs, 4), prefetch=1,
+                             to_device=lambda b: (calls.append(1), b)[1])
+        n = sum(1 for _ in pre)
+        assert len(calls) == n
