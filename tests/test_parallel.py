@@ -47,9 +47,12 @@ class TestDataParallel:
         batch = G.collate_dense(gs, num_nodes=32)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
 
-        # single-device reference
+        # single-device reference (the step donates its inputs — feed copies
+        # so the DP step below can reuse the originals)
         step1 = make_train_step(net_cfg, tx, "mse")
-        l1, p1, s1, o1 = step1(params, state, opt_state, jb)
+        copy = lambda t: jax.tree.map(lambda x: jnp.array(x), t)
+        l1, p1, s1, o1 = step1(copy(params), copy(state), copy(opt_state),
+                               jb)
 
         # 8-way DP
         mesh = parallel.make_mesh(data=8)
