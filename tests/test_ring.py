@@ -1,0 +1,99 @@
+"""Ring-partitioned SpMM tests on the 8-device virtual mesh: the fully
+sharded (nodes AND edges) aggregation must equal the unsharded edge term."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpnn_tpu import graphs as G, models, parallel
+from mpnn_tpu.models.sparse import (
+    _edge_penultimates, sparse_edge_network_fused,
+)
+from mpnn_tpu.parallel.ring import (
+    make_ring_spmm, partition_edges_ring, ring_edge_network_term,
+)
+
+SMILES = ["CCO", "c1ccccc1", "CC(=O)O", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+          "CN1C=NC2=C1C(=O)N(C(=O)N2C)C", "C1CCCCC1", "NC(=O)c1ccccc1",
+          "OC(=O)c1ccccc1O"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gs = G.generate_molgraphs(SMILES, [0.1 * i for i in range(len(SMILES))])
+    gs, ge = G.encode_molgraphs(gs)
+    nf = ge.atom_width()
+    cfg = models.MPNNConfig(node_features=nf, edge_features=ge.bond_width(),
+                            message_features=nf, output_dim=8,
+                            edge_mlp_tail_repeats=3)
+    params, _ = models.mpnn_init(jax.random.PRNGKey(0), cfg)
+    packed = G.collate_packed(gs).as_dict()
+    return gs, cfg, params, packed
+
+
+def unsharded_edge_term(cfg, mparams, packed):
+    """Σ_edges W̃(p_e − p_0) h_src — the edge part of the fused message
+    (no A0 correction, no bias)."""
+    h = jnp.asarray(packed["node_feats"])
+    efeats = jnp.asarray(packed["edge_feats"])
+    pen, pen0 = _edge_penultimates(mparams, efeats, cfg)
+    pf = pen.shape[-1]
+    wf = mparams["final"]["w"].reshape(pf, cfg.message_features,
+                                      cfg.node_features)
+    ptilde = pen - pen0
+    v = jnp.einsum("pmf,nf->npm", wf, h)
+    msg = jnp.einsum("ep,epm->em", ptilde, v[jnp.asarray(packed["edge_src"])])
+    return jax.ops.segment_sum(msg, jnp.asarray(packed["edge_dst"]),
+                               num_segments=h.shape[0])
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_ring_matches_unsharded(setup, d):
+    gs, cfg, params, packed = setup
+    mparams = params["message"][0]
+    want = np.asarray(unsharded_edge_term(cfg, mparams, packed))
+
+    ring_batch = partition_edges_ring(packed, d)
+    s = ring_batch["shard_size"]
+    mesh = parallel.make_mesh(data=8 // d, edge=d)
+    got_sh = ring_edge_network_term(mesh, mparams, ring_batch, cfg)
+    got = np.asarray(got_sh).reshape(d * s, -1)[:want.shape[0]]
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_ring_grads_flow(setup):
+    gs, cfg, params, packed = setup
+    mparams = params["message"][0]
+    d = 4
+    ring_batch = partition_edges_ring(packed, d)
+    mesh = parallel.make_mesh(data=2, edge=d)
+
+    def loss(mp, h_sh):
+        out = ring_edge_network_term(mesh, mp, ring_batch, cfg,
+                                     node_shards=h_sh)
+        return (out ** 2).sum()
+
+    h_sh = jnp.asarray(ring_batch["node_feats_sh"])
+    g_mp, g_h = jax.jit(jax.grad(loss, argnums=(0, 1)))(mparams, h_sh)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g_mp))
+    assert bool(jnp.isfinite(g_h).all())
+    # compare against the unsharded gradient wrt node features
+    def loss_ref(h_flat):
+        h = h_flat
+        efeats = jnp.asarray(packed["edge_feats"])
+        pen, pen0 = _edge_penultimates(mparams, efeats, cfg)
+        pf = pen.shape[-1]
+        wf = mparams["final"]["w"].reshape(pf, cfg.message_features,
+                                          cfg.node_features)
+        v = jnp.einsum("pmf,nf->npm", wf, h)
+        msg = jnp.einsum("ep,epm->em", pen - pen0,
+                         v[jnp.asarray(packed["edge_src"])])
+        out = jax.ops.segment_sum(msg, jnp.asarray(packed["edge_dst"]),
+                                  num_segments=h.shape[0])
+        return (out ** 2).sum()
+
+    n = packed["node_feats"].shape[0]
+    g_ref = jax.grad(loss_ref)(jnp.asarray(packed["node_feats"]))
+    got = np.asarray(g_h).reshape(-1, g_h.shape[-1])[:n]
+    np.testing.assert_allclose(got, np.asarray(g_ref), atol=5e-3)
