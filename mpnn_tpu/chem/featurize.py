@@ -58,6 +58,26 @@ def bond_features_dense(mol: Mol):
     return bfm, adj
 
 
+def topological_distance(mol: Mol) -> np.ndarray:
+    """(A, A) shortest-path (bond-count) matrix — the reference's
+    populate_t_dist / GetDistanceMatrix (mol_graph.py:221-222; disabled in
+    the reference's create_graph but part of the capability surface).
+    Unreachable pairs get 1e8 (RDKit convention)."""
+    import collections
+    a = mol.num_atoms()
+    dist = np.full((a, a), 1e8)
+    for start in range(a):
+        dist[start, start] = 0
+        q = collections.deque([start])
+        while q:
+            cur = q.popleft()
+            for nb in mol.neighbors(cur):
+                if dist[start, nb] > dist[start, cur] + 1:
+                    dist[start, nb] = dist[start, cur] + 1
+                    q.append(nb)
+    return dist
+
+
 def edge_list(mol: Mol):
     """→ (src (2E,), dst (2E,), bond_feats (2E, 4)) — COO form, both
     directions per bond (the sparse-path native format)."""

@@ -383,3 +383,59 @@ class Mol:
             else:
                 bond.conjugated = (capable[bond.begin] and capable[bond.end]
                                    and bond.order <= BOND_DOUBLE)
+
+    # fragments ---------------------------------------------------------------
+
+    def fragments(self) -> List[List[int]]:
+        """Connected components (atom index lists)."""
+        seen = set()
+        out = []
+        for start in range(self.num_atoms()):
+            if start in seen:
+                continue
+            comp, stack = [], [start]
+            seen.add(start)
+            while stack:
+                cur = stack.pop()
+                comp.append(cur)
+                for nb in self.neighbors(cur):
+                    if nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+            out.append(sorted(comp))
+        return out
+
+    def extract_fragment(self, atom_idxs: List[int]) -> "Mol":
+        """New Mol containing only the given atoms (renumbered)."""
+        import copy
+        remap = {a: i for i, a in enumerate(atom_idxs)}
+        sub = Mol()
+        for a in atom_idxs:
+            atom = copy.copy(self.atoms[a])
+            sub.add_atom(atom)
+        for b in self.bonds:
+            if b.begin in remap and b.end in remap:
+                sub.add_bond(remap[b.begin], remap[b.end], b.order,
+                             b.aromatic)
+        if self._sanitized:
+            sub.sanitize()
+        return sub
+
+
+def choose_largest_fragment(mol: Mol) -> Mol:
+    """Salt stripping: keep the largest covalent unit — most atoms counting
+    hydrogens; ties broken by heavier total mass (the reference's
+    choose_largest_fragment, pre_process/utils.py:26-57; its call site is
+    commented out there but the capability is kept)."""
+    from mpnn_tpu.chem.periodic import SYMBOLS
+    # rough atomic masses ≈ 2·Z is enough for tie-breaking by weight
+    frags = mol.fragments()
+    if len(frags) <= 1:
+        return mol
+    def score(idxs):
+        atoms = sum(1 + mol.atoms[i].total_hs for i in idxs)
+        weight = sum(2 * mol.atoms[i].atomic_num + mol.atoms[i].total_hs
+                     for i in idxs)
+        return (atoms, weight)
+    best = max(frags, key=score)
+    return mol.extract_fragment(best)

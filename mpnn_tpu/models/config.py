@@ -64,6 +64,8 @@ class MPNNConfig:
 
     edge_mlp_tail_repeats: int = 50    # reference ×50 weight-shared tail
     ggnn_num_edge_types: int = 7
+    remat: bool = False                # jax.checkpoint each message step
+                                       # (memory ↔ recompute for big graphs)
 
     def __post_init__(self):
         fused = self.message_fn in ("edge_network", "ggnn")

@@ -176,15 +176,24 @@ def mpnn_apply(params, state, cfg: MPNNConfig, afm, bfm, adj, mask, *,
     ma_bn_state = list(state.get("ma_bn", []))
     bn_state = list(state.get("bn", []))
 
+    def compute_msgs(mi, msg_src, bfm, adj):
+        return _compute_message(cfg, params["message"][mi],
+                                pens[mi] if pens is not None else None,
+                                msg_src, bfm, adj, params.get("agg"))
+
+    if cfg.remat:
+        # rematerialize the message computation in the backward pass —
+        # trades FLOPs for the per-step activation memory (jax.checkpoint)
+        compute_msgs = jax.checkpoint(compute_msgs,
+                                      static_argnums=(0,))
+
     h = afm
     history = [afm]
     for step in range(cfg.message_steps):
         mi = 0 if cfg.share_message_weights else step
         ni = step if cfg.per_step_norms else 0
         msg_src = afm if cfg.message_input == "initial" else h
-        msgs = _compute_message(cfg, params["message"][mi],
-                                pens[mi] if pens is not None else None,
-                                msg_src, bfm, adj, params.get("agg"))
+        msgs = compute_msgs(mi, msg_src, bfm, adj)
         if cfg.msg_norm == "bn1d":
             msgs, ma_bn_state[ni] = bn1d_apply(
                 params["ma_bn"][ni], ma_bn_state[ni], msgs, mask,

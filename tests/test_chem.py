@@ -188,3 +188,35 @@ class TestECFP:
         a = chem.ecfp_bitvector(P("OCC"), nbits=2048)
         b = chem.ecfp_bitvector(P("CCO"), nbits=2048)
         np.testing.assert_array_equal(a, b)
+
+
+class TestTopologicalDistance:
+    def test_chain_and_disconnected(self):
+        from mpnn_tpu.chem.featurize import topological_distance
+        m = P("CCCC")
+        d = topological_distance(m)
+        assert d[0, 3] == 3 and d[1, 2] == 1 and d[0, 0] == 0
+        m2 = P("CC.O")
+        d2 = topological_distance(m2)
+        assert d2[0, 2] == 1e8      # disconnected → RDKit's 1e8
+
+
+class TestLargestFragment:
+    def test_salt_stripping(self):
+        from mpnn_tpu.chem.mol import choose_largest_fragment
+        m = P("CC(=O)O.[Na+]")      # sodium acetate
+        out = choose_largest_fragment(m)
+        assert out.num_atoms() == 4
+        assert all(a.atomic_num != 11 for a in out.atoms)
+
+    def test_single_fragment_passthrough(self):
+        from mpnn_tpu.chem.mol import choose_largest_fragment
+        m = P("CCO")
+        assert choose_largest_fragment(m) is m
+
+    def test_hydrogen_counting_breaks_ties(self):
+        from mpnn_tpu.chem.mol import choose_largest_fragment
+        # CH4 (5 atoms with H) vs O2-ish fragment [O][O] (2 atoms)
+        m = P("C.[O][O]")
+        out = choose_largest_fragment(m)
+        assert out.atoms[0].atomic_num == 6

@@ -132,3 +132,26 @@ def test_mask_invariance_of_forward():
     poisoned["nafm"] = batch["nafm"] + 11.0 * pad
     out2, _ = models.network_apply(params, state, cfg, poisoned, training=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-4)
+
+
+def test_remat_is_numerically_transparent():
+    import dataclasses
+    cfg = _shrunk(models.build("lipo", **CASES["lipo"]))
+    m = dataclasses.replace(cfg.mpnn, remat=True)
+    cfg_r = dataclasses.replace(cfg, mpnn=m)
+    params, state = models.network_init(jax.random.PRNGKey(0), cfg)
+    batch = small_batch()
+
+    def loss(c):
+        def f(p):
+            o, _ = models.network_apply(p, state, c, batch, training=True)
+            return (o ** 2).mean()
+        return f
+
+    l0 = float(loss(cfg)(params))
+    l1 = float(loss(cfg_r)(params))
+    assert l0 == pytest.approx(l1, rel=1e-6)
+    g0 = jax.grad(loss(cfg))(params)
+    g1 = jax.grad(loss(cfg_r))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

