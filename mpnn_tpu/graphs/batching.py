@@ -68,9 +68,18 @@ def collate_dense(graphs: List[MolGraph],
         mask[i, :a] = 1.0
         if with_nafm:
             nafm[i, :a] = g.nafm
-    labels = np.asarray([g.label for g in graphs])
-    if labels.dtype == object:
-        labels = np.stack([np.asarray(g.label) for g in graphs])
+    first = np.asarray(graphs[0].label) if graphs[0].label is not None \
+        else np.zeros(())
+    if first.ndim == 2:
+        # per-atom matrix labels (ECFP): pad along the atom axis
+        nbits = first.shape[-1]
+        labels = np.zeros((b, n, nbits), np.float32)
+        for i, g in enumerate(graphs):
+            labels[i, :g.num_atoms] = g.label
+    else:
+        labels = np.asarray([g.label for g in graphs])
+        if labels.dtype == object:
+            labels = np.stack([np.asarray(g.label) for g in graphs])
     out["labels"] = labels
     return out
 

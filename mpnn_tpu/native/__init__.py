@@ -165,8 +165,19 @@ def pack_dense_native(graphs, n_cap: int) -> dict:
         _ptr(out_mask, ctypes.c_float))
     if rc != 0:
         raise ValueError(f"graph exceeds capacity {n_cap}")
-    labels = np.asarray([g.label for g in graphs])
-    if labels.dtype == object:
-        labels = np.stack([np.asarray(g.label) for g in graphs])
+    labels = _collect_labels(graphs, n_cap)
     return {"afm": out_afm, "nafm": out_nafm, "bfm": out_bfm,
             "adj": out_adj, "mask": out_mask, "labels": labels}
+
+
+def _collect_labels(graphs, n_cap):
+    """Scalar labels stack; per-atom matrix labels (ECFP) pad along atoms
+    (data_loader.py:72-88 semantics)."""
+    first = np.asarray(graphs[0].label)
+    if first.ndim == 2:
+        nbits = first.shape[-1]
+        labels = np.zeros((len(graphs), n_cap, nbits), np.float32)
+        for i, g in enumerate(graphs):
+            labels[i, :g.num_atoms] = g.label
+        return labels
+    return np.asarray([g.label for g in graphs])
