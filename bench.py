@@ -177,6 +177,14 @@ def bench_dense(batch_size: int, iters: int):
 
 
 def main(argv=None):
+    # persistent compile cache: TPU compiles go through a slow remote tunnel
+    # (~3 min cold for the default config); repeat runs become instant
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/mpnn_tpu_jaxcache")
+    except Exception:
+        pass
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="sparse", choices=["sparse", "dense"])
     p.add_argument("--batch", type=int, default=256)

@@ -83,6 +83,9 @@ def _apply_experiment_transforms(exp, gs):
             keep_first=exp.filter_keep_first)
     if exp.binarize_target_class is not None:
         gs = binarize_target(gs, exp.binarize_target_class)
+    if exp.affinity_target_class is not None:
+        from mpnn_tpu.graphs.filters import affinity_labels
+        gs = affinity_labels(gs, exp.affinity_target_class)
     if exp.embed_features:
         from mpnn_tpu.train import pretrain
         ap, _, av, _ = pretrain.pretrain_embedding_encoder(gs, "atom")
@@ -148,6 +151,40 @@ def cmd_eval(args):
                            with_nafm=net_cfg.input_wrapper == "graph_norm")
     print(json.dumps(trainer.evaluate(params, state, net_cfg, loader,
                                       exp.loss, exp.train.metric_average)))
+
+
+def cmd_predict(args):
+    """Inference: checkpoint + SMILES CSV → predictions (JSON lines).
+    The serving-side verb the reference lacks entirely."""
+    from mpnn_tpu.train import experiments, trainer
+    from mpnn_tpu.train.checkpoint import load_checkpoint
+    from mpnn_tpu.models.network import network_init, network_apply
+    from mpnn_tpu import graphs as G
+    import jax
+    import jax.numpy as jnp
+    exp = experiments.get(args.experiment)
+    gs, ge = _load_for(exp, args.data, cache=args.cache)
+    gs = _apply_experiment_transforms(exp, gs)
+    net_cfg = _build_net(exp, gs, _n_out_for(exp, gs))
+    params, state = network_init(jax.random.PRNGKey(exp.train.seed), net_cfg)
+    params, state, _, _ = load_checkpoint(args.ckpt, params=params,
+                                          state=state)
+    loader = G.GraphLoader(gs, args.batch_size or exp.train.batch_size,
+                           with_nafm=net_cfg.input_wrapper == "graph_norm")
+    step = trainer.make_eval_step(net_cfg, exp.loss)
+    idx = 0
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, out = step(params, state, jb)
+        out = np.asarray(out)
+        for row in out:
+            if exp.loss == "ce":
+                rec = {"index": idx, "pred": int(row.argmax()),
+                       "logits": row.tolist()}
+            else:
+                rec = {"index": idx, "pred": float(row.reshape(-1)[0])}
+            print(json.dumps(rec))
+            idx += 1
 
 
 def cmd_pretrain(args):
@@ -230,6 +267,14 @@ def main(argv=None):
     e.add_argument("--cache")
     e.add_argument("--ckpt", required=True)
     e.set_defaults(fn=cmd_eval)
+
+    pd = sub.add_parser("predict")
+    pd.add_argument("--experiment", required=True)
+    pd.add_argument("--data", required=True)
+    pd.add_argument("--cache")
+    pd.add_argument("--ckpt", required=True)
+    pd.add_argument("--batch-size", type=int)
+    pd.set_defaults(fn=cmd_predict)
 
     pr = sub.add_parser("pretrain")
     pr.add_argument("--experiment", required=True)

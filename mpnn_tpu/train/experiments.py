@@ -24,6 +24,9 @@ class Experiment:
     label_col: str = "target"
     affinity_col: Optional[str] = None
     binarize_target_class: Optional[int] = None   # one-vs-rest (test_single_target.py:101)
+    affinity_target_class: Optional[int] = None   # label←affinity if class
+                                                  # matches else 4.0
+                                                  # (test_graph_encode_affinity.py:126-128)
     filter_lower_count: Optional[int] = None      # class-count filter
     filter_upper_count: Optional[int] = None
     filter_keep_first: Optional[int] = None       # (test_graph_encode_norm.py:101)
@@ -84,14 +87,28 @@ _register(Experiment(
                       ckpt_f1_gate=0.8),
     notes="test_graph_encode_norm.py: frozen AEs + per-step BN pairs"))
 
-# test_graph_encode_affinity.py: affinity regression, bs 128
+# test_graph_encode_affinity.py: affinity regression, bs 128,
+# filter 49<count<100, label = affinity where class==target else 4.0
 _register(Experiment(
     name="encoded_affinity", task="affinity", model="encoded", loss="mse",
     train=TrainConfig(epochs=500, batch_size=128, learning_rate=1e-3,
                       weight_decay=1e-5, loss="mse"),
     affinity_col="pXC50",
+    filter_lower_count=49, filter_upper_count=100,
+    affinity_target_class=243,
     notes="test_graph_encode_affinity.py: label = affinity for the target "
-          "class else constant"))
+          "class else constant 4"))
+
+# test_graph_encode_norm_single.py: encoded model + one-vs-rest target 243,
+# bs 16, lr 1e-3, F1>0.8 gate
+_register(Experiment(
+    name="encoded_single_target", task="classification", model="encoded",
+    loss="ce",
+    train=TrainConfig(epochs=500, batch_size=16, learning_rate=1e-3,
+                      loss="ce", metric_average="binary", ckpt_f1_gate=0.8),
+    binarize_target_class=243,
+    notes="test_graph_encode_norm_single.py: encoded model, binary "
+          "one-vs-rest target 243"))
 
 # test_graph_encode_norm_ecfp.py: ECFP multi-label, bs 128
 _register(Experiment(
