@@ -39,6 +39,8 @@ class TrainConfig:
     weight_decay: float = 0.0
     loss: str = "ce"                 # ce | mse | ecfp_mse
     packed: bool = False             # sparse packed-COO path (fast on TPU)
+    compute_dtype: str = "float32"   # float32 | bfloat16 (mixed precision:
+                                     # bf16 activations, f32 master params)
     seed: int = 317
     plateau: bool = False            # ReduceLROnPlateau on val loss
     metric_average: str = "weighted"
@@ -95,15 +97,36 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str):
 # steps
 # ---------------------------------------------------------------------------
 
-def make_train_step(net_cfg: NetworkConfig, tx, loss_kind: str):
+def make_train_step(net_cfg: NetworkConfig, tx, loss_kind: str,
+                    compute_dtype: str = "float32"):
     loss_fn = make_loss_fn(net_cfg, loss_kind)
+    mixed = compute_dtype == "bfloat16"
+
+    def _cast(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                      jnp.floating) else x,
+            tree)
 
     # donate params/state/opt buffers — the loop always rebinds them, and
     # in-place reuse avoids a full parameter copy per step on TPU
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, state, opt_state, batch):
+        if mixed:
+            # bf16 compute against f32 master params; grads/state back to f32
+            def lf(p, s, b, t):
+                return loss_fn(_cast(p, jnp.bfloat16),
+                               _cast(s, jnp.bfloat16),
+                               _cast(b, jnp.bfloat16), t)
+        else:
+            lf = loss_fn
         (loss, (out, new_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, state, batch, True)
+            lf, has_aux=True)(params, state, batch, True)
+        if mixed:
+            grads = _cast(grads, jnp.float32)
+            new_state = _cast(new_state, jnp.float32)
+            loss = loss.astype(jnp.float32)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return loss, params, new_state, opt_state
@@ -185,7 +208,7 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                 sched.load_state_dict(meta["sched"])
 
     logger = MetricLogger(cfg.log_path)
-    step_fn = make_train_step(net_cfg, tx, cfg.loss)
+    step_fn = make_train_step(net_cfg, tx, cfg.loss, cfg.compute_dtype)
     collate = "packed" if cfg.packed else "dense"
     train_loader = GraphLoader(train_graphs, cfg.batch_size,
                                shuffle=cfg.shuffle, seed=cfg.seed,

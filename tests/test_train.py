@@ -260,3 +260,31 @@ class TestPackedTraining:
         _, _, _, hist = trainer.train(cfg, tcfg, gs, gs)
         assert hist[-1]["train_loss"] < hist[0]["train_loss"]
         assert "val_mse" in hist[-1]
+
+
+class TestMixedPrecision:
+    def test_bf16_training_converges(self, tmp_path):
+        import dataclasses
+        import pandas as pd
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import build
+        from mpnn_tpu.train import trainer
+        smiles = TestEndToEnd.SMILES
+        path = os.path.join(str(tmp_path), "d.csv")
+        pd.DataFrame({"smiles": smiles,
+                      "exp": [0.1 * len(s) for s in smiles]}).to_csv(
+            path, index=False)
+        gs, ge = G.load_number_dataset(path, "smiles", "exp")
+        cfg = build("lipo", afm=ge.atom_width(), bfm=ge.bond_width(),
+                    nafm=3, n_out=1)
+        m = dataclasses.replace(cfg.mpnn, edge_mlp_tail_repeats=2,
+                                message_steps=2)
+        cfg = dataclasses.replace(cfg, mpnn=m)
+        tcfg = trainer.TrainConfig(epochs=6, batch_size=4,
+                                   learning_rate=1e-2, loss="mse",
+                                   compute_dtype="bfloat16", packed=True)
+        params, _, _, hist = trainer.train(cfg, tcfg, gs, gs)
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+        # master params stay f32
+        import jax
+        assert all(l.dtype == np.float32 for l in jax.tree.leaves(params))
