@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
+
 import time
 
 # measured via scripts/measure_baseline_torch.py (dense reference semantics,

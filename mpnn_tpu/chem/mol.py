@@ -28,7 +28,7 @@ Perception notes (documented divergences from RDKit):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from mpnn_tpu.chem.periodic import (
     ATOMIC_NUM, DEFAULT_VALENCES, SYMBOLS, VALENCE_ELECTRONS,

@@ -31,7 +31,7 @@ fused path (the lipo model's, lipo_basic_model.py:85).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

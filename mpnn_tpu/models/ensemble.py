@@ -25,7 +25,7 @@ composition.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -19,10 +19,10 @@ Two composable axes (SURVEY.md §2.6):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+
 
 import jax
-import jax.numpy as jnp
+
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

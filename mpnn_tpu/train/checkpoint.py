@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import os
 import re
-import tempfile
+
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -16,7 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
+
 
 import numpy as np
 
@@ -158,7 +158,7 @@ def cmd_predict(args):
     The serving-side verb the reference lacks entirely."""
     from mpnn_tpu.train import experiments, trainer
     from mpnn_tpu.train.checkpoint import load_checkpoint
-    from mpnn_tpu.models.network import network_init, network_apply
+    from mpnn_tpu.models.network import network_init
     from mpnn_tpu import graphs as G
     import jax
     import jax.numpy as jnp

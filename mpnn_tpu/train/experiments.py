@@ -7,7 +7,7 @@ hyperparameters (batch size, lr, weight decay, schedules, gates).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 from mpnn_tpu.models import zoo
 from mpnn_tpu.train.trainer import TrainConfig

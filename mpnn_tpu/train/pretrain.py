@@ -19,7 +19,7 @@ verb, with pickle-free artifacts (train/checkpoint.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

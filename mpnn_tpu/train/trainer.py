@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from functools import partial
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ import torch
 import torch.nn as nn
 
 sys.path.insert(0, ".")
-from bench import SMILES, build_batch, flagship_mpnn_cfg  # noqa: E402
+from bench import build_batch, flagship_mpnn_cfg  # noqa: E402
 
 
 class DenseLipoModel(nn.Module):
