@@ -187,7 +187,7 @@ def main(argv=None):
         pass
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="sparse", choices=["sparse", "dense"])
-    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])

@@ -192,9 +192,11 @@ def parse_smiles(smiles: str, sanitize: bool = True) -> Mol:
 
 
 def mol_from_smiles(smiles: str) -> Optional[Mol]:
-    """RDKit-style API: returns None on parse failure (the loaders skip
-    unparseable rows, load_dataset.py:17-18)."""
+    """RDKit-style API: returns None on ANY failure — parse errors,
+    graph-construction errors (duplicate ring-closure bonds), or perception
+    failures — mirroring MolFromSmiles's skip-row contract
+    (load_dataset.py:17-18)."""
     try:
         return parse_smiles(smiles)
-    except SmilesError:
+    except Exception:
         return None

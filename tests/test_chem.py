@@ -220,3 +220,26 @@ class TestLargestFragment:
         m = P("C.[O][O]")
         out = choose_largest_fragment(m)
         assert out.atoms[0].atomic_num == 6
+
+
+class TestParserRobustness:
+    def test_fuzz_never_crashes(self):
+        """mol_from_smiles must return a Mol or None — never raise — on
+        arbitrary garbage (loader skip-row contract, load_dataset.py:17-18)."""
+        import random
+        rng = random.Random(317)
+        alphabet = "CNOSPFIBrclnos123456789()[]=#+-@/\\.%*Hh "
+        for _ in range(500):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 40)))
+            out = chem.mol_from_smiles(s)
+            assert out is None or hasattr(out, "atoms")
+
+    def test_deep_nesting(self):
+        s = "C" + "(C" * 30 + ")" * 30
+        m = chem.mol_from_smiles(s)
+        assert m is not None and m.num_atoms() == 31
+
+    def test_long_chain(self):
+        m = chem.mol_from_smiles("C" * 500)
+        assert m is not None and m.num_atoms() == 500
