@@ -50,6 +50,10 @@ class TrainConfig:
     early_stop_loss: Optional[float] = None  # test_adv.py:96-98 (<0.02)
     log_path: Optional[str] = None
     shuffle: bool = True
+    handle_preemption: bool = True   # SIGTERM → checkpoint + clean exit
+                                     # (resume picks the run back up; the
+                                     # reference loses preempted runs —
+                                     # SURVEY.md §5 failure detection)
 
 
 # ---------------------------------------------------------------------------
@@ -217,15 +221,45 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                               collate=collate, with_nafm=with_nafm)
                   if val_graphs is not None else None)
 
+    preempted = {"flag": False}
+    prev_handler = None
+    if cfg.handle_preemption and cfg.ckpt_dir:
+        import signal
+        import threading
+
+        def _on_term(signum, frame):
+            preempted["flag"] = True
+
+        if threading.current_thread() is threading.main_thread():
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+
+    def _save(epoch):
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        save_checkpoint(
+            os.path.join(cfg.ckpt_dir, f"ckpt_{epoch}.npz"),
+            params=params, state=state, opt_state=opt_state,
+            meta={"epoch": epoch,
+                  "sched": sched.state_dict() if sched else None})
+
     history = []
     for epoch in range(start_epoch, cfg.epochs):
         epoch_loss, n_batches = 0.0, 0
         for batch in train_loader:
+            if preempted["flag"]:
+                break
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             loss, params, state, opt_state = step_fn(
                 params, state, opt_state, jb)
             epoch_loss += float(loss)
             n_batches += 1
+        if preempted["flag"]:
+            # graceful preemption: persist the last COMPLETE epoch so
+            # --resume restarts exactly here, then stop
+            done = epoch if n_batches == len(train_loader) else epoch - 1
+            if done >= 0:
+                _save(done)
+            logger.log(epoch=epoch, preempted=True)
+            break
         record = {"epoch": epoch, "train_loss": epoch_loss,
                   "lr": get_learning_rate(opt_state)}
 
@@ -247,16 +281,14 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                 gate_ok = f1 is not None and np.isfinite(f1) \
                     and f1 > cfg.ckpt_f1_gate
             if gate_ok:
-                os.makedirs(cfg.ckpt_dir, exist_ok=True)
-                save_checkpoint(
-                    os.path.join(cfg.ckpt_dir, f"ckpt_{epoch}.npz"),
-                    params=params, state=state, opt_state=opt_state,
-                    meta={"epoch": epoch,
-                          "sched": sched.state_dict() if sched else None})
+                _save(epoch)
 
         if cfg.early_stop_loss is not None \
                 and epoch_loss < cfg.early_stop_loss:
             break
 
+    if prev_handler is not None:
+        import signal
+        signal.signal(signal.SIGTERM, prev_handler)
     logger.close()
     return params, state, opt_state, history

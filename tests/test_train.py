@@ -288,3 +288,60 @@ class TestMixedPrecision:
         # master params stay f32
         import jax
         assert all(l.dtype == np.float32 for l in jax.tree.leaves(params))
+
+
+class TestPreemption:
+    def test_sigterm_checkpoints_and_resumes(self, tmp_path):
+        """Real contract: a training PROCESS that receives SIGTERM saves a
+        checkpoint and exits cleanly; --resume continues."""
+        import subprocess
+        import sys
+        import time
+        import pandas as pd
+        smiles = TestEndToEnd.SMILES
+        path = os.path.join(str(tmp_path), "d.csv")
+        pd.DataFrame({"smiles": smiles,
+                      "exp": [0.1 * len(s) for s in smiles]}).to_csv(
+            path, index=False)
+        ckdir = os.path.join(str(tmp_path), "ck")
+        script = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import dataclasses
+from mpnn_tpu import graphs as G
+from mpnn_tpu.models import build
+from mpnn_tpu.train import trainer
+gs, ge = G.load_number_dataset({path!r}, "smiles", "exp")
+cfg = build("lipo", afm=ge.atom_width(), bfm=ge.bond_width(), nafm=3,
+            n_out=1)
+m = dataclasses.replace(cfg.mpnn, edge_mlp_tail_repeats=1, message_steps=1)
+cfg = dataclasses.replace(cfg, mpnn=m)
+tcfg = trainer.TrainConfig(epochs=10 ** 6, batch_size=4, loss="mse",
+                           ckpt_dir={ckdir!r}, ckpt_every=10 ** 9)
+print("TRAIN_STARTING", flush=True)
+trainer.train(cfg, tcfg, gs, gs)
+print("TRAIN_EXITED", flush=True)
+"""
+        proc = subprocess.Popen([sys.executable, "-c", script],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True,
+                                cwd=os.path.dirname(os.path.dirname(
+                                    os.path.abspath(__file__))))
+        # wait until at least two epochs have been logged (the MetricLogger
+        # echoes JSONL records to stderr), then preempt
+        seen = 0
+        while seen < 2:
+            line = proc.stderr.readline()
+            if not line:
+                break
+            if '"epoch"' in line:
+                seen += 1
+        assert seen >= 2, "training never reached epoch 2"
+        proc.send_signal(15)    # SIGTERM
+        out, _ = proc.communicate(timeout=120)
+        assert proc.returncode == 0, out
+        assert "TRAIN_EXITED" in out
+        from mpnn_tpu.train.checkpoint import latest_checkpoint
+        assert latest_checkpoint(ckdir) is not None
