@@ -52,8 +52,13 @@ class MPNNConfig:
     state_norm: str = "none"           # none|stateless|bn1d (reference bn)
     per_step_norms: bool = False       # fresh bn/ma_bn per step
 
-    atom_encoder: Optional[str] = None  # none|'atom_ae'|'embedding' — in-graph frozen encoder
+    atom_encoder: Optional[str] = None  # none|'atom_ae' — in-graph frozen encoder
     bond_encoder: Optional[str] = None
+    # raw input widths when encoders are present (the reference hardcodes
+    # 30→15→8 and 8→4→2 for ITS dataset, atom_autoencoder.py:4-21; here the
+    # AEs are sized to the data: in → in//2 → node/edge_features)
+    atom_encoder_in: int = 30
+    bond_encoder_in: int = 8
     input_norm: bool = False            # aebn/bebn after the encoders
     output_norm: bool = False           # obn after readout
 

@@ -31,7 +31,7 @@ from mpnn_tpu.ops import (
     wadj_agg,
 )
 from mpnn_tpu.ops.autoencoders import (
-    atom_autoencoder_init, bond_autoencoder_init, tanh_encoder_apply,
+    tanh_autoencoder_init, tanh_encoder_apply,
 )
 
 
@@ -77,10 +77,15 @@ def mpnn_init(key, cfg: MPNNConfig, dtype=jnp.float32):
         state["bn"] = [s for _, s in pairs]
 
     if cfg.atom_encoder == "atom_ae":
-        ae_p, ae_s = atom_autoencoder_init(keys[3], dtype)
+        # reference shape 30→15→8 generalized: in → max(in//2, e) → e
+        in_dim, e_dim = cfg.atom_encoder_in, nf
+        ae_p, ae_s = tanh_autoencoder_init(
+            keys[3], in_dim, max(in_dim // 2, e_dim), e_dim, dtype)
         params["atom_encoder"], state["atom_encoder"] = ae_p, ae_s
     if cfg.bond_encoder == "bond_ae":
-        be_p, be_s = bond_autoencoder_init(keys[4], dtype)
+        in_dim, e_dim = cfg.bond_encoder_in, cfg.edge_features
+        be_p, be_s = tanh_autoencoder_init(
+            keys[4], in_dim, max(in_dim // 2, e_dim), e_dim, dtype)
         params["bond_encoder"], state["bond_encoder"] = be_p, be_s
     if cfg.input_norm:
         p, s = bn1d_init(nf, dtype)

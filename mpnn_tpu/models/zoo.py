@@ -78,14 +78,18 @@ def graph_norm(afm: int, bfm: int, nafm: int = 0,
         head="linear", head_output=n_out, kaiming_head=False)
 
 
-def encoded(afm: int = 8, bfm: int = 2, nafm: int = 0,
-            n_out: int = 4) -> NetworkConfig:
-    """normed_encoded_basic_model: frozen AEs compress 30→8 / 8→2; per-step
-    bn1d pairs; input norms."""
+def encoded(afm: int = 30, bfm: int = 8, nafm: int = 0,
+            n_out: int = 4, enc_afm: int = 8,
+            enc_bfm: int = 2) -> NetworkConfig:
+    """normed_encoded_basic_model: frozen AEs compress the raw widths
+    (afm/bfm) down to enc_afm/enc_bfm — the reference's 30→8 and 8→2
+    generalized to the dataset at hand; per-step bn1d pairs; input norms."""
     return NetworkConfig(
         mpnn=MPNNConfig(
-            node_features=afm, edge_features=bfm, message_features=afm,
-            output_dim=2 * afm, message_steps=3,
+            node_features=enc_afm, edge_features=enc_bfm,
+            message_features=enc_afm,
+            atom_encoder_in=afm, bond_encoder_in=bfm,
+            output_dim=2 * enc_afm, message_steps=3,
             share_message_weights=False, per_step_norms=True,
             msg_norm="bn1d", state_norm="bn1d",
             atom_encoder="atom_ae", bond_encoder="bond_ae",
@@ -93,13 +97,16 @@ def encoded(afm: int = 8, bfm: int = 2, nafm: int = 0,
         head="linear", head_output=n_out, kaiming_head=True)
 
 
-def encoded_ecfp(afm: int = 8, bfm: int = 2, nafm: int = 0,
-                 n_out: int = 16384) -> NetworkConfig:
+def encoded_ecfp(afm: int = 30, bfm: int = 8, nafm: int = 0,
+                 n_out: int = 16384, enc_afm: int = 8,
+                 enc_bfm: int = 2) -> NetworkConfig:
     """ECFP multi-label: encoded model + output BN + wide head
     (test_graph_encode_norm_ecfp.py:95-100: out=32 → Linear(32, 16384))."""
     return NetworkConfig(
         mpnn=MPNNConfig(
-            node_features=afm, edge_features=bfm, message_features=afm,
+            node_features=enc_afm, edge_features=enc_bfm,
+            message_features=enc_afm,
+            atom_encoder_in=afm, bond_encoder_in=bfm,
             output_dim=32, message_steps=3,
             share_message_weights=False, per_step_norms=True,
             msg_norm="bn1d", state_norm="none",

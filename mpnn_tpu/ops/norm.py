@@ -96,7 +96,11 @@ def bn1d_apply(params, state, tensor, mask, *, training: bool,
             "running_mean": (1 - momentum) * state["running_mean"] + momentum * mean,
             "running_var": (1 - momentum) * state["running_var"] + momentum * var,
         }
-        out = (y - mean) / (jnp.sqrt(var) + eps)
+        # clamp inside the sqrt: at var == 0 the forward is unchanged
+        # ((y-mean) == 0 / eps) but sqrt's gradient would be inf — zero-
+        # variance features (constant bond types in a small batch) would NaN
+        # the backward pass
+        out = (y - mean) / (jnp.sqrt(jnp.maximum(var, 1e-12)) + eps)
     else:
         new_state = state
         out = (y - state["running_mean"]) / (state["running_var"] ** 0.5 + eps)
