@@ -118,6 +118,15 @@ def cmd_train(args):
         overrides["packed"] = True
     if overrides:
         tcfg = dataclasses.replace(tcfg, **overrides)
+    init_params = init_state = None
+    if args.atom_ae or args.bond_ae:
+        import jax
+        from mpnn_tpu.models.network import network_init
+        from mpnn_tpu.train.pretrain import load_pretrained_encoders
+        init_params, init_state = network_init(
+            jax.random.PRNGKey(tcfg.seed), net_cfg)
+        init_params = load_pretrained_encoders(
+            init_params, atom_ckpt=args.atom_ae, bond_ckpt=args.bond_ae)
     # reference split discipline: 0.1 test, then 0.1 val, random_state=seed
     # (test_lipo.py:143-146)
     train_gs, test_gs = train_test_split(gs, test_size=0.1,
@@ -125,7 +134,8 @@ def cmd_train(args):
     train_gs, val_gs = train_test_split(train_gs, test_size=0.1,
                                         random_state=tcfg.seed)
     params, state, opt_state, history = trainer.train(
-        net_cfg, tcfg, train_gs, val_gs, resume=args.resume)
+        net_cfg, tcfg, train_gs, val_gs, resume=args.resume,
+        params=init_params, state=init_state)
     test_loader = GraphLoader(test_gs, tcfg.batch_size,
                               collate="packed" if tcfg.packed else "dense",
                               with_nafm=net_cfg.input_wrapper == "graph_norm")
@@ -198,9 +208,14 @@ def cmd_pretrain(args):
     gs, ge = _load_for(exp, args.data, cache=args.cache)
     results = {}
     if args.kind in ("autoencoder", "both"):
-        for which in ("atom", "bond"):
+        # compressed widths match the encoded model-zoo defaults so
+        # `train --atom-ae/--bond-ae` can inject these directly
+        for which, e_dim in (("atom", args.atom_dim), ("bond", args.bond_dim)):
+            in_dim = (gs[0].afm if which == "atom"
+                      else gs[0].edge_feats).shape[-1]
             params, state, loss = pretrain.pretrain_autoencoder(
-                gs, which, epochs=args.epochs)
+                gs, which, mid_dim=max(in_dim // 2, e_dim), e_dim=e_dim,
+                epochs=args.epochs)
             save_checkpoint(f"{args.out}_{which}_ae.npz", params=params,
                             state=state, meta={"kind": f"{which}_ae",
                                                "loss": loss})
@@ -259,6 +274,9 @@ def main(argv=None):
     t.add_argument("--resume", action="store_true")
     t.add_argument("--packed", action="store_true",
                    help="train on the sparse packed-COO path")
+    t.add_argument("--atom-ae", help="pretrained atom AE checkpoint "
+                                     "(see the pretrain verb)")
+    t.add_argument("--bond-ae", help="pretrained bond AE checkpoint")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval")
@@ -284,6 +302,8 @@ def main(argv=None):
     pr.add_argument("--kind", default="both",
                     choices=["autoencoder", "embedding", "both"])
     pr.add_argument("--epochs", type=int, default=200)
+    pr.add_argument("--atom-dim", type=int, default=8)
+    pr.add_argument("--bond-dim", type=int, default=2)
     pr.set_defaults(fn=cmd_pretrain)
 
     l = sub.add_parser("list")

@@ -148,6 +148,27 @@ def pretrain_embedding_encoder(graphs: List[MolGraph], kind: str = "atom",
     return params, state, vocab, acc
 
 
+def load_pretrained_encoders(params, atom_ckpt: Optional[str] = None,
+                             bond_ckpt: Optional[str] = None):
+    """Inject pretrained AE encoder weights into an encoded model's params
+    (the reference loads `.state_dict` artifacts into atom_encoder /
+    bond_encoder, test_graph_encode_norm.py:103-131). Shapes are checked by
+    the checkpoint loader; only the encoder halves matter at apply time."""
+    from mpnn_tpu.train.checkpoint import load_checkpoint
+    mp = params["mpnn"]
+    if atom_ckpt is not None:
+        assert "atom_encoder" in mp, "model has no atom encoder"
+        loaded, _, _, _ = load_checkpoint(atom_ckpt,
+                                          params=mp["atom_encoder"])
+        mp["atom_encoder"] = loaded
+    if bond_ckpt is not None:
+        assert "bond_encoder" in mp, "model has no bond encoder"
+        loaded, _, _, _ = load_checkpoint(bond_ckpt,
+                                          params=mp["bond_encoder"])
+        mp["bond_encoder"] = loaded
+    return params
+
+
 def embed_graphs(graphs: List[MolGraph], atom_params, atom_vocab,
                  bond_params, bond_vocab) -> List[MolGraph]:
     """Replace raw afm/bfm with frozen embedding lookups
