@@ -1,0 +1,155 @@
+"""Fully ring-sharded MPNN forward: node states NEVER materialize on one
+device.
+
+parallel/ring.py shards one SpMM; this module runs the entire flagship
+forward under a single shard_map over the ring axis:
+
+  - node states, masks, and graph ids live as (D, S, ·) shards;
+  - each message step runs the D-round ppermute ring for the edge term,
+    plus the psum'd per-graph A0 correction;
+  - masked BN statistics psum over the ring (exact global stats);
+  - GRU is per-node (local);
+  - the gated readout segment-sums locally by GLOBAL graph id and psums,
+    yielding replicated (G, out) graph embeddings.
+
+Together with data parallelism on an outer axis this is the full
+DP × ring-sharded recipe for batches whose node state exceeds one chip's
+memory — the graph analog of FSDP-with-ring-attention. jax.grad
+differentiates through everything (ppermute/psum transposes), verified
+exact against the unsharded sparse path in tests/test_ring.py.
+
+Supported surface (flagship family): edge_network messages, bn1d/stateless/
+none norms, GRU update, graph_level readout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mpnn_tpu.models.config import MPNNConfig
+from mpnn_tpu.models.sparse import _edge_penultimates
+from mpnn_tpu.ops.linear import linear_apply
+from mpnn_tpu.ops.norm import bn1d_apply, mask_batch_norm
+from mpnn_tpu.ops.update import gru_apply
+
+
+def _ring_edge_term(h, src_b, dst_b, pt_b, wf, axis: str, d: int):
+    """D-round ring: returns (S, mf) local aggregation of the edge term.
+    h: (S, nf) local shard; buckets indexed by source shard."""
+    s = h.shape[0]
+    _, mf, _ = wf.shape
+    my = jax.lax.axis_index(axis)
+
+    def round_body(r, carry):
+        h_rot, acc = carry
+        q = (my - r) % d
+        pt = jnp.take(pt_b, q, axis=0)
+        src = jnp.take(src_b, q, axis=0)
+        dst = jnp.take(dst_b, q, axis=0)
+        v = jnp.einsum("pmf,nf->npm", wf, h_rot,
+                       preferred_element_type=h.dtype)
+        msg = jnp.einsum("ep,epm->em", pt, v[src],
+                         preferred_element_type=h.dtype)
+        acc = acc + jax.ops.segment_sum(msg, dst, num_segments=s)
+        h_next = jax.lax.ppermute(
+            h_rot, axis, perm=[(i, (i + 1) % d) for i in range(d)])
+        return h_next, acc
+
+    acc0 = jax.lax.pcast(jnp.zeros((s, mf), h.dtype), (axis,), to="varying")
+    _, acc = jax.lax.fori_loop(0, d, round_body, (h, acc0))
+    return acc
+
+
+def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
+                           num_graphs: int = None, training: bool = True):
+    """Returns fwd(params, state, ring_batch) → ((G, out), new_state) with
+    everything node-sharded internally. ring_batch from
+    parallel.ring.partition_edges_ring (+ 'labels'/'graph_mask' pass-through
+    handled by the caller)."""
+    if cfg.message_fn != "edge_network" or cfg.readout != "graph_level":
+        raise NotImplementedError("ring forward covers the flagship family")
+    d = mesh.shape[axis]
+    nf, mf = cfg.node_features, cfg.message_features
+
+    def local(params, state, node_sh, mask_sh, graph_sh, src_b, dst_b,
+              efeats_b, graph_mask):
+        # local shapes: node (1,S,nf), mask (1,S,1), graph (1,S),
+        # buckets (1,D,Eb,·); graph_mask replicated (G,)
+        h0 = node_sh[0] * mask_sh[0]
+        mask = mask_sh[0]
+        node_graph = graph_sh[0]
+        ng = graph_mask.shape[0]
+        new_state = dict(state)
+
+        # per-bucket edge-MLP penultimates (local edges only)
+        eb_feats = efeats_b[0]
+        dd, eb, fe = eb_feats.shape
+        mp = params["message"][0]
+        pen, pen0 = _edge_penultimates(mp, eb_feats.reshape(-1, fe), cfg)
+        ptilde = (pen - pen0).reshape(dd, eb, -1)
+        pf = ptilde.shape[-1]
+        wf = mp["final"]["w"].reshape(pf, mf, nf)
+        bf = mp["final"]["b"].reshape(mf, nf)
+        a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
+
+        ma_bn_state = list(state.get("ma_bn", []))
+        bn_state = list(state.get("bn", []))
+
+        h = h0
+        for step in range(cfg.message_steps):
+            ni = step if cfg.per_step_norms else 0
+            msg_src = h0 if cfg.message_input == "initial" else h
+            edge_term = _ring_edge_term(msg_src, src_b[0], dst_b[0],
+                                        ptilde, wf, axis, d)
+            # A0 graph correction: global per-graph sums via psum
+            s_local = jax.ops.segment_sum(msg_src, node_graph,
+                                          num_segments=ng + 1)
+            s_glob = jax.lax.psum(s_local, axis)
+            msgs = edge_term + s_glob[node_graph] @ a0.T + mp["message_bias"]
+            if cfg.msg_norm == "bn1d":
+                msgs, ma_bn_state[ni] = bn1d_apply(
+                    params["ma_bn"][ni], ma_bn_state[ni], msgs, mask,
+                    training=training, axis_name=axis)
+            hidden = h if cfg.update_hidden == "state" else h0
+            h = gru_apply(params["gru"], msgs[None], hidden[None],
+                          mask[None])[0]
+            if cfg.state_norm == "stateless":
+                h = mask_batch_norm(h, mask, axis_name=axis)
+            elif cfg.state_norm == "bn1d":
+                h, bn_state[ni] = bn1d_apply(
+                    params["bn"][ni], bn_state[ni], h, mask,
+                    training=training, axis_name=axis)
+
+        if ma_bn_state:
+            new_state["ma_bn"] = ma_bn_state
+        if bn_state:
+            new_state["bn"] = bn_state
+
+        x = jnp.concatenate([h, h0], axis=-1) * mask
+        gated = jax.nn.softmax(
+            linear_apply(params["readout"]["i"], x), axis=-1) \
+            * linear_apply(params["readout"]["j"], x) * mask
+        out_local = jax.ops.segment_sum(gated, node_graph,
+                                        num_segments=ng + 1)[:-1]
+        out = jax.lax.psum(out_local, axis)
+        return out, new_state
+
+    def fwd(params, state, ring_batch, graph_mask):
+        sm = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis), P()),
+            out_specs=(P(), P()),
+        )
+        return sm(params, state,
+                  ring_batch["node_feats_sh"], ring_batch["node_mask_sh"],
+                  ring_batch["node_graph_sh"], ring_batch["ring_src"],
+                  ring_batch["ring_dst"], ring_batch["ring_efeats"],
+                  graph_mask)
+
+    return fwd

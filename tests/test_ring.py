@@ -8,7 +8,7 @@ import pytest
 
 from mpnn_tpu import graphs as G, models, parallel
 from mpnn_tpu.models.sparse import (
-    _edge_penultimates, sparse_edge_network_fused,
+    _edge_penultimates, sparse_edge_network_fused, sparse_mpnn_apply,
 )
 from mpnn_tpu.parallel.ring import (
     make_ring_spmm, partition_edges_ring, ring_edge_network_term,
@@ -97,3 +97,74 @@ def test_ring_grads_flow(setup):
     g_ref = jax.grad(loss_ref)(jnp.asarray(packed["node_feats"]))
     got = np.asarray(g_h).reshape(-1, g_h.shape[-1])[:n]
     np.testing.assert_allclose(got, np.asarray(g_ref), atol=5e-3)
+
+
+class TestRingForward:
+    """Full ring-sharded MPNN forward vs the unsharded sparse path."""
+
+    def _setup(self, msg_norm="bn1d", state_norm="bn1d"):
+        gs = G.generate_molgraphs(SMILES,
+                                  [0.1 * i for i in range(len(SMILES))])
+        gs, ge = G.encode_molgraphs(gs)
+        nf = ge.atom_width()
+        cfg = models.MPNNConfig(
+            node_features=nf, edge_features=ge.bond_width(),
+            message_features=nf, output_dim=8, message_steps=3,
+            msg_norm=msg_norm, state_norm=state_norm,
+            edge_mlp_tail_repeats=3)
+        params, state = models.mpnn_init(jax.random.PRNGKey(11), cfg)
+        packed = G.collate_packed(gs).as_dict()
+        return cfg, params, state, packed
+
+    @pytest.mark.parametrize("d", [2, 4])
+    def test_forward_parity(self, d):
+        from mpnn_tpu.parallel.ring_train import make_ring_mpnn_forward
+        cfg, params, state, packed = self._setup()
+        jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in packed.items()}
+        want, want_state = sparse_mpnn_apply(params, state, cfg, jb,
+                                             training=True)
+
+        rb = partition_edges_ring(packed, d)
+        rb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in rb.items()}
+        mesh = parallel.make_mesh(data=8 // d, edge=d)
+        fwd = make_ring_mpnn_forward(cfg, mesh)
+        got, got_state = jax.jit(
+            lambda p, s: fwd(p, s, rb, jnp.asarray(packed["graph_mask"]))
+        )(params, state)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4)
+        for a, b in zip(jax.tree.leaves(want_state),
+                        jax.tree.leaves(got_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
+    def test_grad_parity(self):
+        from mpnn_tpu.parallel.ring_train import make_ring_mpnn_forward
+        cfg, params, state, packed = self._setup()
+        jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in packed.items()}
+        rb_np = partition_edges_ring(packed, 4)
+        rb = {k: jnp.asarray(v) for k, v in rb_np.items()
+              if not np.isscalar(v)}
+        mesh = parallel.make_mesh(data=2, edge=4)
+        fwd = make_ring_mpnn_forward(cfg, mesh)
+        gm = jnp.asarray(packed["graph_mask"])
+
+        def loss_ring(p):
+            out, _ = fwd(p, state, rb, gm)
+            return (out ** 2).sum()
+
+        def loss_ref(p):
+            out, _ = sparse_mpnn_apply(p, state, cfg, jb, training=True)
+            return (out ** 2).sum()
+
+        g_ring = jax.jit(jax.grad(loss_ring))(params)
+        g_ref = jax.grad(loss_ref)(params)
+        flat_r = jax.tree_util.tree_flatten_with_path(g_ring)[0]
+        flat_f = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+        for (path, a), (_, b) in zip(flat_r, flat_f):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-2,
+                err_msg=jax.tree_util.keystr(path))
