@@ -29,7 +29,8 @@ class GraphLoader:
                  buckets: Sequence[int] = DEFAULT_NODE_BUCKETS,
                  drop_last: bool = False,
                  with_nafm: bool = True,
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 fixed_packed_caps: bool = True):
         self.graphs = graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,6 +44,17 @@ class GraphLoader:
             from mpnn_tpu import native
             use_native = native.available()
         self.use_native = use_native
+        # ONE packed shape for the whole run: cap = the worst possible batch
+        # (top-batch_size graphs by node/edge count). Per-batch caps would
+        # trigger a recompile per distinct shape — minutes each on a TPU
+        # tunnel (measured in scripts/scale_smoke.py).
+        self._packed_caps = None
+        if fixed_packed_caps and collate == "packed" and graphs:
+            a = sorted((g.num_atoms for g in graphs), reverse=True)
+            e = sorted((g.num_edges for g in graphs), reverse=True)
+            self._packed_caps = (
+                bucket_for(sum(a[:batch_size]) + 1),
+                bucket_for(max(sum(e[:batch_size]), 1)))
 
     def __len__(self):
         n = len(self.graphs)
@@ -82,15 +94,22 @@ class GraphLoader:
                     yield collate_dense(chunk, num_nodes=cap,
                                         with_nafm=self.with_nafm)
             elif self.collate == "packed":
+                if self._packed_caps is not None:
+                    node_cap, edge_cap = self._packed_caps
+                else:
+                    node_cap = bucket_for(
+                        sum(g.num_atoms for g in chunk) + 1)
+                    edge_cap = bucket_for(
+                        sum(g.num_edges for g in chunk))
+                # graph-slot count stays the true chunk size (only the
+                # final partial batch adds a second compiled shape)
                 if self.use_native:
                     from mpnn_tpu import native
-                    total_n = sum(g.num_atoms for g in chunk)
-                    total_e = sum(g.num_edges for g in chunk)
                     yield native.pack_batch_native(
-                        chunk, node_cap=bucket_for(total_n + 1),
-                        edge_cap=bucket_for(total_e))
+                        chunk, node_cap=node_cap, edge_cap=edge_cap)
                 else:
-                    yield collate_packed(chunk).as_dict()
+                    yield collate_packed(chunk, node_cap=node_cap,
+                                         edge_cap=edge_cap).as_dict()
             else:
                 raise ValueError(self.collate)
 
