@@ -245,8 +245,7 @@ class Mol:
         vals = DEFAULT_VALENCES.get(atom.symbol)
         if not vals:
             return 0
-        import math
-        order_sum = int(math.ceil(sum(b.order for b in bonds)))
+        order_sum = self._bond_order_sum_for_valence(atom)
         charge = atom.formal_charge
         adj = charge if atom.atomic_num in (7, 8, 15, 16) else -abs(charge)
         for v in vals:
@@ -296,8 +295,24 @@ class Mol:
 
     # implicit H -------------------------------------------------------------
 
-    def _assign_implicit_hs(self):
+    def _bond_order_sum_for_valence(self, atom: Atom) -> int:
+        """Bond-order sum for the implicit-H valence model. Aromatic bonds
+        count 1.5 for π-BOND contributors (aromatic C, 2-connected pyridine
+        N) but only 1.0 for lone-pair DONORS (pyrrole-type 3-connected N/P,
+        aromatic O/S/Se/Te) — their lone pair, not a π bond, joins the ring
+        system, so their σ framework alone sets the valence (caffeine's
+        N-methyl ring nitrogens carry no H)."""
         import math
+        bonds = self.atom_bonds(atom.idx)
+        z = atom.atomic_num
+        degree = len(bonds)
+        donor = atom.aromatic and (
+            (z in (7, 15) and degree >= 3) or z in (8, 16, 34, 52))
+        total = sum((1.0 if (donor and b.aromatic) else b.order)
+                    for b in bonds)
+        return int(math.ceil(total))
+
+    def _assign_implicit_hs(self):
         for atom in self.atoms:
             if atom.explicit_hs is not None:
                 atom.implicit_hs = 0
@@ -306,8 +321,7 @@ class Mol:
             if vals is None:
                 atom.implicit_hs = 0    # metals etc.: no implicit H
                 continue
-            order_sum = sum(b.order for b in self.atom_bonds(atom.idx))
-            order_sum = int(math.ceil(order_sum))
+            order_sum = self._bond_order_sum_for_valence(atom)
             # charge adjustment (N+: valence 4, O+: 3, C-: 3, N-: 2, O-: 1)
             charge = atom.formal_charge
             adj = charge if atom.atomic_num in (7, 8, 15, 16) else -abs(charge)

@@ -243,3 +243,36 @@ class TestParserRobustness:
     def test_long_chain(self):
         m = chem.mol_from_smiles("C" * 500)
         assert m is not None and m.num_atoms() == 500
+
+
+class TestMolecularFormulas:
+    """Molecular-formula validation: parsing + implicit-H/valence model must
+    reproduce known formulas for real drugs (counts including hydrogens)."""
+
+    CASES = [
+        # (smiles, formula dict)
+        ("CC(C)Cc1ccc(cc1)C(C)C(=O)O", dict(C=13, H=18, O=2)),   # ibuprofen
+        ("CN1C=NC2=C1C(=O)N(C(=O)N2C)C", dict(C=8, H=10, N=4, O=2)),  # caffeine
+        ("CC(=O)Oc1ccccc1C(=O)O", dict(C=9, H=8, O=4)),          # aspirin
+        ("CC(=O)Nc1ccc(O)cc1", dict(C=8, H=9, N=1, O=2)),        # paracetamol
+        ("Clc1ccccc1", dict(C=6, H=5, Cl=1)),                    # chlorobenzene
+        ("C1CCNCC1", dict(C=5, H=11, N=1)),                      # piperidine
+        ("c1ccc2[nH]ccc2c1", dict(C=8, H=7, N=1)),               # indole
+        ("OCC(O)C(O)C(O)C(O)CO", dict(C=6, H=14, O=6)),          # sorbitol
+        ("N[C@@H](C)C(=O)O", dict(C=3, H=7, N=1, O=2)),          # alanine
+        ("O=C(O)c1ccccc1", dict(C=7, H=6, O=2)),                 # benzoic acid
+        ("CCN(CC)CC", dict(C=6, H=15, N=1)),                     # triethylamine
+        ("C#Cc1ccccc1", dict(C=8, H=6)),                         # phenylacetylene
+    ]
+
+    @pytest.mark.parametrize("smiles,formula", CASES)
+    def test_formula(self, smiles, formula):
+        from mpnn_tpu.chem.periodic import SYMBOLS
+        m = P(smiles)
+        got = {}
+        for a in m.atoms:
+            sym = SYMBOLS[a.atomic_num - 1]
+            got[sym] = got.get(sym, 0) + 1
+            got["H"] = got.get("H", 0) + a.total_hs
+        got = {k: v for k, v in got.items() if v}
+        assert got == {k: v for k, v in formula.items() if v}, smiles
