@@ -4,7 +4,8 @@ from mpnn_tpu.graphs.encoders import (
     LabelEncoder,
     MinMaxScaler,
 )
-from mpnn_tpu.graphs.graph import MolGraph, from_mol
+from mpnn_tpu.graphs.graph import (MolGraph, from_mol,
+    from_mol_3d, attach_edge_types)
 from mpnn_tpu.graphs.batching import (
     DEFAULT_NODE_BUCKETS,
     PackedBatch,
@@ -12,6 +13,7 @@ from mpnn_tpu.graphs.batching import (
     collate_dense,
     collate_dense_ecfp,
     collate_packed,
+    with_edge_types,
 )
 from mpnn_tpu.graphs.dataset import (
     encode_molgraphs,

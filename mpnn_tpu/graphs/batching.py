@@ -186,3 +186,27 @@ def collate_packed(graphs: List[MolGraph],
     return PackedBatch(node_feats, node_nafm, node_mask, node_graph,
                        edge_src, edge_dst, edge_feats, edge_mask,
                        labels, graph_mask, ng)
+
+
+def with_edge_types(batch: dict, graphs, node_cap: int = None) -> dict:
+    """Append GGNN inputs to a collated batch: packed batches get
+    'edge_types' (edge_cap,) aligned with edge_src/dst; dense batches get
+    an integer 'bfm' (B, N, N). Graphs need attach_edge_types() first."""
+    out = dict(batch)
+    if "edge_src" in batch:            # packed
+        edge_cap = batch["edge_src"].shape[0]
+        types = np.zeros((edge_cap,), np.int32)
+        off = 0
+        for g in graphs:
+            e = g.num_edges
+            types[off:off + e] = g.edge_types
+            off += e
+        out["edge_types"] = types
+    else:                              # dense
+        b, n = batch["adj"].shape[:2]
+        mat = np.zeros((b, n, n), np.int32)
+        for i, g in enumerate(graphs):
+            a = g.num_atoms
+            mat[i, :a, :a] = g.bond_type_matrix
+        out["bfm"] = mat
+    return out

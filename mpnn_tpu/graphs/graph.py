@@ -81,3 +81,28 @@ def from_mol_3d(mol: Mol, label=None, affinity=None,
         g = dataclasses.replace(base, e_dist=distance_matrix(coords))
         out.append(g)
     return out
+
+
+# bond-type ids for the GGNN message family --------------------------------
+
+BOND_TYPE_IDS = {2: 1, 3: 2, 4: 3, 6: 4}    # 2·order → type id; 0 = no bond
+
+
+def attach_edge_types(graphs):
+    """Derive integer bond-type ids (GGNN input, ggnn_msg_pass.py:20) from
+    the RAW doubled bond order (featurize.py: 2·order ∈ {2,3,4,6} for
+    single/aromatic/double/triple). Sets g.edge_types (E,) int32 and
+    g.bond_type_matrix (A, A) int32. Call BEFORE encode() (it reads the raw
+    feature column)."""
+    for g in graphs:
+        if g.is_encoded:
+            raise ValueError("attach_edge_types needs RAW bond features; "
+                             "call before encode()")
+        orders = g.edge_feats[:, 0].astype(np.int64)
+        types = np.asarray([BOND_TYPE_IDS.get(int(o), 4) for o in orders],
+                           np.int32)
+        g.edge_types = types
+        mat = np.zeros_like(g.adj, dtype=np.int32)
+        mat[g.edge_src, g.edge_dst] = types
+        g.bond_type_matrix = mat
+    return graphs

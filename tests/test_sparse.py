@@ -235,3 +235,35 @@ def test_bilinear_sparse_parity():
     out_s, _ = sparse_mpnn_apply(params, state, cfg, packed, training=True)
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
                                atol=5e-4)
+
+
+def test_ggnn_end_to_end_from_molecules():
+    """GGNN path from real molecules: attach_edge_types -> collate (packed
+    with edge_types, dense int bfm) -> dense/sparse parity + training step."""
+    import jax
+    from mpnn_tpu.graphs import attach_edge_types, with_edge_types
+
+    gs = G.generate_molgraphs(SMILES, [0.1 * i for i in range(len(SMILES))])
+    attach_edge_types(gs)
+    gs, ge = G.encode_molgraphs(gs)
+    n_types = 4
+    nf = ge.atom_width()
+    cfg = models.MPNNConfig(node_features=nf, edge_features=n_types,
+                            message_features=nf, output_dim=8,
+                            message_fn="ggnn", ggnn_num_edge_types=n_types,
+                            message_steps=3)
+    params, state = models.mpnn_init(jax.random.PRNGKey(3), cfg)
+
+    dense = with_edge_types(G.collate_dense(gs, with_nafm=False), gs)
+    packed = with_edge_types(G.collate_packed(gs).as_dict(), gs)
+    jb_d = {k: jnp.asarray(v) for k, v in dense.items()}
+    jb_p = {k: jnp.asarray(v) if not np.isscalar(v) else v
+            for k, v in packed.items()}
+    out_d, _ = models.mpnn_apply(params, state, cfg, jb_d["afm"],
+                                 jb_d["bfm"], jb_d["adj"], jb_d["mask"],
+                                 training=True)
+    out_s, _ = sparse_mpnn_apply(params, state, cfg, jb_p, training=True)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               atol=5e-4)
+    # aromatic bonds became type 2, singles type 1
+    assert set(np.unique(packed["edge_types"])) >= {0, 1, 2}
