@@ -134,6 +134,7 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
+        error = []
 
         def producer():
             try:
@@ -141,6 +142,8 @@ class PrefetchLoader:
                     if self.to_device is not None:
                         batch = self.to_device(batch)
                     q.put(batch)
+            except BaseException as e:   # propagate, don't truncate silently
+                error.append(e)
             finally:
                 q.put(_END)
 
@@ -152,3 +155,5 @@ class PrefetchLoader:
                 break
             yield item
         t.join()
+        if error:
+            raise error[0]

@@ -201,3 +201,14 @@ class TestPrefetchLoader:
                              to_device=lambda b: (calls.append(1), b)[1])
         n = sum(1 for _ in pre)
         assert len(calls) == n
+
+    def test_producer_exception_propagates(self):
+        gs, ge = make_graphs()
+        from mpnn_tpu.graphs import PrefetchLoader
+
+        def boom(batch):
+            raise RuntimeError("collate exploded")
+
+        pre = PrefetchLoader(graphs.GraphLoader(gs, 4), to_device=boom)
+        with pytest.raises(RuntimeError, match="collate exploded"):
+            list(pre)

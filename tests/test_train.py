@@ -345,3 +345,17 @@ print("TRAIN_EXITED", flush=True)
         assert "TRAIN_EXITED" in out
         from mpnn_tpu.train.checkpoint import latest_checkpoint
         assert latest_checkpoint(ckdir) is not None
+
+
+class TestInjectedLR:
+    def test_set_learning_rate_scales_updates(self):
+        import jax.numpy as jnp
+        from mpnn_tpu.train.optim import adam, set_learning_rate
+        tx = adam(1e-2)
+        w = jnp.ones((4,))
+        st = tx.init(w)
+        g = jnp.ones((4,))
+        u1, st = tx.update(g, st, w)
+        st = set_learning_rate(st, 1e-4)
+        u2, st = tx.update(g, st, w)
+        assert float(jnp.abs(u2).mean()) < float(jnp.abs(u1).mean()) / 50
