@@ -101,7 +101,14 @@ def cmd_train(args):
     from mpnn_tpu.train import experiments, trainer
     exp = experiments.get(args.experiment)
     gs, ge = _load_for(exp, args.data, cache=args.cache)
+    n_loaded = len(gs)
     gs = _apply_experiment_transforms(exp, gs)
+    if not gs:
+        raise SystemExit(
+            f"no graphs left after the experiment's filters "
+            f"(loaded {n_loaded}; filters: count>{exp.filter_lower_count}, "
+            f"count<{exp.filter_upper_count}) — the dataset is too small "
+            f"for this experiment's class-count cutoffs")
     n_out = _n_out_for(exp, gs)
     net_cfg = _build_net(exp, gs, n_out)
     tcfg = exp.train
