@@ -276,3 +276,64 @@ class TestMolecularFormulas:
             got["H"] = got.get("H", 0) + a.total_hs
         got = {k: v for k, v in got.items() if v}
         assert got == {k: v for k, v in formula.items() if v}, smiles
+
+
+class TestMoreFormulas:
+    """Second wave of formula validation — heteroaromatics, charges, halogens."""
+
+    CASES = [
+        ("c1ccc2c(c1)cccc2", dict(C=10, H=8)),                   # naphthalene
+        ("c1cnc2[nH]ccc2c1", dict(C=7, H=6, N=2)),               # azaindole
+        ("CC(N)C(=O)O", dict(C=3, H=7, N=1, O=2)),               # alanine (flat)
+        ("FC(F)(F)c1ccccc1", dict(C=7, H=5, F=3)),               # benzotrifluoride
+        ("CSC", dict(C=2, H=6, S=1)),                            # dimethyl sulfide
+        ("CS(=O)C", dict(C=2, H=6, O=1, S=1)),                   # DMSO
+        ("O=S(=O)(O)O", dict(H=2, O=4, S=1)),                    # sulfuric acid
+        ("OP(=O)(O)O", dict(H=3, O=4, P=1)),                     # phosphoric acid
+        ("C(=O)(N)N", dict(C=1, H=4, N=2, O=1)),                 # urea
+        ("c1ccoc1", dict(C=4, H=4, O=1)),                        # furan
+        ("c1ccsc1", dict(C=4, H=4, S=1)),                        # thiophene
+        ("C1=CC=CC=C1C=O", dict(C=7, H=6, O=1)),                 # benzaldehyde
+        ("N#Cc1ccccc1", dict(C=7, H=5, N=1)),                    # benzonitrile
+        ("CN(C)C=O", dict(C=3, H=7, N=1, O=1)),                  # DMF
+    ]
+
+    @pytest.mark.parametrize("smiles,formula", CASES)
+    def test_formula(self, smiles, formula):
+        from mpnn_tpu.chem.periodic import SYMBOLS
+        m = P(smiles)
+        got = {}
+        for a in m.atoms:
+            sym = SYMBOLS[a.atomic_num - 1]
+            got[sym] = got.get(sym, 0) + 1
+            got["H"] = got.get("H", 0) + a.total_hs
+        got = {k: v for k, v in got.items() if v}
+        assert got == {k: v for k, v in formula.items() if v}, (smiles, got)
+
+
+class TestParserEdgeCases:
+    def test_ring_number_reuse(self):
+        # ring label 1 reused after closure — legal SMILES (biphenyl)
+        m = P("c1ccccc1-c1ccccc1")
+        assert m.num_atoms() == 12 and len(m.bonds) == 13
+
+    def test_bond_symbol_on_ring_closure(self):
+        # double bond declared at the ring-closure digit
+        m = P("C=1CCCCC=1")
+        b = m.get_bond(0, 5)
+        assert b is not None and b.order == 2.0
+
+    def test_directional_bonds_parsed_as_single(self):
+        m = P("C/C=C/C")   # trans-2-butene; stereo discarded, bonds kept
+        assert m.get_bond(1, 2).order == 2.0
+        assert m.get_bond(0, 1).order == 1.0
+
+    def test_spiro(self):
+        m = P("C1CCC2(CC1)CCCCC2")  # spiro[5.5]undecane
+        assert m.num_atoms() == 11
+        assert m.degree(3) == 4
+
+    def test_multiple_branches(self):
+        m = P("C(C)(C)(C)C")  # neopentane
+        assert m.degree(0) == 4
+        assert m.atoms[0].total_hs == 0
