@@ -94,3 +94,44 @@ class TestFilters:
             g.affinity = 6.0 + i
         affinity_labels(gs2, 1)
         assert gs2[1].label == 7.0 and gs2[0].label == 4.0
+
+
+class TestOtherAutoencoders:
+    def test_generic_sigmoid_ae(self):
+        import jax
+        import jax.numpy as jnp
+        from mpnn_tpu.ops.autoencoders import (
+            generic_autoencoder_init, generic_autoencoder_apply,
+            generic_encoder_apply)
+        p = generic_autoencoder_init(jax.random.PRNGKey(0), in_dim=12,
+                                     mid_dim=8, e_dim=3)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (5, 12))
+        z = generic_encoder_apply(p, x)
+        out = generic_autoencoder_apply(p, x)
+        assert z.shape == (5, 3) and out.shape == (5, 12)
+        assert float(out.min()) >= 0 and float(out.max()) <= 1  # sigmoid
+
+    def test_parametric_ae_dims(self):
+        import jax
+        from mpnn_tpu.ops.autoencoders import parametric_autoencoder_init
+        # c_autoencoder.py:8-10: mid=ceil(in/2), e=mid//2
+        params, state = parametric_autoencoder_init(jax.random.PRNGKey(2),
+                                                    in_features=11)
+        assert params["enc"][0]["w"].shape == (11, 6)
+        assert params["enc"][1]["w"].shape == (6, 3)
+
+
+class TestProfilerTrace:
+    def test_trace_writes_dir(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from mpnn_tpu.utils.profiling import trace, annotate
+        d = str(tmp_path / "prof")
+        with trace(d):
+            with annotate("demo-region"):
+                jnp.ones((8, 8)).sum().block_until_ready()
+        import os
+        found = []
+        for root, _, files in os.walk(d):
+            found += files
+        assert found, "profiler trace produced no files"
