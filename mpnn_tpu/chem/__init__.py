@@ -17,16 +17,20 @@ from mpnn_tpu.chem.ecfp import (
 
 
 def mol_from_inchi(inchi: str):
-    """InChI parsing requires RDKit (full InChI reconstruction — bond orders
-    from the formula/connection layers — is out of scope for the built-in
-    parser). Gated: uses RDKit when available, raises otherwise. The
-    reference's InChI drivers (test.py:69-70) map to this entry point."""
+    """InChI input (the reference's primary driver format, test.py:69-70).
+    The built-in reader (chem/inchi.py) handles standard single-component
+    InChIs — connectivity + H layer with bond-order inference; when it can't
+    (exotic layers: charges, isotopes, multi-component), falls back to the
+    optional RDKit backend if installed, else returns None (MolFromInchi's
+    skip-row contract)."""
+    from mpnn_tpu.chem.inchi import mol_from_inchi_builtin
+    mol = mol_from_inchi_builtin(inchi)
+    if mol is not None:
+        return mol
     try:
-        from rdkit import Chem  # optional backend
-    except ImportError as e:
-        raise ImportError(
-            "mol_from_inchi requires the optional RDKit backend; "
-            "use SMILES input with the built-in parser instead") from e
+        from rdkit import Chem  # optional backend for the exotic cases
+    except ImportError:
+        return None
     rdmol = Chem.MolFromInchi(inchi)
     if rdmol is None:
         return None
