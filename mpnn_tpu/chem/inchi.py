@@ -116,17 +116,9 @@ def _parse_h_layer(layer: str, n_atoms: int) -> Dict[int, int]:
     hs: Dict[int, int] = {}
     if not layer:
         return hs
-    # mobile-H groups first
-    for grp in re.findall(r"\(H(\d*),([\d,\-]+)\)", layer):
-        n_h = int(grp[0]) if grp[0] else 1
-        ids: List[int] = []
-        for tok in grp[1].split(","):
-            ids.extend(_expand_ids(tok))
-        for idx in ids[:n_h]:
-            if not 1 <= idx <= n_atoms:
-                raise InchiError(f"/h atom {idx} out of range")
-            hs[idx - 1] = hs.get(idx - 1, 0) + 1
-    # fixed-H grammar: comma-separated id/range tokens accumulate until one
+    # fixed-H assignments FIRST (they SET the count), so a later mobile-H
+    # placement on the same atom adds on top instead of being overwritten.
+    # Fixed-H grammar: comma-separated id/range tokens accumulate until one
     # carries the H suffix, which applies to the whole group
     # ('4-7,9-10H,8H2' → atoms 4..7 and 9..10 get 1 H; atom 8 gets 2)
     fixed = re.sub(r"\([^)]*\)", "", layer)
@@ -148,6 +140,16 @@ def _parse_h_layer(layer: str, n_atoms: int) -> Dict[int, int]:
             pending = []
     if pending:
         raise InchiError("dangling ids without H count in /h layer")
+    # mobile-H groups ADD to whatever the fixed pass assigned
+    for grp in re.findall(r"\(H(\d*),([\d,\-]+)\)", layer):
+        n_h = int(grp[0]) if grp[0] else 1
+        ids: List[int] = []
+        for tok in grp[1].split(","):
+            ids.extend(_expand_ids(tok))
+        for idx in ids[:n_h]:
+            if not 1 <= idx <= n_atoms:
+                raise InchiError(f"/h atom {idx} out of range")
+            hs[idx - 1] = hs.get(idx - 1, 0) + 1
     return hs
 
 

@@ -224,9 +224,10 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                       training: bool, axis_name: Optional[str] = None,
                       spmm_fn=None):
     """Packed-batch MPNN forward; parameters from mpnn_init (shared with the
-    dense path). Supports the fused EdgeNetwork family + GRU + masked norms +
-    graph_level readout (the flagship/hot configurations; attention and
-    set2vec variants run on the dense path).
+    dense path). Supports edge_network / ggnn / att_edge_network (adj + att
+    aggregations) / bilinear messages, GRU update, masked norms, and both
+    readouts (graph_level + set2vec) — everything except the intrinsically
+    padding-dependent wadj aggregation, which is rejected below.
 
     batch keys: node_feats, node_nafm, node_mask, node_graph, edge_src,
     edge_dst, edge_feats, edge_mask, labels, graph_mask.

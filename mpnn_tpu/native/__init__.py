@@ -103,6 +103,9 @@ def pack_batch_native(graphs, node_cap: int, edge_cap: int,
     assert lib is not None, "native packer unavailable"
     afm, nafm, feats, src, dst, oa, oe = _flatten_graphs(graphs)
     ng = num_graphs or len(graphs)
+    assert ng >= len(graphs), (
+        f"num_graphs={ng} < len(graphs)={len(graphs)}: graph_mask would "
+        "overflow (numpy fallback raises IndexError for the same input)")
     fa, fn, fe = afm.shape[1], nafm.shape[1], feats.shape[1]
 
     node_feats = np.empty((node_cap, fa), np.float32)

@@ -34,6 +34,9 @@ int pack_batch(const float* afm, const float* nafm, const float* edge_feats,
   const int64_t total_nodes = offsets_a[n_graphs];
   const int64_t total_edges = offsets_e[n_graphs];
   if (total_nodes + 1 > node_cap || total_edges > edge_cap) return -1;
+  // graph_mask is (num_graph_slots,): writing graph_mask[g] for
+  // g >= num_graph_slots would be an out-of-bounds heap write
+  if (n_graphs > num_graph_slots) return -1;
 
   std::memset(node_feats, 0, sizeof(float) * node_cap * fa);
   std::memset(node_nafm, 0, sizeof(float) * node_cap * fn);

@@ -73,6 +73,16 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
     handled by the caller)."""
     if cfg.message_fn != "edge_network" or cfg.readout != "graph_level":
         raise NotImplementedError("ring forward covers the flagship family")
+    # the ring body uses params['message'][0] for every step and a fixed
+    # cat([h, h0]) readout input — reject configs those would silently break
+    if not cfg.share_message_weights and cfg.message_steps > 1:
+        raise NotImplementedError(
+            "ring forward shares one message fn across steps; "
+            "share_message_weights=False is not supported")
+    if cfg.concat_state_history:
+        raise NotImplementedError(
+            "ring forward reads out from cat([h, h0]); "
+            "concat_state_history is not supported")
     d = mesh.shape[axis]
     nf, mf = cfg.node_features, cfg.message_features
 

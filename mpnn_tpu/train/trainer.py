@@ -233,13 +233,21 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
         if threading.current_thread() is threading.main_thread():
             prev_handler = signal.signal(signal.SIGTERM, _on_term)
 
-    def _save(epoch):
+    def _save(epoch, p, s, o):
         os.makedirs(cfg.ckpt_dir, exist_ok=True)
         save_checkpoint(
             os.path.join(cfg.ckpt_dir, f"ckpt_{epoch}.npz"),
-            params=params, state=state, opt_state=opt_state,
+            params=p, state=s, opt_state=o,
             meta={"epoch": epoch,
                   "sched": sched.state_dict() if sched else None})
+
+    # Preemption needs the state AS OF the last COMPLETE epoch: the train
+    # step donates its buffers, so mid-epoch params cannot stand in for the
+    # end-of-epoch ones (saving them under epoch-1 would make resume re-run
+    # the interrupted epoch on top of already-applied updates). Keep a host
+    # snapshot taken at each epoch boundary instead.
+    snapshot = None          # ((params, state, opt_state) host copies, epoch)
+    take_snapshots = cfg.handle_preemption and cfg.ckpt_dir
 
     history = []
     for epoch in range(start_epoch, cfg.epochs):
@@ -255,11 +263,18 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
         if preempted["flag"]:
             # graceful preemption: persist the last COMPLETE epoch so
             # --resume restarts exactly here, then stop
-            done = epoch if n_batches == len(train_loader) else epoch - 1
-            if done >= 0:
-                _save(done)
+            if n_batches == len(train_loader):
+                _save(epoch, params, state, opt_state)
+            elif snapshot is not None:
+                (sp, ss, so), done = snapshot
+                _save(done, sp, ss, so)
+            # else: nothing completed since start/resume — the newest
+            # checkpoint already on disk is the correct resume point
             logger.log(epoch=epoch, preempted=True)
             break
+        if take_snapshots:
+            snapshot = (jax.tree.map(np.asarray,
+                                     (params, state, opt_state)), epoch)
         record = {"epoch": epoch, "train_loss": epoch_loss,
                   "lr": get_learning_rate(opt_state)}
 
@@ -281,7 +296,7 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                 gate_ok = f1 is not None and np.isfinite(f1) \
                     and f1 > cfg.ckpt_f1_gate
             if gate_ok:
-                _save(epoch)
+                _save(epoch, params, state, opt_state)
 
         if cfg.early_stop_loss is not None \
                 and epoch_loss < cfg.early_stop_loss:

@@ -56,6 +56,18 @@ def test_matches_smiles_featurization():
                                   np.sort(nafm_s, axis=0))
 
 
+def test_fixed_h_plus_mobile_h_on_same_atom():
+    """An atom in BOTH the fixed /h list and a mobile-H group keeps its
+    fixed H and gains the mobile one (fixed assigns, mobile adds)."""
+    from mpnn_tpu.chem.inchi import _parse_h_layer
+    # atom 1: fixed 1 H; mobile group (H,1,2) places its H on atom 1 too
+    assert _parse_h_layer("1H,(H,1,2)", 2) == {0: 2}
+    # disjoint case unchanged
+    assert _parse_h_layer("2H,(H,1)", 2) == {0: 1, 1: 1}
+    # H2 mobile group spreads over the first two listed atoms
+    assert _parse_h_layer("1H,(H2,1,2,3)", 3) == {0: 2, 1: 1}
+
+
 def test_failure_contract():
     assert mol_from_inchi_builtin("not-an-inchi") is None
     assert mol_from_inchi_builtin("InChI=1S/garbage!!/c1-2") is None

@@ -41,6 +41,13 @@ class TestNativePacker:
         with pytest.raises(ValueError):
             native.pack_dense_native(gs, n_cap=4)
 
+    def test_too_few_graph_slots_rejected(self, gs):
+        # graph_mask is (num_graphs,): num_graphs < len(graphs) would be an
+        # out-of-bounds write in C (the numpy fallback raises IndexError)
+        with pytest.raises((AssertionError, ValueError)):
+            native.pack_batch_native(gs, node_cap=128, edge_cap=256,
+                                     num_graphs=len(gs) - 1)
+
     def test_faster_than_numpy_on_large_batch(self, gs):
         import time
         big = gs * 64     # 448 graphs

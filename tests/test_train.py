@@ -347,6 +347,67 @@ print("TRAIN_EXITED", flush=True)
         assert latest_checkpoint(ckdir) is not None
 
 
+class TestPreemptionMidEpoch:
+    def test_mid_epoch_sigterm_saves_last_complete_epoch(
+            self, tmp_path, monkeypatch):
+        """A SIGTERM landing MID-epoch must persist the end-of-previous-
+        epoch state — not mislabel the half-trained params as that epoch
+        (which would make --resume double-train the early batches)."""
+        import dataclasses
+        import signal
+        import jax
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import build
+        from mpnn_tpu.train import trainer
+        from mpnn_tpu.train.checkpoint import (latest_checkpoint,
+                                               load_checkpoint)
+
+        smiles = TestEndToEnd.SMILES            # 12 graphs, bs 4 → 3 batches
+        gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+            smiles, [0.1 * len(s) for s in smiles]))
+        cfg = build("lipo", afm=ge.atom_width(), bfm=ge.bond_width(),
+                    nafm=3, n_out=1)
+        m = dataclasses.replace(cfg.mpnn, edge_mlp_tail_repeats=1,
+                                message_steps=1)
+        cfg = dataclasses.replace(cfg, mpnn=m)
+
+        # reference: one full epoch, checkpointed normally
+        dir_a = os.path.join(str(tmp_path), "a")
+        trainer.train(cfg, trainer.TrainConfig(
+            epochs=1, batch_size=4, loss="mse", ckpt_dir=dir_a,
+            shuffle=False), gs)
+        from mpnn_tpu.models import network_init
+        template, _ = network_init(jax.random.PRNGKey(317), cfg)
+        want_params, _, _, _ = load_checkpoint(
+            os.path.join(dir_a, "ckpt_0.npz"), params=template)
+
+        # interrupted run: SIGTERM arrives after 1 of 3 batches of epoch 1
+        class InterruptingLoader(trainer.GraphLoader):
+            yielded = 0
+
+            def __iter__(self):
+                for batch in super().__iter__():
+                    if InterruptingLoader.yielded == 4:
+                        signal.raise_signal(signal.SIGTERM)
+                    InterruptingLoader.yielded += 1
+                    yield batch
+
+        monkeypatch.setattr(trainer, "GraphLoader", InterruptingLoader)
+        dir_b = os.path.join(str(tmp_path), "b")
+        trainer.train(cfg, trainer.TrainConfig(
+            epochs=5, batch_size=4, loss="mse", ckpt_dir=dir_b,
+            shuffle=False), gs)
+        ck = latest_checkpoint(dir_b)
+        assert ck is not None and ck.endswith("ckpt_0.npz"), ck
+        got_params, _, _, meta = load_checkpoint(ck, params=template)
+        assert int(meta["epoch"]) == 0
+        # bit-equal to the uninterrupted epoch-0 state (identical batch
+        # order and compute path in both runs)
+        for a, b in zip(jax.tree.leaves(want_params),
+                        jax.tree.leaves(got_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestInjectedLR:
     def test_set_learning_rate_scales_updates(self):
         import jax.numpy as jnp
