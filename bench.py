@@ -11,14 +11,24 @@ The baseline is the dense PyTorch restatement of the reference semantics
 recorded in BASELINE.md; the reference publishes no numbers of its own
 (BASELINE.md), so the baseline is measured, not quoted.
 
-Flags: --mode sparse|dense, --batch N, --iters N, --baseline-only.
+Measurement honesty (the round-1 numbers were inflated ~800× by the
+remote-execution tunnel returning before device completion / replaying
+repeated identical dispatches — see BASELINE.md "round-2 correction"):
+  * every dispatch gets a DIFFERENT input (the iteration index perturbs the
+    labels), so no request can be served from a replay cache;
+  * timing ends with jax.device_get of the final loss (a host copy cannot
+    complete before the compute that produces it);
+  * the final loss is checked finite and the per-step latency is printed to
+    stderr so a physically impossible number is visible at a glance.
+
+Flags: --mode sparse|dense, --batch N, --iters N, --dtype, --no-vocab.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-
+import sys
 import time
 
 # measured via scripts/measure_baseline_torch.py (dense reference semantics,
@@ -55,7 +65,8 @@ def flagship_mpnn_cfg(ge):
         edge_mlp_tail_repeats=50)
 
 
-def bench_sparse(batch_size: int, iters: int, dtype: str = "float32"):
+def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
+                 use_vocab: bool = True, spmm: str = "xla"):
     import functools
     import jax
     import jax.numpy as jnp
@@ -70,12 +81,25 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32"):
     cfg = flagship_mpnn_cfg(ge)
     params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
+    if use_vocab:
+        # edge vocab: run the ×50 edge-MLP per DISTINCT bond-feature row
+        # (≤16 here), not per edge — exact (graphs/batching.py)
+        packed = G.attach_edge_vocab(packed, vocab_cap=16)
+    spmm_vocab_fn = None
+    if spmm == "kernel":
+        from mpnn_tpu.kernels.spmm import attach_spmm_plan, make_spmm_op
+        assert use_vocab, "--spmm kernel needs the edge vocab"
+        packed = attach_spmm_plan(packed)
+        assert "spmm_win" in packed, "window plan failed"
+        spmm_vocab_fn = make_spmm_op(
+            block_edges=packed.pop("spmm_block_edges"),
+            window=packed.pop("spmm_window"))
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
     real_edges = int(packed["edge_mask"].sum())
     jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
           for k, v in packed.items()}
-    labels = jnp.asarray(
+    labels0 = jnp.asarray(
         np.random.RandomState(0).randn(
             packed["graph_mask"].shape[0]).astype(np.float32))
     cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
@@ -90,16 +114,20 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32"):
     STEPS_PER_CALL = 10   # amortize host→device dispatch latency
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def multi_step(params, state, opt_state, jb, labels):
-        def body(carry, _):
+    def multi_step(params, state, opt_state, jb, labels0, it):
+        def body(carry, k):
             params, state, opt_state = carry
+            # per-step-unique labels: no two dispatches compute the same
+            # function of the same inputs (anti-replay; see module doc)
+            labels = labels0 + 1e-4 * (it * STEPS_PER_CALL + k)
 
             def loss_fn(p, s):
                 cp = jax.tree.map(lambda x: x.astype(cdtype), p) \
                     if dtype == "bfloat16" else p
                 cs = jax.tree.map(lambda x: x.astype(cdtype), s) \
                     if dtype == "bfloat16" else s
-                out, ns = sparse_mpnn_apply(cp, cs, cfg, jb, training=True)
+                out, ns = sparse_mpnn_apply(cp, cs, cfg, jb, training=True,
+                                            spmm_vocab_fn=spmm_vocab_fn)
                 gm = jb["graph_mask"][:, None]
                 per = ((out.astype(jnp.float32) - labels[:, None]) ** 2) * gm
                 return per.sum() / gm.sum(), ns
@@ -113,21 +141,25 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32"):
             return (params2, ns, opt_state2), l
 
         (params, state, opt_state), ls = jax.lax.scan(
-            body, (params, state, opt_state), None, length=STEPS_PER_CALL)
+            body, (params, state, opt_state), jnp.arange(STEPS_PER_CALL))
         return params, state, opt_state, ls[-1]
 
     # warmup/compile
     params, state, opt_state, l = multi_step(params, state, opt_state, jb,
-                                             labels)
-    jax.block_until_ready(l)
+                                             labels0, jnp.int32(0))
+    jax.device_get(l)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        params, state, opt_state, l = multi_step(params, state, opt_state,
-                                                 jb, labels)
-    jax.block_until_ready(l)
+    for i in range(iters):
+        params, state, opt_state, l = multi_step(
+            params, state, opt_state, jb, labels0, jnp.int32(i + 1))
+    lv = float(jax.device_get(l))        # host copy ⇒ compute finished
     dt = time.perf_counter() - t0
-    edge_msgs = real_edges * cfg.message_steps * iters * STEPS_PER_CALL
-    return edge_msgs / dt, real_edges, float(l)
+    assert np.isfinite(lv), f"non-finite loss {lv}"
+    n_steps = iters * STEPS_PER_CALL
+    print(f"[bench] {dt / n_steps * 1e3:.3f} ms/step over {n_steps} steps "
+          f"(loss {lv:.4f})", file=sys.stderr)
+    edge_msgs = real_edges * cfg.message_steps * n_steps
+    return edge_msgs / dt, real_edges, lv
 
 
 def bench_dense(batch_size: int, iters: int):
@@ -147,14 +179,16 @@ def bench_dense(batch_size: int, iters: int):
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     jb["afm"] = jnp.asarray(afm)
     real_edges = int(batch["adj"].sum())
-    labels = jnp.asarray(np.random.RandomState(0).randn(
+    labels0 = jnp.asarray(np.random.RandomState(0).randn(
         len(gs)).astype(np.float32))
 
     tx = adam(1e-3, weight_decay=1e-4)
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, state, opt_state, jb, labels):
+    def step(params, state, opt_state, jb, labels0, it):
+        labels = labels0 + 1e-4 * it
+
         def loss_fn(p):
             out, ns = models.mpnn_apply(p, state, cfg, jb["afm"], jb["bfm"],
                                         jb["adj"], jb["mask"], training=True)
@@ -164,21 +198,23 @@ def bench_dense(batch_size: int, iters: int):
         params2 = optax.apply_updates(params, updates)
         return l, params2, ns, opt_state2
 
-    l, params, state, opt_state = step(params, state, opt_state, jb, labels)
-    jax.block_until_ready(l)
+    l, params, state, opt_state = step(params, state, opt_state, jb,
+                                       labels0, jnp.int32(0))
+    jax.device_get(l)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
         l, params, state, opt_state = step(params, state, opt_state, jb,
-                                           labels)
-    jax.block_until_ready(l)
+                                           labels0, jnp.int32(i + 1))
+    lv = float(jax.device_get(l))
     dt = time.perf_counter() - t0
+    assert np.isfinite(lv), f"non-finite loss {lv}"
     edge_msgs = real_edges * cfg.message_steps * iters
-    return edge_msgs / dt, real_edges, float(l)
+    return edge_msgs / dt, real_edges, lv
 
 
 def main(argv=None):
     # persistent compile cache: TPU compiles go through a slow remote tunnel
-    # (~3 min cold for the default config); repeat runs become instant
+    # (~3-10 min cold for the default config); repeat runs become instant
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir",
@@ -188,14 +224,20 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="sparse", choices=["sparse", "dense"])
     p.add_argument("--batch", type=int, default=1024)
-    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--no-vocab", action="store_true",
+                   help="disable the edge-feature vocab dedup")
+    p.add_argument("--spmm", default="xla", choices=["xla", "kernel"],
+                   help="message-step SpMM: XLA gather+segment_sum or the "
+                        "Pallas windowed one-hot kernel (kernels/spmm.py)")
     args = p.parse_args(argv)
 
     if args.mode == "sparse":
-        value, real_edges, last_loss = bench_sparse(args.batch, args.iters,
-                                                    args.dtype)
+        value, real_edges, last_loss = bench_sparse(
+            args.batch, args.iters, args.dtype,
+            use_vocab=not args.no_vocab, spmm=args.spmm)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     print(json.dumps({

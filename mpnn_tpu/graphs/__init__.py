@@ -9,6 +9,7 @@ from mpnn_tpu.graphs.graph import (MolGraph, from_mol,
 from mpnn_tpu.graphs.batching import (
     DEFAULT_NODE_BUCKETS,
     PackedBatch,
+    attach_edge_vocab,
     bucket_for,
     collate_dense,
     collate_dense_ecfp,

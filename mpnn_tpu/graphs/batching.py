@@ -188,6 +188,37 @@ def collate_packed(graphs: List[MolGraph],
                        labels, graph_mask, ng)
 
 
+def attach_edge_vocab(batch: Dict[str, np.ndarray],
+                      vocab_cap: int = 32) -> Dict[str, np.ndarray]:
+    """Append the edge-feature VOCABULARY to a packed batch:
+
+      edge_vid    (edge_cap,)   int32 — distinct-row id per edge
+      edge_vfirst (vocab_cap,)  int32 — first edge index carrying each id
+
+    Encoded bond features live in a tiny discrete set (one-hot bond type +
+    binary flags — typically ≤ 16 distinct rows in a whole dataset), so the
+    ×50 weight-shared edge-MLP (edge_network.py:20 semantics) only needs to
+    run once per DISTINCT feature row, not once per edge: the sparse path
+    (models/sparse.py) computes penultimates on the vocab and gathers. This
+    is exact — identical input rows produce identical outputs through any
+    row-wise transform (encoders / masked BN included).
+
+    If the batch has more than vocab_cap distinct rows (e.g. continuous
+    edge features), the keys are NOT added and the per-edge path is used.
+    """
+    ef = np.asarray(batch["edge_feats"])
+    uniq, first_idx, inv = np.unique(ef, axis=0, return_index=True,
+                                     return_inverse=True)
+    if uniq.shape[0] > vocab_cap:
+        return batch
+    out = dict(batch)
+    out["edge_vid"] = inv.reshape(-1).astype(np.int32)
+    vfirst = np.zeros((vocab_cap,), np.int32)
+    vfirst[:first_idx.shape[0]] = first_idx
+    out["edge_vfirst"] = vfirst
+    return out
+
+
 def with_edge_types(batch: dict, graphs, node_cap: int = None) -> dict:
     """Append GGNN inputs to a collated batch: packed batches get
     'edge_types' (edge_cap,) aligned with edge_src/dst; dense batches get

@@ -13,7 +13,8 @@ from typing import Iterator, List, Sequence
 import numpy as np
 
 from mpnn_tpu.graphs.batching import (
-    DEFAULT_NODE_BUCKETS, bucket_for, collate_dense, collate_packed,
+    DEFAULT_NODE_BUCKETS, attach_edge_vocab, bucket_for, collate_dense,
+    collate_packed,
 )
 from mpnn_tpu.graphs.graph import MolGraph
 
@@ -30,7 +31,8 @@ class GraphLoader:
                  drop_last: bool = False,
                  with_nafm: bool = True,
                  use_native: bool = True,
-                 fixed_packed_caps: bool = True):
+                 fixed_packed_caps: bool = True,
+                 edge_vocab: bool = True):
         self.graphs = graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,6 +57,17 @@ class GraphLoader:
             self._packed_caps = (
                 bucket_for(sum(a[:batch_size]) + 1),
                 bucket_for(max(sum(e[:batch_size]), 1)))
+        # ONE edge-vocab capacity for the whole run (a per-batch cap would
+        # be a recompile per distinct cap): the dataset-wide distinct
+        # edge-feature rows bound every batch's vocabulary
+        self._vocab_cap = None
+        if edge_vocab and collate == "packed" and graphs:
+            all_ef = np.concatenate([g.edge_feats for g in graphs
+                                     if g.num_edges], axis=0)
+            # +1 for the all-zero padding row (absent in real edges)
+            n_distinct = np.unique(all_ef, axis=0).shape[0] + 1
+            if n_distinct <= 64:
+                self._vocab_cap = max(8, bucket_for(n_distinct))
 
     def __len__(self):
         n = len(self.graphs)
@@ -105,11 +118,14 @@ class GraphLoader:
                 # final partial batch adds a second compiled shape)
                 if self.use_native:
                     from mpnn_tpu import native
-                    yield native.pack_batch_native(
+                    batch = native.pack_batch_native(
                         chunk, node_cap=node_cap, edge_cap=edge_cap)
                 else:
-                    yield collate_packed(chunk, node_cap=node_cap,
-                                         edge_cap=edge_cap).as_dict()
+                    batch = collate_packed(chunk, node_cap=node_cap,
+                                           edge_cap=edge_cap).as_dict()
+                if self._vocab_cap is not None:
+                    batch = attach_edge_vocab(batch, self._vocab_cap)
+                yield batch
             else:
                 raise ValueError(self.collate)
 

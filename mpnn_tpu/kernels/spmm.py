@@ -1,0 +1,324 @@
+"""Pallas TPU SpMM: the fused message+aggregate step of the sparse path.
+
+Computes   out[d] = Σ_{e : dst_e = d}  A[vid_e] · h[src_e]        (N, mf)
+
+which is the whole per-step message work of BOTH hot message families once
+the edge vocabulary exists (graphs/batching.py::attach_edge_vocab):
+
+  * EdgeNetwork (reference mpnn_functions/message/edge_network.py:42-51):
+    A[k] = Σ_p (pen_k − pen_0)[p] · W̃[p]  — the A0-decomposed edge matrix
+    per DISTINCT bond-feature row (models/sparse.py docstring);
+  * GGNN (ggnn_msg_pass.py:20): A[k] = the per-edge-TYPE weight matrix,
+    vid = bond types (A[0] = 0).
+
+TPU-first design — no scatter/gather primitives anywhere:
+
+  The packed batch stores each graph's nodes CONTIGUOUSLY, so any block of
+  consecutive edges references a narrow node window. The host planner
+  (plan_edge_windows) picks one window start per edge block; inside the
+  kernel, gather and scatter become ONE-HOT MATMULS against that window:
+
+      hs    = onehot(src−ws) @ h[ws:ws+W]          (BE,W)@(W,nf)   MXU
+      bulk  = hs @ A2                              (BE,nf)@(nf,K·mf) MXU
+      msgs  = Σ_k onehot_k(vid) ⊙ bulk[:,k,:]      VPU select
+      out[ws:ws+W] += onehot(dst−ws)ᵀ @ msgs       (W,BE)@(BE,mf)  MXU
+
+  Out-of-window indices match no one-hot row → contribute nothing, which is
+  exactly right for padded edges (their A row is the zero matrix anyway).
+  The TPU grid is sequential, so accumulating into the full-VMEM output
+  across blocks is race-free.
+
+Backward (custom VJP) reuses the same machinery:
+      dh = spmm(Aᵀ, g, vid, dst, src)      (transpose = swap src/dst)
+      dA[k] = Σ_e 1[vid_e=k] · g[dst_e] · h[src_e]ᵀ   (one-hot outer-product
+               matmul per block, accumulated in VMEM)
+
+Parity: tests/test_kernels.py (interpret mode on CPU, compiled on TPU)
+against the XLA einsum+segment_sum reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+WINDOW_BUCKETS = (128, 256, 512, 1024, 2048)
+
+
+class EdgeWindowPlan(NamedTuple):
+    """Host-side plan: per-edge-block node-window starts (+ static sizes)."""
+    win_start: np.ndarray       # (nblk,) int32, multiples of 8
+    block_edges: int
+    window: int
+    n_blocks: int
+
+
+def plan_edge_windows(src: np.ndarray, dst: np.ndarray,
+                      edge_mask: np.ndarray, node_cap: int,
+                      block_edges: int = 512,
+                      window: Optional[int] = None
+                      ) -> Optional[EdgeWindowPlan]:
+    """Pick a window start per block of `block_edges` consecutive edges such
+    that every REAL edge's src and dst fall inside [ws, ws+window). Returns
+    None when no bucketed window fits (caller falls back to XLA). Purely
+    host-side numpy — run once per batch at collation time."""
+    e = src.shape[0]
+    nblk = _round_up(e, block_edges) // block_edges
+    pad = nblk * block_edges - e
+    real = edge_mask > 0
+    idx = np.where(real, np.minimum(src, dst), np.iinfo(np.int32).max)
+    hix = np.where(real, np.maximum(src, dst), -1)
+    if pad:
+        idx = np.concatenate([idx, np.full(pad, np.iinfo(np.int32).max)])
+        hix = np.concatenate([hix, np.full(pad, -1)])
+    lo = idx.reshape(nblk, block_edges).min(axis=1)
+    hi = hix.reshape(nblk, block_edges).max(axis=1)
+    empty = hi < 0
+    lo = np.where(empty, 0, lo)
+    hi = np.where(empty, 0, hi)
+    ws = (lo // 8) * 8                          # sublane alignment
+    span = hi - ws + 1
+    need = int(span.max()) if len(span) else 1
+    if window is None:
+        cand = [w for w in WINDOW_BUCKETS if w <= node_cap]
+        if not cand:
+            cand = [node_cap]          # tiny batch: window = whole node axis
+        for w in cand:
+            if need <= w:
+                window = w
+                break
+        else:
+            return None
+    elif need > window or window > node_cap:
+        return None
+    ws = np.minimum(ws, node_cap - window).astype(np.int32)
+    ws = np.maximum(ws, 0)
+    return EdgeWindowPlan(ws, block_edges, window, nblk)
+
+
+def attach_spmm_plan(batch: dict, block_edges: int = 512) -> dict:
+    """Append 'spmm_win' (nblk,) to a packed batch (host-side). No-op when
+    no window bucket fits (continuous fallback to the XLA path)."""
+    plan = plan_edge_windows(np.asarray(batch["edge_src"]),
+                             np.asarray(batch["edge_dst"]),
+                             np.asarray(batch["edge_mask"]),
+                             int(np.asarray(batch["node_feats"]).shape[0]),
+                             block_edges)
+    if plan is None:
+        return batch
+    out = dict(batch)
+    out["spmm_win"] = plan.win_start
+    out["spmm_block_edges"] = plan.block_edges
+    out["spmm_window"] = plan.window
+    return out
+
+
+def _pad_edges(x, rows):
+    if x.shape[0] == rows:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_ref, out_ref,
+                *, window: int, kmats: int, mf: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ws = win_ref[i]
+    be = src_ref.shape[1]
+    dtype = h_ref.dtype
+    hw = h_ref[pl.ds(ws, window), :]                       # (W, nf)
+    src = src_ref[0, :] - ws
+    dst = dst_ref[0, :] - ws
+    vid = vid_ref[0, :]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
+    oh_src = (iota_w == src[:, None]).astype(dtype)
+    hs = jnp.dot(oh_src, hw, preferred_element_type=dtype)  # (BE, nf)
+    bulk = jnp.dot(hs, a2_ref[:],
+                   preferred_element_type=dtype)            # (BE, K·mf)
+    oh_vid = (jax.lax.broadcasted_iota(jnp.int32, (be, kmats), 1)
+              == vid[:, None]).astype(dtype)
+    msgs = jnp.sum(bulk.reshape(be, kmats, mf) * oh_vid[:, :, None],
+                   axis=1)                                  # (BE, mf)
+    oh_dst = (iota_w == dst[:, None]).astype(dtype)
+    contrib = jnp.dot(oh_dst.T, msgs,
+                      preferred_element_type=dtype)         # (W, mf)
+    cur = out_ref[pl.ds(ws, window), :]
+    out_ref[pl.ds(ws, window), :] = cur + contrib
+
+
+def _spmm_fwd(a, h, vid, src, dst, win_start, *, block_edges: int,
+              window: int, interpret: bool = False):
+    """a: (K, mf, nf); h: (N, nf) → (N, mf)."""
+    k, mf, nf = a.shape
+    n = h.shape[0]
+    e = src.shape[0]
+    nblk = _round_up(e, block_edges) // block_edges
+    ep = nblk * block_edges
+    a2 = jnp.transpose(a, (2, 0, 1)).reshape(nf, k * mf)    # (nf, K·mf)
+    src2 = _pad_edges(src, ep).reshape(nblk, block_edges)
+    dst2 = _pad_edges(dst, ep).reshape(nblk, block_edges)
+    vid2 = _pad_edges(vid, ep).reshape(nblk, block_edges)
+
+    kernel = functools.partial(_fwd_kernel, window=window, kmats=k, mf=mf)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nf, k * mf), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, nf), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, mf), lambda i, w: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, mf), h.dtype),
+        interpret=interpret,
+    )(win_start, src2, dst2, vid2, a2, h)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel for dA
+# ---------------------------------------------------------------------------
+
+def _da_kernel(win_ref, src_ref, dst_ref, vid_ref, h_ref, g_ref, da_ref,
+               *, window: int, kmats: int, mf: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    ws = win_ref[i]
+    be = src_ref.shape[1]
+    dtype = h_ref.dtype
+    hw = h_ref[pl.ds(ws, window), :]
+    gw = g_ref[pl.ds(ws, window), :]
+    src = src_ref[0, :] - ws
+    dst = dst_ref[0, :] - ws
+    vid = vid_ref[0, :]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
+    oh_src = (iota_w == src[:, None]).astype(dtype)
+    oh_dst = (iota_w == dst[:, None]).astype(dtype)
+    hs = jnp.dot(oh_src, hw, preferred_element_type=dtype)   # (BE, nf)
+    gd = jnp.dot(oh_dst, gw, preferred_element_type=dtype)   # (BE, mf)
+    oh_vid = (jax.lax.broadcasted_iota(jnp.int32, (be, kmats), 1)
+              == vid[:, None]).astype(dtype)
+    # gk[e, k·mf+m] = 1[vid_e=k]·gd[e,m]  → dA2 += gkᵀ @ hs  (K·mf, nf)
+    gk = (oh_vid[:, :, None] * gd[:, None, :]).reshape(be, kmats * mf)
+    da_ref[:] += jnp.dot(gk.T, hs, preferred_element_type=dtype)
+
+
+def _spmm_da(a_shape, h, g, vid, src, dst, win_start, *, block_edges: int,
+             window: int, interpret: bool = False):
+    k, mf, nf = a_shape
+    n = h.shape[0]
+    e = src.shape[0]
+    nblk = _round_up(e, block_edges) // block_edges
+    ep = nblk * block_edges
+    src2 = _pad_edges(src, ep).reshape(nblk, block_edges)
+    dst2 = _pad_edges(dst, ep).reshape(nblk, block_edges)
+    vid2 = _pad_edges(vid, ep).reshape(nblk, block_edges)
+
+    kernel = functools.partial(_da_kernel, window=window, kmats=k, mf=mf)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, h.shape[1]), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, mf), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * mf, nf), lambda i, w: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    da2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k * mf, nf), h.dtype),
+        interpret=interpret,
+    )(win_start, src2, dst2, vid2, h, g)
+    return da2.reshape(k, mf, nf)
+
+
+# ---------------------------------------------------------------------------
+# public custom-VJP op
+# ---------------------------------------------------------------------------
+
+def make_spmm_op(block_edges: int = 512, window: int = 512,
+                 interpret: bool = False):
+    """Returns spmm(a, h, vid, src, dst, win_start) → (N, mf) with the
+    Pallas forward and a fused Pallas backward. Static shapes:
+    a (K, mf, nf), h (N, nf), vid/src/dst (E,) int32,
+    win_start (ceil(E/block_edges),) int32 from plan_edge_windows."""
+
+    @jax.custom_vjp
+    def op(a, h, vid, src, dst, win_start):
+        return _spmm_fwd(a, h, vid, src, dst, win_start,
+                         block_edges=block_edges, window=window,
+                         interpret=interpret)
+
+    def fwd(a, h, vid, src, dst, win_start):
+        out = _spmm_fwd(a, h, vid, src, dst, win_start,
+                        block_edges=block_edges, window=window,
+                        interpret=interpret)
+        return out, (a, h, vid, src, dst, win_start)
+
+    def bwd(res, g):
+        a, h, vid, src, dst, win_start = res
+        at = jnp.transpose(a, (0, 2, 1))          # (K, nf, mf)
+        # transpose graph: out[s] += Aᵀ[vid] g[dst]  → swap src/dst
+        dh = _spmm_fwd(at, g, vid, dst, src, win_start,
+                       block_edges=block_edges, window=window,
+                       interpret=interpret)
+        da = _spmm_da(a.shape, h, g, vid, src, dst, win_start,
+                      block_edges=block_edges, window=window,
+                      interpret=interpret)
+        return da, dh, None, None, None, None
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def spmm_reference(a, h, vid, src, dst):
+    """XLA reference: einsum + gather + segment_sum (what the kernel must
+    reproduce; also the fallback path in models/sparse.py)."""
+    msgs = jnp.einsum("emn,en->em", a[vid], h[src],
+                      preferred_element_type=h.dtype)
+    return jax.ops.segment_sum(msgs, dst, num_segments=h.shape[0])

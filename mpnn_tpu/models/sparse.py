@@ -42,38 +42,72 @@ from mpnn_tpu.ops.readout import _BIG_NEGATIVE
 from mpnn_tpu.ops.update import gru_apply
 
 
-def _edge_penultimates(mparams, edge_feats, cfg: MPNNConfig):
-    """(E, pf) penultimate features and the zero-edge penultimate (1, pf)."""
+def _edge_penultimates(mparams, edge_feats, cfg: MPNNConfig,
+                       edge_vid=None, edge_vfirst=None):
+    """(E, pf) penultimate features and the zero-edge penultimate (1, pf).
+
+    With a vocab (edge_vid/edge_vfirst from graphs.attach_edge_vocab) the
+    ×50-tail MLP runs on the ≤vocab_cap DISTINCT rows and gathers — exact,
+    since equal input rows map to equal outputs; this removes the dominant
+    FLOP term of the flagship step (the per-edge weight-shared tail)."""
     act = jax.nn.relu
-    pen = _edge_mlp_penultimate(mparams, edge_feats, act,
-                                cfg.edge_mlp_tail_repeats)
+    pen_vocab = None
+    if edge_vid is not None:
+        vocab = edge_feats[edge_vfirst]                 # (K, ef)
+        pen_vocab = _edge_mlp_penultimate(mparams, vocab, act,
+                                          cfg.edge_mlp_tail_repeats)
+        pen = pen_vocab[edge_vid]
+    else:
+        pen = _edge_mlp_penultimate(mparams, edge_feats, act,
+                                    cfg.edge_mlp_tail_repeats)
     zero = jnp.zeros((1, edge_feats.shape[-1]), edge_feats.dtype)
     pen0 = _edge_mlp_penultimate(mparams, zero, act,
                                  cfg.edge_mlp_tail_repeats)
-    return pen, pen0
+    return pen, pen0, pen_vocab
 
 
 def sparse_edge_network_fused(mparams, pen, pen0, h, edge_src, edge_dst,
                               node_graph, graph_mask, *, nf: int, mf: int,
-                              spmm_fn=None):
+                              spmm_fn=None, pen_vocab=None, edge_vid=None,
+                              spmm_vocab_fn=None, spmm_win=None):
     """m = SpMM(edges) + A(0)·S_graph + message_bias  (see module docstring).
 
-    h: (node_cap, nf); returns (node_cap, mf). spmm_fn optionally overrides
-    the gather–contract–scatter with a Pallas kernel (kernels/spmm.py)."""
+    h: (node_cap, nf); returns (node_cap, mf). Three SpMM strategies:
+      * pen_vocab/edge_vid present — A-FORM: fold the penultimate table into
+        per-vocab-id matrices A_k = Σ_p (pen_k−pen_0)[p]·W̃[p] (K,mf,nf) —
+        the EdgeNetwork step becomes a GGNN-type step; dispatched to the
+        Pallas windowed one-hot kernel (kernels/spmm.py) via spmm_vocab_fn,
+        else an XLA (K,N,mf)-gather — both avoid the (N,pf,mf) blow-up;
+      * spmm_fn — legacy per-edge hook (parallel/edge_partition.py);
+      * default — XLA einsum + segment_sum on per-edge penultimates."""
     node_cap = h.shape[0]
     pf = pen.shape[-1]
     wf = mparams["final"]["w"].reshape(pf, mf, nf)
     bf = mparams["final"]["b"].reshape(mf, nf)
 
-    ptilde = pen - pen0                                     # (E, pf)
-    if spmm_fn is None:
+    if pen_vocab is not None:
+        ptable = pen_vocab - pen0                           # (K, pf)
+        amat = jnp.einsum("kp,pmf->kmf", ptable, wf,
+                          preferred_element_type=h.dtype)   # (K, mf, nf)
+        if spmm_vocab_fn is not None:
+            agg = spmm_vocab_fn(amat, h, edge_vid, edge_src, edge_dst,
+                                spmm_win)
+        else:
+            v2 = jnp.einsum("kmf,nf->knm", amat, h,
+                            preferred_element_type=h.dtype)  # (K,N,mf)
+            edge_msg = v2[edge_vid, edge_src]
+            agg = jax.ops.segment_sum(edge_msg, edge_dst,
+                                      num_segments=node_cap)
+    elif spmm_fn is not None:
+        ptilde = pen - pen0                                 # (E, pf)
+        agg = spmm_fn(ptilde, h, edge_src, edge_dst, wf)
+    else:
+        ptilde = pen - pen0
         v = jnp.einsum("pmf,nf->npm", wf, h,
                        preferred_element_type=h.dtype)      # (node_cap,pf,mf)
         edge_msg = jnp.einsum("ep,epm->em", ptilde, v[edge_src],
                               preferred_element_type=h.dtype)
         agg = jax.ops.segment_sum(edge_msg, edge_dst, num_segments=node_cap)
-    else:
-        agg = spmm_fn(ptilde, h, edge_src, edge_dst, wf)
 
     # per-graph rank-1 correction: A(0) · Σ_{w∈g} h_w
     num_graphs = graph_mask.shape[0]
@@ -84,19 +118,24 @@ def sparse_edge_network_fused(mparams, pen, pen0, h, edge_src, edge_dst,
 
 
 def sparse_ggnn_fused(mparams, bond_types, h, edge_src, edge_dst, *,
-                      nf: int, mf: int):
+                      nf: int, mf: int, spmm_vocab_fn=None, spmm_win=None):
     """GGNN sparse message+aggregate: A_0 is pinned to zero (ggnn_msg_pass.py:19)
     so non-edges contribute nothing — pure edge-sum, exactly the dense result.
 
-    bond_types: (E,) int edge-type ids (0 = padded edge → zero matrix)."""
+    bond_types: (E,) int edge-type ids (0 = padded edge → zero matrix).
+    GGNN is natively in A-form, so the Pallas windowed SpMM kernel
+    (kernels/spmm.py) applies directly when spmm_vocab_fn is given."""
     node_cap = h.shape[0]
-    ef = mparams["adj_w"].shape[0]
     w = jnp.concatenate([jnp.zeros((1, mf, nf), mparams["adj_w"].dtype),
                          mparams["adj_w"]], axis=0)         # (T+1, mf, nf)
-    v = jnp.einsum("tmf,nf->tnm", w, h,
-                   preferred_element_type=h.dtype)          # (T+1,node,mf)
-    edge_msg = v[bond_types, edge_src]                      # (E, mf)
-    agg = jax.ops.segment_sum(edge_msg, edge_dst, num_segments=node_cap)
+    if spmm_vocab_fn is not None:
+        agg = spmm_vocab_fn(w, h, bond_types, edge_src, edge_dst, spmm_win)
+    else:
+        v = jnp.einsum("tmf,nf->tnm", w, h,
+                       preferred_element_type=h.dtype)      # (T+1,node,mf)
+        edge_msg = v[bond_types, edge_src]                  # (E, mf)
+        agg = jax.ops.segment_sum(edge_msg, edge_dst,
+                                  num_segments=node_cap)
     return agg + mparams["message_bias"]
 
 
@@ -222,7 +261,7 @@ def sparse_graph_level_output(rparams, x, node_mask, node_graph,
 
 def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                       training: bool, axis_name: Optional[str] = None,
-                      spmm_fn=None):
+                      spmm_fn=None, spmm_vocab_fn=None):
     """Packed-batch MPNN forward; parameters from mpnn_init (shared with the
     dense path). Supports edge_network / ggnn / att_edge_network (adj + att
     aggregations) / bilinear messages, GRU update, masked norms, and both
@@ -265,7 +304,10 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
             training=training, axis_name=axis_name)
 
     needs_pen = cfg.message_fn in ("edge_network", "att_edge_network")
-    pens = ([_edge_penultimates(mp, edge_feats, cfg)
+    vid = batch.get("edge_vid")
+    vfirst = batch.get("edge_vfirst")
+    spmm_win = batch.get("spmm_win")
+    pens = ([_edge_penultimates(mp, edge_feats, cfg, vid, vfirst)
              for mp in params["message"]] if needs_pen else None)
 
     ma_bn_state = list(state.get("ma_bn", []))
@@ -278,19 +320,22 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
         ni = step if cfg.per_step_norms else 0
         msg_src = h0 if cfg.message_input == "initial" else h
         if cfg.message_fn == "edge_network":
-            pen, pen0 = pens[mi]
+            pen, pen0, pen_vocab = pens[mi]
             msgs = sparse_edge_network_fused(
                 params["message"][mi], pen, pen0, msg_src,
                 batch["edge_src"], batch["edge_dst"], node_graph,
                 graph_mask, nf=cfg.node_features,
-                mf=cfg.message_features, spmm_fn=spmm_fn)
+                mf=cfg.message_features, spmm_fn=spmm_fn,
+                pen_vocab=pen_vocab, edge_vid=vid,
+                spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win)
         elif cfg.message_fn == "ggnn":
             msgs = sparse_ggnn_fused(
                 params["message"][mi], batch["edge_types"], msg_src,
                 batch["edge_src"], batch["edge_dst"],
-                nf=cfg.node_features, mf=cfg.message_features)
+                nf=cfg.node_features, mf=cfg.message_features,
+                spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win)
         elif cfg.message_fn == "att_edge_network":
-            pen, pen0 = pens[mi]
+            pen, pen0, _ = pens[mi]
             msgs = sparse_att_edge_network(
                 params["message"][mi], pen, pen0, msg_src, edge_feats,
                 batch["edge_src"], batch["edge_dst"], node_graph,

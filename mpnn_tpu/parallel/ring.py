@@ -146,7 +146,7 @@ def ring_edge_network_term(mesh: Mesh, mparams, ring_batch, cfg,
 
     efeats = ring_batch["ring_efeats"]
     d, _, eb, fe = efeats.shape
-    pen, pen0 = _edge_penultimates(mparams, efeats.reshape(-1, fe), cfg)
+    pen, pen0, _ = _edge_penultimates(mparams, efeats.reshape(-1, fe), cfg)
     ptilde = (pen - pen0).reshape(d, d, eb, -1)
     pf = ptilde.shape[-1]
     wf = mparams["final"]["w"].reshape(pf, cfg.message_features,

@@ -100,7 +100,7 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
         eb_feats = efeats_b[0]
         dd, eb, fe = eb_feats.shape
         mp = params["message"][0]
-        pen, pen0 = _edge_penultimates(mp, eb_feats.reshape(-1, fe), cfg)
+        pen, pen0, _ = _edge_penultimates(mp, eb_feats.reshape(-1, fe), cfg)
         ptilde = (pen - pen0).reshape(dd, eb, -1)
         pf = ptilde.shape[-1]
         wf = mp["final"]["w"].reshape(pf, mf, nf)

@@ -72,3 +72,120 @@ def test_zero_tail(setup):
               "shared": {"w": shared}}
     ref = _edge_mlp_penultimate(params, e, jax.nn.relu, 0)
     np.testing.assert_allclose(np.asarray(pen), np.asarray(ref), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# windowed one-hot SpMM (kernels/spmm.py)
+# ---------------------------------------------------------------------------
+
+class TestSpmm:
+    K, NFS, MFS = 7, 10, 10
+
+    def _batch(self, n_graphs=40, seed=0):
+        """Molecular-like packed layout: contiguous node blocks per graph,
+        local edges, padded tail pointing at the dummy node."""
+        rs = np.random.RandomState(seed)
+        srcs, dsts, vids = [], [], []
+        off = 0
+        for _ in range(n_graphs):
+            a = rs.randint(3, 24)
+            ne = 2 * rs.randint(a - 1, 2 * a)
+            s = rs.randint(0, a, ne) + off
+            d = rs.randint(0, a, ne) + off
+            srcs.append(s)
+            dsts.append(d)
+            vids.append(rs.randint(1, self.K, ne))
+            off += a
+        src = np.concatenate(srcs).astype(np.int32)
+        dst = np.concatenate(dsts).astype(np.int32)
+        vid = np.concatenate(vids).astype(np.int32)
+        e = src.shape[0]
+        node_cap = int(-(-(off + 1) // 128) * 128)
+        edge_cap = int(-(-e // 128) * 128)
+        mask = np.zeros(edge_cap, np.float32)
+        mask[:e] = 1
+        src = np.concatenate([src, np.full(edge_cap - e, node_cap - 1,
+                                           np.int32)])
+        dst = np.concatenate([dst, np.full(edge_cap - e, node_cap - 1,
+                                           np.int32)])
+        vid = np.concatenate([vid, np.zeros(edge_cap - e, np.int32)])
+        h = rs.randn(node_cap, self.NFS).astype(np.float32)
+        h[off:] = 0                     # dummy/pad node rows are zero
+        a_mats = rs.randn(self.K, self.MFS, self.NFS).astype(np.float32)
+        a_mats[0] = 0                   # id 0 = zero matrix (padding)
+        return a_mats, h, vid, src, dst, mask, node_cap
+
+    def test_plan_and_forward_parity(self):
+        from mpnn_tpu.kernels.spmm import (make_spmm_op, plan_edge_windows,
+                                           spmm_reference)
+        a, h, vid, src, dst, mask, node_cap = self._batch()
+        plan = plan_edge_windows(src, dst, mask, node_cap, block_edges=128)
+        assert plan is not None
+        op = make_spmm_op(block_edges=plan.block_edges, window=plan.window,
+                          interpret=True)
+        out = op(jnp.asarray(a), jnp.asarray(h), jnp.asarray(vid),
+                 jnp.asarray(src), jnp.asarray(dst),
+                 jnp.asarray(plan.win_start))
+        ref = spmm_reference(jnp.asarray(a), jnp.asarray(h),
+                             jnp.asarray(vid), jnp.asarray(src),
+                             jnp.asarray(dst))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_grad_parity(self):
+        from mpnn_tpu.kernels.spmm import (make_spmm_op, plan_edge_windows,
+                                           spmm_reference)
+        a, h, vid, src, dst, mask, node_cap = self._batch(n_graphs=12, seed=3)
+        plan = plan_edge_windows(src, dst, mask, node_cap, block_edges=128)
+        op = make_spmm_op(block_edges=plan.block_edges, window=plan.window,
+                          interpret=True)
+        va, vh = jnp.asarray(a), jnp.asarray(h)
+        args = (jnp.asarray(vid), jnp.asarray(src), jnp.asarray(dst))
+        w = jnp.asarray(plan.win_start)
+        g_target = jnp.asarray(
+            np.random.RandomState(9).randn(h.shape[0],
+                                           self.MFS).astype(np.float32))
+
+        def lk(a_, h_):
+            return (op(a_, h_, *args, w) * g_target).sum()
+
+        def lr(a_, h_):
+            return (spmm_reference(a_, h_, *args) * g_target).sum()
+
+        gk = jax.grad(lk, argnums=(0, 1))(va, vh)
+        gr = jax.grad(lr, argnums=(0, 1))(va, vh)
+        for x, y in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_planner_rejects_nonlocal_edges(self):
+        from mpnn_tpu.kernels.spmm import plan_edge_windows
+        # one edge spanning the whole node axis in every block
+        src = np.arange(4096, dtype=np.int32) % 4000
+        dst = (4095 - np.arange(4096, dtype=np.int32)) % 4000
+        mask = np.ones(4096, np.float32)
+        assert plan_edge_windows(src, dst, mask, 4096,
+                                 block_edges=128) is None
+
+    def test_empty_and_full_blocks(self):
+        """Blocks made only of padded edges must contribute nothing."""
+        from mpnn_tpu.kernels.spmm import (make_spmm_op, plan_edge_windows,
+                                           spmm_reference)
+        a, h, vid, src, dst, mask, node_cap = self._batch(n_graphs=3, seed=5)
+        # extend padding so several all-padding blocks exist
+        extra = 512
+        src = np.concatenate([src, np.full(extra, node_cap - 1, np.int32)])
+        dst = np.concatenate([dst, np.full(extra, node_cap - 1, np.int32)])
+        vid = np.concatenate([vid, np.zeros(extra, np.int32)])
+        mask = np.concatenate([mask, np.zeros(extra, np.float32)])
+        plan = plan_edge_windows(src, dst, mask, node_cap, block_edges=128)
+        op = make_spmm_op(block_edges=plan.block_edges, window=plan.window,
+                          interpret=True)
+        out = op(jnp.asarray(a), jnp.asarray(h), jnp.asarray(vid),
+                 jnp.asarray(src), jnp.asarray(dst),
+                 jnp.asarray(plan.win_start))
+        ref = spmm_reference(jnp.asarray(a), jnp.asarray(h),
+                             jnp.asarray(vid), jnp.asarray(src),
+                             jnp.asarray(dst))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)

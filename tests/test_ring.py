@@ -37,7 +37,7 @@ def unsharded_edge_term(cfg, mparams, packed):
     (no A0 correction, no bias)."""
     h = jnp.asarray(packed["node_feats"])
     efeats = jnp.asarray(packed["edge_feats"])
-    pen, pen0 = _edge_penultimates(mparams, efeats, cfg)
+    pen, pen0, _ = _edge_penultimates(mparams, efeats, cfg)
     pf = pen.shape[-1]
     wf = mparams["final"]["w"].reshape(pf, cfg.message_features,
                                       cfg.node_features)
@@ -82,7 +82,7 @@ def test_ring_grads_flow(setup):
     def loss_ref(h_flat):
         h = h_flat
         efeats = jnp.asarray(packed["edge_feats"])
-        pen, pen0 = _edge_penultimates(mparams, efeats, cfg)
+        pen, pen0, _ = _edge_penultimates(mparams, efeats, cfg)
         pf = pen.shape[-1]
         wf = mparams["final"]["w"].reshape(pf, cfg.message_features,
                                           cfg.node_features)

@@ -95,6 +95,96 @@ def test_parity_under_jit_and_grad():
                                    atol=5e-3)
 
 
+def test_edge_vocab_exactness():
+    """The vocab dedup (edge-MLP once per DISTINCT bond-feature row) must
+    reproduce the per-edge path: forward bitwise-tight, grads allclose
+    (grad sums reassociate across the vocab groups)."""
+    gs, ge = setup_graphs()
+    for cfg_kw in (dict(msg_norm="bn1d", state_norm="bn1d", message_steps=6),
+                   dict(message_fn="att_edge_network", aggregation="att")):
+        cfg = mpnn_cfg(ge, **cfg_kw)
+        params, state = models.mpnn_init(jax.random.PRNGKey(7), cfg)
+        _, packed = dense_and_packed(gs)
+        pv = G.attach_edge_vocab({k: np.asarray(v) if not np.isscalar(v)
+                                  else v for k, v in packed.items()})
+        assert "edge_vid" in pv, "vocab overflow on one-hot bond feats?"
+        pv = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in pv.items()}
+
+        @jax.jit
+        def loss(p, b):
+            out, _ = sparse_mpnn_apply(p, state, cfg, b, training=True)
+            return (out ** 2).mean(), out
+
+        (l0, o0), g0 = jax.value_and_grad(loss, has_aux=True)(params, packed)
+        (l1, o1), g1 = jax.value_and_grad(loss, has_aux=True)(params, pv)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+
+def test_spmm_kernel_through_full_model():
+    """Flagship + GGNN forward/grad with the Pallas windowed SpMM wired in
+    (interpret mode) must match the XLA sparse path."""
+    from mpnn_tpu.kernels.spmm import attach_spmm_plan, make_spmm_op
+    gs, ge = setup_graphs()
+    _, packed = dense_and_packed(gs)
+    pb = {k: np.asarray(v) if not np.isscalar(v) else v
+          for k, v in packed.items()}
+    pb = G.attach_edge_vocab(pb)
+    pb = attach_spmm_plan(pb, block_edges=128)
+    assert "spmm_win" in pb
+    op = make_spmm_op(block_edges=pb.pop("spmm_block_edges"),
+                      window=pb.pop("spmm_window"), interpret=True)
+    pbj = {k: jnp.asarray(v) if not np.isscalar(v) else v
+           for k, v in pb.items()}
+
+    # GGNN variant needs edge types attached to RAW graphs
+    from mpnn_tpu.graphs import attach_edge_types, with_edge_types
+    gs2 = G.generate_molgraphs(SMILES, [0.1 * i for i in range(len(SMILES))])
+    attach_edge_types(gs2)
+    gs2, ge2 = G.encode_molgraphs(gs2)
+    et = jnp.asarray(with_edge_types(
+        G.collate_packed(gs2).as_dict(), gs2)["edge_types"])
+
+    for cfg_kw, types in (
+            (dict(msg_norm="bn1d", state_norm="bn1d", message_steps=6),
+             False),
+            (dict(message_fn="ggnn", edge_features=4,
+                  ggnn_num_edge_types=4), True)):
+        cfg = mpnn_cfg(ge, **cfg_kw)
+        b = dict(pbj)
+        if types:
+            b["edge_types"] = et
+        params, state = models.mpnn_init(jax.random.PRNGKey(11), cfg)
+
+        def loss(p, use_kernel):
+            out, _ = sparse_mpnn_apply(
+                p, state, cfg, b, training=True,
+                spmm_vocab_fn=op if use_kernel else None)
+            return (out ** 2).mean(), out
+
+        (l0, o0), g0 = jax.value_and_grad(
+            lambda p: loss(p, False), has_aux=True)(params)
+        (l1, o1), g1 = jax.value_and_grad(
+            lambda p: loss(p, True), has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   atol=2e-4)
+        for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-3, atol=2e-3)
+
+
+def test_edge_vocab_overflow_falls_back():
+    """Continuous edge features blow the vocab cap → keys absent, per-edge
+    path used (no crash, no silent wrong result)."""
+    rng = np.random.RandomState(0)
+    batch = {"edge_feats": rng.randn(64, 4).astype(np.float32)}
+    out = G.attach_edge_vocab(batch, vocab_cap=16)
+    assert "edge_vid" not in out and "edge_vfirst" not in out
+
+
 def test_padded_edges_are_null():
     """Enlarging edge/node capacity must not change outputs."""
     gs, ge = setup_graphs()
