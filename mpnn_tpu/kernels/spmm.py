@@ -137,6 +137,8 @@ def _pad_edges(x, rows):
 
 def _fwd_kernel(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_ref, out_ref,
                 *, window: int, kmats: int, mf: int):
+    # edge index arrays arrive as FULL (nblk, BE) VMEM buffers (a (1, BE)
+    # block would violate the (8, 128) tile rule); row i is this block's
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -145,20 +147,27 @@ def _fwd_kernel(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_ref, out_ref,
 
     ws = win_ref[i]
     be = src_ref.shape[1]
+    kmf = kmats * mf
     dtype = h_ref.dtype
     hw = h_ref[pl.ds(ws, window), :]                       # (W, nf)
-    src = src_ref[0, :] - ws
-    dst = dst_ref[0, :] - ws
-    vid = vid_ref[0, :]
+    src = src_ref[i, :] - ws
+    dst = dst_ref[i, :] - ws
+    vid = vid_ref[i, :]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
     oh_src = (iota_w == src[:, None]).astype(dtype)
     hs = jnp.dot(oh_src, hw, preferred_element_type=dtype)  # (BE, nf)
     bulk = jnp.dot(hs, a2_ref[:],
                    preferred_element_type=dtype)            # (BE, K·mf)
-    oh_vid = (jax.lax.broadcasted_iota(jnp.int32, (be, kmats), 1)
-              == vid[:, None]).astype(dtype)
-    msgs = jnp.sum(bulk.reshape(be, kmats, mf) * oh_vid[:, :, None],
-                   axis=1)                                  # (BE, mf)
+    # select vocab-id block per edge WITHOUT 3D reshapes (Mosaic-friendly):
+    #   ohm[e, k·mf+m] = 1[vid_e = k];  msgs = (ohm ⊙ bulk) @ S,
+    #   S[k·mf+m, m'] = 1[m = m']  (strided column-group reduction as MXU)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (be, kmf), 1)
+    ohm = (lane // mf == vid[:, None]).astype(dtype)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 0) % mf
+           == jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 1)
+           ).astype(dtype)
+    msgs = jnp.dot(ohm * bulk, sel,
+                   preferred_element_type=dtype)            # (BE, mf)
     oh_dst = (iota_w == dst[:, None]).astype(dtype)
     contrib = jnp.dot(oh_dst.T, msgs,
                       preferred_element_type=dtype)         # (W, mf)
@@ -184,11 +193,11 @@ def _spmm_fwd(a, h, vid, src, dst, win_start, *, block_edges: int,
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nf, k * mf), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -223,18 +232,25 @@ def _da_kernel(win_ref, src_ref, dst_ref, vid_ref, h_ref, g_ref, da_ref,
     dtype = h_ref.dtype
     hw = h_ref[pl.ds(ws, window), :]
     gw = g_ref[pl.ds(ws, window), :]
-    src = src_ref[0, :] - ws
-    dst = dst_ref[0, :] - ws
-    vid = vid_ref[0, :]
+    src = src_ref[i, :] - ws
+    dst = dst_ref[i, :] - ws
+    vid = vid_ref[i, :]
+    kmf = kmats * mf
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
     oh_src = (iota_w == src[:, None]).astype(dtype)
     oh_dst = (iota_w == dst[:, None]).astype(dtype)
     hs = jnp.dot(oh_src, hw, preferred_element_type=dtype)   # (BE, nf)
     gd = jnp.dot(oh_dst, gw, preferred_element_type=dtype)   # (BE, mf)
-    oh_vid = (jax.lax.broadcasted_iota(jnp.int32, (be, kmats), 1)
-              == vid[:, None]).astype(dtype)
     # gk[e, k·mf+m] = 1[vid_e=k]·gd[e,m]  → dA2 += gkᵀ @ hs  (K·mf, nf)
-    gk = (oh_vid[:, :, None] * gd[:, None, :]).reshape(be, kmats * mf)
+    # 2D only (Mosaic): tile gd over k with the selection matrix Sᵀ, then
+    # mask by the lane-expanded vocab one-hot
+    lane = jax.lax.broadcasted_iota(jnp.int32, (be, kmf), 1)
+    ohm = (lane // mf == vid[:, None]).astype(dtype)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 0) % mf
+           == jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 1)
+           ).astype(dtype)
+    gdr = jnp.dot(gd, sel.T, preferred_element_type=dtype)   # (BE, K·mf)
+    gk = ohm * gdr
     da_ref[:] += jnp.dot(gk.T, hs, preferred_element_type=dtype)
 
 
@@ -254,11 +270,11 @@ def _spmm_da(a_shape, h, g, vid, src, dst, win_start, *, block_edges: int,
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_edges), lambda i, w: (i, 0),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, h.shape[1]), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),

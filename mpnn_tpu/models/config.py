@@ -69,6 +69,12 @@ class MPNNConfig:
 
     edge_mlp_tail_repeats: int = 50    # reference ×50 weight-shared tail
     ggnn_num_edge_types: int = 7
+    reference_init: bool = False       # model.apply(init_weights) pass:
+                                       # kaiming every Linear, zero biases
+                                       # (lipo_basic_model.py:88-107); the
+                                       # lipo driver depends on it — the
+                                       # ×50 shared relu tail collapses
+                                       # under torch-default init
     remat: bool = False                # jax.checkpoint each message step
                                        # (memory ↔ recompute for big graphs)
 

@@ -41,8 +41,10 @@ from mpnn_tpu.ops.autoencoders import (
 
 def _message_init(key, cfg: MPNNConfig):
     nf, ef, mf = cfg.node_features, cfg.edge_features, cfg.message_features
+    init = "kaiming_relu" if cfg.reference_init else "torch_default"
     if cfg.message_fn == "edge_network":
-        return edge_network_init(key, nf, ef, mf, cfg.edge_mlp_tail_repeats)
+        return edge_network_init(key, nf, ef, mf, cfg.edge_mlp_tail_repeats,
+                                 init=init)
     if cfg.message_fn == "att_edge_network":
         return att_edge_network_init(key, nf, ef, mf, cfg.edge_mlp_tail_repeats)
     if cfg.message_fn == "ggnn":
@@ -98,8 +100,9 @@ def mpnn_init(key, cfg: MPNNConfig, dtype=jnp.float32):
 
     rnf = cfg.readout_node_features
     if cfg.readout == "graph_level":
-        params["readout"] = graph_level_output_init(keys[5], rnf,
-                                                    cfg.output_dim, dtype)
+        params["readout"] = graph_level_output_init(
+            keys[5], rnf, cfg.output_dim, dtype,
+            init="kaiming_relu" if cfg.reference_init else "torch_default")
     elif cfg.readout == "set2vec":
         params["readout"] = set2vec_init(keys[5], rnf, cfg.set2vec_steps,
                                          dtype=dtype)

@@ -141,7 +141,9 @@ def sparse_ggnn_fused(mparams, bond_types, h, edge_src, edge_dst, *,
 
 def sparse_att_edge_network(mparams, pen, pen0, h, edge_feats, edge_src,
                             edge_dst, node_graph, graph_mask, *, nf: int,
-                            mf: int, aggregation: str = "adj"):
+                            mf: int, aggregation: str = "adj",
+                            pen_vocab=None, edge_vid=None, edge_vfirst=None,
+                            sddmm_fn=None, spmm_win=None):
     """Attention message family, sparsified exactly for the aggregators whose
     dense semantics are padding-independent:
 
@@ -162,16 +164,27 @@ def sparse_att_edge_network(mparams, pen, pen0, h, edge_feats, edge_src,
     wf = mparams["final"]["w"].reshape(pf, mf, nf)
     bf = mparams["final"]["b"].reshape(mf, nf)
 
-    # per-edge gate: softmax over features of attn([h_dst ‖ e])
-    cat = jnp.concatenate([h[edge_dst], edge_feats], axis=-1)
-    gate = jax.nn.softmax(linear_apply(mparams["attn"], cat), axis=-1)
-    g = gate * h[edge_src]                                  # (E, nf)
-    # per-edge matrix application via the penultimate re-association
-    t = jnp.einsum("pmf,ef->epm", wf, g,
-                   preferred_element_type=h.dtype)
-    edge_msg = jnp.einsum("ep,epm->em", pen, t,
-                          preferred_element_type=h.dtype) + g @ bf.T
-    agg = jax.ops.segment_sum(edge_msg, edge_dst, num_segments=node_cap)
+    if sddmm_fn is not None and pen_vocab is not None:
+        # fused Pallas SDDMM (kernels/sddmm.py): per-vocab-id matrices
+        # A'_k = Σ_p pen_k[p]·W̃[p] + B_f  (att keeps the final bias)
+        aprime = jnp.einsum("kp,pmf->kmf", pen_vocab, wf,
+                            preferred_element_type=h.dtype) + bf
+        evocab = edge_feats[edge_vfirst]
+        agg = sddmm_fn(aprime, evocab, mparams["attn"]["w"],
+                       mparams["attn"]["b"], h, edge_vid, edge_src,
+                       edge_dst, spmm_win)
+    else:
+        # per-edge gate: softmax over features of attn([h_dst ‖ e])
+        cat = jnp.concatenate([h[edge_dst], edge_feats], axis=-1)
+        gate = jax.nn.softmax(linear_apply(mparams["attn"], cat), axis=-1)
+        g = gate * h[edge_src]                              # (E, nf)
+        # per-edge matrix application via the penultimate re-association
+        t = jnp.einsum("pmf,ef->epm", wf, g,
+                       preferred_element_type=h.dtype)
+        edge_msg = jnp.einsum("ep,epm->em", pen, t,
+                              preferred_element_type=h.dtype) + g @ bf.T
+        agg = jax.ops.segment_sum(edge_msg, edge_dst,
+                                  num_segments=node_cap)
 
     if aggregation == "att":
         # non-edge correction: A(0)·(g0_v ⊙ (S_g − 0)) summed over all w
@@ -261,7 +274,7 @@ def sparse_graph_level_output(rparams, x, node_mask, node_graph,
 
 def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                       training: bool, axis_name: Optional[str] = None,
-                      spmm_fn=None, spmm_vocab_fn=None):
+                      spmm_fn=None, spmm_vocab_fn=None, sddmm_fn=None):
     """Packed-batch MPNN forward; parameters from mpnn_init (shared with the
     dense path). Supports edge_network / ggnn / att_edge_network (adj + att
     aggregations) / bilinear messages, GRU update, masked norms, and both
@@ -335,12 +348,15 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                 nf=cfg.node_features, mf=cfg.message_features,
                 spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win)
         elif cfg.message_fn == "att_edge_network":
-            pen, pen0, _ = pens[mi]
+            pen, pen0, pen_vocab = pens[mi]
             msgs = sparse_att_edge_network(
                 params["message"][mi], pen, pen0, msg_src, edge_feats,
                 batch["edge_src"], batch["edge_dst"], node_graph,
                 graph_mask, nf=cfg.node_features,
-                mf=cfg.message_features, aggregation=cfg.aggregation)
+                mf=cfg.message_features, aggregation=cfg.aggregation,
+                pen_vocab=pen_vocab, edge_vid=vid,
+                edge_vfirst=vfirst, sddmm_fn=sddmm_fn,
+                spmm_win=spmm_win)
         elif cfg.message_fn == "bilinear":
             if cfg.aggregation != "adj":
                 raise NotImplementedError(

@@ -61,7 +61,7 @@ def lipo(afm: int, bfm: int, nafm: int, n_out: int = 1) -> NetworkConfig:
         mpnn=MPNNConfig(
             node_features=nf, edge_features=bfm, message_features=nf,
             output_dim=2 * afm, message_steps=6,
-            share_message_weights=True,
+            share_message_weights=True, reference_init=True,
             msg_norm="bn1d", state_norm="bn1d", per_step_norms=False),
         input_wrapper="graph_norm", nafm_features=nafm,
         head="halving", head_output=n_out, head_bn=True, kaiming_head=True)

@@ -58,17 +58,26 @@ def edge_mlp_head_dims(ef: int, nf: int, mf: int):
 
 
 def edge_network_init(key, nf: int, ef: int, mf: int, tail_repeats: int = 50,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, init: str = "torch_default"):
     """Parameters for the EdgeNetwork edge-MLP + message bias.
 
     Layers: [Linear(in, in²)+act]* , 1 weight-shared Linear(pf, pf, no bias)
-    applied `tail_repeats` times with activation, Linear(pf, nf·mf)."""
+    applied `tail_repeats` times with activation, Linear(pf, nf·mf).
+
+    init='kaiming_relu' reproduces the lipo driver's
+    model.apply(init_weights) pass (lipo_basic_model.py:88-107: kaiming
+    weights + zero biases on EVERY Linear) — load-bearing for training
+    dynamics: with torch-default init the ×50 weight-shared relu tail has
+    spectral radius < 1 and collapses the penultimate features."""
     head_dims, pf = edge_mlp_head_dims(ef, nf, mf)
     keys = jax.random.split(key, len(head_dims) + 2)
-    head = [linear_init(keys[i], din, dout, bias=True, dtype=dtype)
+    head = [linear_init(keys[i], din, dout, bias=True, dtype=dtype,
+                        init=init)
             for i, (din, dout) in enumerate(head_dims)]
-    shared = linear_init(keys[-2], pf, pf, bias=False, dtype=dtype)
-    final = linear_init(keys[-1], pf, nf * mf, bias=True, dtype=dtype)
+    shared = linear_init(keys[-2], pf, pf, bias=False, dtype=dtype,
+                         init=init)
+    final = linear_init(keys[-1], pf, nf * mf, bias=True, dtype=dtype,
+                        init=init)
     return {
         "head": head,
         "shared": shared,

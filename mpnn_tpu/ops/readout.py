@@ -32,14 +32,16 @@ _BIG_NEGATIVE = -1e8
 # ---------------------------------------------------------------------------
 
 def graph_level_output_init(key, node_features: int, output_dim: int,
-                            dtype=jnp.float32):
+                            dtype=jnp.float32, init: str = "torch_default"):
     """i, j: Linear(2·nf → out). (`node_features` here is already the halved
     size; the reference doubles it internally because the input is
     cat([h_T, h_0]).)"""
     k1, k2 = jax.random.split(key)
     return {
-        "i": linear_init(k1, 2 * node_features, output_dim, dtype=dtype),
-        "j": linear_init(k2, 2 * node_features, output_dim, dtype=dtype),
+        "i": linear_init(k1, 2 * node_features, output_dim, dtype=dtype,
+                         init=init),
+        "j": linear_init(k2, 2 * node_features, output_dim, dtype=dtype,
+                         init=init),
     }
 
 

@@ -63,7 +63,8 @@ def put_replicated(mesh: Mesh, tree):
 # packed path: edge-sharded step (jit auto-SPMD or explicit shard_map SpMM)
 # ---------------------------------------------------------------------------
 
-_EDGE_KEYS = ("edge_src", "edge_dst", "edge_feats", "edge_mask")
+_EDGE_KEYS = ("edge_src", "edge_dst", "edge_feats", "edge_mask",
+              "edge_vid", "edge_types")
 
 
 def put_packed_batch(mesh: Mesh, batch: dict) -> dict:

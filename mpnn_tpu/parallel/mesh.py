@@ -51,10 +51,7 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 def multihost_init(coordinator: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None):
-    """Multi-host bring-up over DCN (jax.distributed). No-op when running
-    single-process; parameters may also come from cluster env vars."""
-    if num_processes is None or num_processes <= 1:
-        return
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    """Multi-host bring-up over DCN — see parallel/multihost.py (tested by
+    tests/test_multihost.py with two real processes)."""
+    from mpnn_tpu.parallel.multihost import multihost_init as _init
+    _init(coordinator, num_processes, process_id)

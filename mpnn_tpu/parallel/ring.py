@@ -72,13 +72,18 @@ def partition_edges_ring(batch: Dict[str, np.ndarray], d: int
     ring_src = np.zeros((d, d, eb), np.int32)
     ring_dst = np.zeros((d, d, eb), np.int32)
     ring_efeats = np.zeros((d, d, eb, efeats.shape[-1]), np.float32)
+    etypes = batch.get("edge_types")
+    ring_etypes = (np.zeros((d, d, eb), np.int32)
+                   if etypes is not None else None)
     for (pd_, ps_), idxs in buckets.items():
         k = len(idxs)
         ring_src[pd_, ps_, :k] = src[idxs] % s
         ring_dst[pd_, ps_, :k] = dst[idxs] % s
         ring_efeats[pd_, ps_, :k] = efeats[idxs]
+        if ring_etypes is not None:
+            ring_etypes[pd_, ps_, :k] = etypes[idxs]   # pad type 0 = no bond
 
-    return {
+    out = {
         "node_feats_sh": nf.reshape(d, s, -1),
         "node_mask_sh": nm.reshape(d, s, 1),
         "node_graph_sh": ng.reshape(d, s),
@@ -87,6 +92,9 @@ def partition_edges_ring(batch: Dict[str, np.ndarray], d: int
         "ring_efeats": ring_efeats,
         "shard_size": s,
     }
+    if ring_etypes is not None:
+        out["ring_etypes"] = ring_etypes
+    return out
 
 
 def make_ring_spmm(mesh: Mesh, axis: str = "edge"):

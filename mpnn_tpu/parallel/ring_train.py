@@ -65,14 +65,90 @@ def _ring_edge_term(h, src_b, dst_b, pt_b, wf, axis: str, d: int):
     return acc
 
 
+def _ring_edge_term_ggnn(h, src_b, dst_b, type_b, w, axis: str, d: int):
+    """GGNN ring rounds: per-edge-TYPE matrices (T+1, mf, nf), type 0 = 0
+    matrix so padded bucket slots contribute nothing (ggnn_msg_pass.py:19)."""
+    s = h.shape[0]
+    _, mf, _ = w.shape
+    my = jax.lax.axis_index(axis)
+
+    def round_body(r, carry):
+        h_rot, acc = carry
+        q = (my - r) % d
+        types = jnp.take(type_b, q, axis=0)
+        src = jnp.take(src_b, q, axis=0)
+        dst = jnp.take(dst_b, q, axis=0)
+        v2 = jnp.einsum("tmf,nf->tnm", w, h_rot,
+                        preferred_element_type=h.dtype)
+        msg = v2[types, src]
+        acc = acc + jax.ops.segment_sum(msg, dst, num_segments=s)
+        h_next = jax.lax.ppermute(
+            h_rot, axis, perm=[(i, (i + 1) % d) for i in range(d)])
+        return h_next, acc
+
+    acc0 = jax.lax.pcast(jnp.zeros((s, mf), h.dtype), (axis,), to="varying")
+    _, acc = jax.lax.fori_loop(0, d, round_body, (h, acc0))
+    return acc
+
+
+def _ring_set2vec(rparams, x, node_mask, node_graph, num_graphs: int,
+                  axis: str, *, time_steps: int = 100,
+                  batch_softmax: bool = True):
+    """Sharded set2set readout (sparse_set2vec semantics): per-node energies
+    stay local; the softmax normalizer, attention reads, and LSTM state are
+    made GLOBAL with pmax/psum — node states never gather on one device.
+    x: (S, w) local shard rows; returns replicated (G, 2w)."""
+    from mpnn_tpu.ops.readout import _BIG_NEGATIVE, _lstm_hidden_apply
+
+    width = x.shape[-1]
+    dtype = x.dtype
+    mprev = jnp.zeros((num_graphs, 2 * width), dtype)
+    cprev = jnp.zeros((num_graphs, width), dtype)
+    add_mask = (1.0 - node_mask[:, 0]) * _BIG_NEGATIVE
+
+    def step(carry, _):
+        mprev, cprev = carry
+        m, c = _lstm_hidden_apply(rparams["lstm"], mprev, cprev)
+        query = linear_apply(rparams["q_attn"], m)          # (G, width)
+        q_per_node = query[jnp.clip(node_graph, 0, num_graphs - 1)]
+        energies = linear_apply(
+            rparams["e_attn"], jnp.tanh(q_per_node + x))[:, 0] + add_mask
+        if batch_softmax:
+            emax = jax.lax.pmax(jnp.max(energies), axis)
+            z = jnp.exp(energies - emax)
+            denom = jax.lax.psum(jnp.sum(z), axis)
+            att = z / denom
+        else:
+            emax_l = jax.ops.segment_max(energies, node_graph,
+                                         num_segments=num_graphs + 1)
+            emax = jax.lax.pmax(emax_l, axis)
+            z = jnp.exp(energies - emax[node_graph])
+            denom = jax.lax.psum(
+                jax.ops.segment_sum(z, node_graph,
+                                    num_segments=num_graphs + 1), axis)
+            att = z / denom[node_graph]
+        read = jax.lax.psum(
+            jax.ops.segment_sum(att[:, None] * x, node_graph,
+                                num_segments=num_graphs + 1)[:-1], axis)
+        m_out = jnp.concatenate([m, read], axis=1)
+        return (m_out, c), None
+
+    (m_final, _), _ = jax.lax.scan(step, (mprev, cprev), None,
+                                   length=time_steps)
+    return m_final
+
+
 def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
                            num_graphs: int = None, training: bool = True):
     """Returns fwd(params, state, ring_batch) → ((G, out), new_state) with
     everything node-sharded internally. ring_batch from
     parallel.ring.partition_edges_ring (+ 'labels'/'graph_mask' pass-through
     handled by the caller)."""
-    if cfg.message_fn != "edge_network" or cfg.readout != "graph_level":
-        raise NotImplementedError("ring forward covers the flagship family")
+    if cfg.message_fn not in ("edge_network", "ggnn") \
+            or cfg.readout not in ("graph_level", "set2vec"):
+        raise NotImplementedError(
+            "ring forward covers edge_network/ggnn messages with "
+            "graph_level/set2vec readouts")
     # the ring body uses params['message'][0] for every step and a fixed
     # cat([h, h0]) readout input — reject configs those would silently break
     if not cfg.share_message_weights and cfg.message_steps > 1:
@@ -96,16 +172,25 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
         ng = graph_mask.shape[0]
         new_state = dict(state)
 
-        # per-bucket edge-MLP penultimates (local edges only)
-        eb_feats = efeats_b[0]
-        dd, eb, fe = eb_feats.shape
         mp = params["message"][0]
-        pen, pen0, _ = _edge_penultimates(mp, eb_feats.reshape(-1, fe), cfg)
-        ptilde = (pen - pen0).reshape(dd, eb, -1)
-        pf = ptilde.shape[-1]
-        wf = mp["final"]["w"].reshape(pf, mf, nf)
-        bf = mp["final"]["b"].reshape(mf, nf)
-        a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
+        if cfg.message_fn == "ggnn":
+            # efeats_b carries the (D, Eb) int type buckets; A_0 = 0
+            type_b = efeats_b[0]
+            wg = jnp.concatenate(
+                [jnp.zeros((1, mf, nf), mp["adj_w"].dtype), mp["adj_w"]],
+                axis=0)
+            a0 = None
+        else:
+            # per-bucket edge-MLP penultimates (local edges only)
+            eb_feats = efeats_b[0]
+            dd, eb, fe = eb_feats.shape
+            pen, pen0, _ = _edge_penultimates(mp, eb_feats.reshape(-1, fe),
+                                              cfg)
+            ptilde = (pen - pen0).reshape(dd, eb, -1)
+            pf = ptilde.shape[-1]
+            wf = mp["final"]["w"].reshape(pf, mf, nf)
+            bf = mp["final"]["b"].reshape(mf, nf)
+            a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
 
         ma_bn_state = list(state.get("ma_bn", []))
         bn_state = list(state.get("bn", []))
@@ -114,13 +199,20 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
         for step in range(cfg.message_steps):
             ni = step if cfg.per_step_norms else 0
             msg_src = h0 if cfg.message_input == "initial" else h
-            edge_term = _ring_edge_term(msg_src, src_b[0], dst_b[0],
-                                        ptilde, wf, axis, d)
-            # A0 graph correction: global per-graph sums via psum
-            s_local = jax.ops.segment_sum(msg_src, node_graph,
-                                          num_segments=ng + 1)
-            s_glob = jax.lax.psum(s_local, axis)
-            msgs = edge_term + s_glob[node_graph] @ a0.T + mp["message_bias"]
+            if cfg.message_fn == "ggnn":
+                edge_term = _ring_edge_term_ggnn(msg_src, src_b[0],
+                                                 dst_b[0], type_b, wg,
+                                                 axis, d)
+                msgs = edge_term + mp["message_bias"]
+            else:
+                edge_term = _ring_edge_term(msg_src, src_b[0], dst_b[0],
+                                            ptilde, wf, axis, d)
+                # A0 graph correction: global per-graph sums via psum
+                s_local = jax.ops.segment_sum(msg_src, node_graph,
+                                              num_segments=ng + 1)
+                s_glob = jax.lax.psum(s_local, axis)
+                msgs = edge_term + s_glob[node_graph] @ a0.T \
+                    + mp["message_bias"]
             if cfg.msg_norm == "bn1d":
                 msgs, ma_bn_state[ni] = bn1d_apply(
                     params["ma_bn"][ni], ma_bn_state[ni], msgs, mask,
@@ -140,13 +232,19 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
         if bn_state:
             new_state["bn"] = bn_state
 
-        x = jnp.concatenate([h, h0], axis=-1) * mask
-        gated = jax.nn.softmax(
-            linear_apply(params["readout"]["i"], x), axis=-1) \
-            * linear_apply(params["readout"]["j"], x) * mask
-        out_local = jax.ops.segment_sum(gated, node_graph,
-                                        num_segments=ng + 1)[:-1]
-        out = jax.lax.psum(out_local, axis)
+        x = jnp.concatenate([h, h0], axis=-1)
+        if cfg.readout == "set2vec":
+            out = _ring_set2vec(params["readout"], x, mask, node_graph, ng,
+                                axis, time_steps=cfg.set2vec_steps,
+                                batch_softmax=cfg.set2vec_batch_softmax)
+        else:
+            x = x * mask
+            gated = jax.nn.softmax(
+                linear_apply(params["readout"]["i"], x), axis=-1) \
+                * linear_apply(params["readout"]["j"], x) * mask
+            out_local = jax.ops.segment_sum(gated, node_graph,
+                                            num_segments=ng + 1)[:-1]
+            out = jax.lax.psum(out_local, axis)
         return out, new_state
 
     def fwd(params, state, ring_batch, graph_mask):
@@ -156,10 +254,11 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
                       P(axis), P(axis), P()),
             out_specs=(P(), P()),
         )
+        feats = ring_batch["ring_etypes"] if cfg.message_fn == "ggnn" \
+            else ring_batch["ring_efeats"]
         return sm(params, state,
                   ring_batch["node_feats_sh"], ring_batch["node_mask_sh"],
                   ring_batch["node_graph_sh"], ring_batch["ring_src"],
-                  ring_batch["ring_dst"], ring_batch["ring_efeats"],
-                  graph_mask)
+                  ring_batch["ring_dst"], feats, graph_mask)
 
     return fwd

@@ -189,3 +189,50 @@ class TestSpmm:
                              jnp.asarray(dst))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
+
+
+class TestSddmm:
+    """Fused attention SDDMM kernel vs the XLA gather reference."""
+
+    def _batch(self, seed=0):
+        t = TestSpmm()
+        a, h, vid, src, dst, mask, node_cap = t._batch(n_graphs=20,
+                                                       seed=seed)
+        rs = np.random.RandomState(seed + 100)
+        K, NFS = t.K, t.NFS
+        evocab = rs.randn(K, 6).astype(np.float32)
+        wa = rs.randn(NFS + 6, NFS).astype(np.float32) * 0.3
+        ba = rs.randn(NFS).astype(np.float32) * 0.1
+        return a, evocab, wa, ba, h, vid, src, dst, mask, node_cap
+
+    def test_forward_and_grad_parity(self):
+        from mpnn_tpu.kernels.sddmm import (make_sddmm_op,
+                                            sddmm_att_reference)
+        from mpnn_tpu.kernels.spmm import plan_edge_windows
+        a, evocab, wa, ba, h, vid, src, dst, mask, node_cap = self._batch()
+        plan = plan_edge_windows(src, dst, mask, node_cap, block_edges=128)
+        op = make_sddmm_op(block_edges=plan.block_edges,
+                           window=plan.window, interpret=True)
+        args = tuple(jnp.asarray(x) for x in
+                     (a, evocab, wa, ba, h, vid, src, dst))
+        w = jnp.asarray(plan.win_start)
+        out = op(*args, w)
+        ref = sddmm_att_reference(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+        gt = jnp.asarray(np.random.RandomState(5).randn(
+            *ref.shape).astype(np.float32))
+
+        def lk(a_, ev_, wa_, ba_, h_):
+            return (op(a_, ev_, wa_, ba_, h_, *args[5:], w) * gt).sum()
+
+        def lr(a_, ev_, wa_, ba_, h_):
+            return (sddmm_att_reference(a_, ev_, wa_, ba_, h_,
+                                        *args[5:]) * gt).sum()
+
+        gk = jax.grad(lk, argnums=(0, 1, 2, 3, 4))(*args[:5])
+        gr = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(*args[:5])
+        for x, y in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-4)

@@ -168,3 +168,60 @@ class TestRingForward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-2,
                 err_msg=jax.tree_util.keystr(path))
+
+    def test_ggnn_forward_parity(self):
+        """GGNN under the ring (A0 = 0 — no graph correction needed)."""
+        from mpnn_tpu.graphs import attach_edge_types, with_edge_types
+        from mpnn_tpu.parallel.ring_train import make_ring_mpnn_forward
+        gs = G.generate_molgraphs(SMILES,
+                                  [0.1 * i for i in range(len(SMILES))])
+        attach_edge_types(gs)
+        gs, ge = G.encode_molgraphs(gs)
+        nf = ge.atom_width()
+        cfg = models.MPNNConfig(
+            node_features=nf, edge_features=4, ggnn_num_edge_types=4,
+            message_features=nf, output_dim=8, message_fn="ggnn",
+            message_steps=3, msg_norm="bn1d", state_norm="bn1d")
+        params, state = models.mpnn_init(jax.random.PRNGKey(5), cfg)
+        packed = with_edge_types(G.collate_packed(gs).as_dict(), gs)
+        jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in packed.items()}
+        want, _ = sparse_mpnn_apply(params, state, cfg, jb, training=True)
+
+        rb_np = partition_edges_ring(packed, 4)
+        assert "ring_etypes" in rb_np
+        rb = {k: jnp.asarray(v) for k, v in rb_np.items()
+              if not np.isscalar(v)}
+        mesh = parallel.make_mesh(data=2, edge=4)
+        fwd = make_ring_mpnn_forward(cfg, mesh)
+        got, _ = jax.jit(
+            lambda p, s: fwd(p, s, rb, jnp.asarray(packed["graph_mask"]))
+        )(params, state)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4)
+
+    @pytest.mark.parametrize("batch_softmax", [True, False])
+    def test_set2vec_forward_parity(self, batch_softmax):
+        """set2vec readout under the ring: psum'd softmax normalizers and
+        attention reads must equal the packed sparse_set2vec."""
+        from mpnn_tpu.parallel.ring_train import make_ring_mpnn_forward
+        import dataclasses
+        cfg, params, state, packed = self._setup()
+        cfg = dataclasses.replace(cfg, readout="set2vec", set2vec_steps=7,
+                                  set2vec_batch_softmax=batch_softmax,
+                                  output_dim=cfg.node_features)
+        params, state = models.mpnn_init(jax.random.PRNGKey(13), cfg)
+        jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in packed.items()}
+        want, _ = sparse_mpnn_apply(params, state, cfg, jb, training=True)
+
+        rb_np = partition_edges_ring(packed, 4)
+        rb = {k: jnp.asarray(v) for k, v in rb_np.items()
+              if not np.isscalar(v)}
+        mesh = parallel.make_mesh(data=2, edge=4)
+        fwd = make_ring_mpnn_forward(cfg, mesh)
+        got, _ = jax.jit(
+            lambda p, s: fwd(p, s, rb, jnp.asarray(packed["graph_mask"]))
+        )(params, state)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4)

@@ -176,6 +176,41 @@ def test_spmm_kernel_through_full_model():
                                        rtol=2e-3, atol=2e-3)
 
 
+def test_sddmm_kernel_through_full_model():
+    """att_edge_network (adj and att aggregations) with the fused SDDMM
+    kernel (interpret) must match the XLA sparse path — fwd and grads."""
+    from mpnn_tpu.kernels.sddmm import make_sddmm_op
+    from mpnn_tpu.kernels.spmm import attach_spmm_plan
+    gs, ge = setup_graphs()
+    _, packed = dense_and_packed(gs)
+    pb = {k: np.asarray(v) if not np.isscalar(v) else v
+          for k, v in packed.items()}
+    pb = G.attach_edge_vocab(pb)
+    pb = attach_spmm_plan(pb, block_edges=128)
+    op = make_sddmm_op(block_edges=pb.pop("spmm_block_edges"),
+                       window=pb.pop("spmm_window"), interpret=True)
+    pbj = {k: jnp.asarray(v) if not np.isscalar(v) else v
+           for k, v in pb.items()}
+    for agg in ("adj", "att"):
+        cfg = mpnn_cfg(ge, message_fn="att_edge_network", aggregation=agg)
+        params, state = models.mpnn_init(jax.random.PRNGKey(21), cfg)
+
+        def loss(p, k):
+            out, _ = sparse_mpnn_apply(p, state, cfg, pbj, training=True,
+                                       sddmm_fn=op if k else None)
+            return (out ** 2).mean(), out
+
+        (l0, o0), g0 = jax.value_and_grad(
+            lambda p: loss(p, False), has_aux=True)(params)
+        (l1, o1), g1 = jax.value_and_grad(
+            lambda p: loss(p, True), has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   atol=2e-4, err_msg=agg)
+        for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-3, atol=2e-3, err_msg=agg)
+
+
 def test_edge_vocab_overflow_falls_back():
     """Continuous edge features blow the vocab cap → keys absent, per-edge
     path used (no crash, no silent wrong result)."""
