@@ -1,9 +1,16 @@
-"""Batching iterators: shuffle + bucket-grouped static-shape batches.
+"""Batching iterators: shuffle + bucketed static-shape batches.
 
 Replaces torch DataLoader(GraphDataSet, collate_fn) (data_loader.py:91-104,
-test.py:115). Bucketed mode groups same-bucket graphs so every batch of a
-bucket compiles once (SURVEY.md §7 static-shape strategy); plain mode mirrors
-the reference's per-batch max padding.
+test.py:115). Dense batch SHAPES always round up to size buckets (bounded
+compile count, SURVEY.md §7); packed batches use one fixed shape per run.
+
+`bucketed` controls only the batch COMPOSITION: True groups same-bucket
+graphs (minimum padding waste), False (default) keeps the reference's pure
+random composition. Default False is deliberate — size-homogeneous batches
+make the masked BatchNorm statistics non-stationary across steps, which
+stalls the BN-heavy flagship config (train loss 2.9 vs 0.58 after 6 epochs
+on the synthetic lipo task). Opt into True for BN-free models where padding
+FLOPs dominate.
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ class GraphLoader:
     def __init__(self, graphs: List[MolGraph], batch_size: int,
                  shuffle: bool = False, seed: int = 317,
                  collate: str = "dense",
-                 bucketed: bool = True,
+                 bucketed: bool = False,
                  buckets: Sequence[int] = DEFAULT_NODE_BUCKETS,
                  drop_last: bool = False,
                  with_nafm: bool = True,
@@ -79,11 +86,24 @@ class GraphLoader:
         idx = np.arange(len(self.graphs))
         if self.shuffle:
             self.rng.shuffle(idx)
-        if self.bucketed:
-            # stable sort by bucket keeps the shuffle inside each bucket
+        # Packed batches have ONE fixed shape per run (fixed_packed_caps),
+        # so grouping by size buys nothing — and size-sorted batches are
+        # actively harmful: their homogeneous composition makes the masked
+        # BatchNorm statistics non-stationary across steps, which stalls
+        # the BN-heavy flagship config (measured: train loss 2.9 vs 0.58
+        # after 6 epochs). Keep the pure shuffle for packed collation.
+        if self.bucketed and self.collate != "packed":
+            # dense: graphs must share a bucket within a batch for static
+            # shapes — but the BATCH ORDER is re-shuffled so consecutive
+            # steps still mix sizes
             keys = np.asarray([bucket_for(self.graphs[i].num_atoms,
                                           self.buckets) for i in idx])
             idx = idx[np.argsort(keys, kind="stable")]
+            bs = self.batch_size
+            starts = np.arange(0, len(idx), bs)
+            if self.shuffle:
+                self.rng.shuffle(starts)
+            idx = np.concatenate([idx[s:s + bs] for s in starts])
         return idx
 
     def __iter__(self) -> Iterator[dict]:
@@ -94,9 +114,10 @@ class GraphLoader:
             if self.drop_last and len(chunk) < bs:
                 break
             if self.collate == "dense":
+                # shapes ALWAYS bucket (bounded compile count) — `bucketed`
+                # only controls whether the ORDERING groups sizes
                 cap = max(bucket_for(g.num_atoms, self.buckets)
-                          for g in chunk) if self.bucketed else \
-                    max(g.num_atoms for g in chunk)
+                          for g in chunk)
                 if self.use_native:
                     from mpnn_tpu import native
                     batch = native.pack_dense_native(chunk, n_cap=cap)

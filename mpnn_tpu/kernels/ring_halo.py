@@ -1,0 +1,212 @@
+"""Pallas TPU ring SpMM with OVERLAPPED halo exchange (async remote copy).
+
+parallel/ring.py runs the D-round ring with `lax.ppermute`: XLA may or may
+not overlap the permute with the local contraction. This kernel makes the
+overlap explicit and guaranteed — the distributed-backend component named
+in SURVEY.md §5 (`make_async_remote_copy` double-buffered halo exchange):
+
+  round r (device p, shard q = (p − r) mod D in hand):
+    1. START the RDMA of the current node shard to the right neighbor's
+       other buffer slot (pltpu.make_async_remote_copy, ICI);
+    2. while it flies, contract bucket[q]'s edges against the resident
+       shard (the same windowless one-hot gather/contract/scatter as
+       kernels/spmm.py, A-form: msg_e = A[vid_e] · h_src) and accumulate
+       into the local output shard;
+    3. WAIT both semaphores; swap buffers.
+
+Node shards stay ≤ VMEM: the one-hot masks are (Eb, S), so S (shard rows)
+up to ~4k and edge buckets of ≤1k fit comfortably.
+
+Gradients: the public op's backward is the VJP of the ppermute reference
+(`ring_halo_reference`, identical math), so jax.grad through a ring
+forward keeps working; the kernel accelerates the forward path.
+
+Parity (8-device virtual CPU mesh, interpret mode): tests/test_ring.py::
+TestRingHalo vs both the reference ring and the unsharded SpMM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _halo_kernel(my_ref, vidb_ref, srcb_ref, dstb_ref, a2_ref, h_ref,
+                 out_ref, hbuf, send_sem, recv_sem,
+                 *, d: int, kmats: int, mf: int, axis: str,
+                 single_axis: bool):
+    my = my_ref[0]
+    s, nf = h_ref.shape
+    eb = srcb_ref.shape[1]
+    kmf = kmats * mf
+    dtype = h_ref.dtype
+    out_ref[:] = jnp.zeros_like(out_ref)
+    hbuf[0] = h_ref[:]
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (eb, s), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (eb, kmf), 1)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 0) % mf
+           == jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 1)
+           ).astype(dtype)
+    right = jax.lax.rem(my + 1, d)
+
+    def round_body(r, _):
+        cur = jax.lax.rem(r, 2)
+        nxt = jax.lax.rem(r + 1, 2)
+        q = jax.lax.rem(my - r + d, d)          # shard id of resident h
+
+        # 1) launch the halo exchange for the NEXT round
+        def _rdma():
+            # single-axis meshes take a plain logical index; multi-axis
+            # meshes need the {axis: index} MESH form
+            if single_axis:
+                return pltpu.make_async_remote_copy(
+                    hbuf.at[cur], hbuf.at[nxt],
+                    send_sem.at[cur], recv_sem.at[nxt],
+                    device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+            return pltpu.make_async_remote_copy(
+                hbuf.at[cur], hbuf.at[nxt],
+                send_sem.at[cur], recv_sem.at[nxt],
+                device_id={axis: right},
+                device_id_type=pltpu.DeviceIdType.MESH)
+
+        last = r == d - 1
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            _rdma().start()
+
+        # 2) overlap: contract bucket q against the resident shard
+        hq = hbuf[cur]                          # (S, nf)
+        src = srcb_ref[q, :]
+        dst = dstb_ref[q, :]
+        vid = vidb_ref[q, :]
+        oh_src = (iota_s == src[:, None]).astype(dtype)
+        hs = jnp.dot(oh_src, hq, preferred_element_type=dtype)
+        bulk = jnp.dot(hs, a2_ref[:], preferred_element_type=dtype)
+        ohm = (lane // mf == vid[:, None]).astype(dtype)
+        msgs = jnp.dot(ohm * bulk, sel, preferred_element_type=dtype)
+        oh_dst = (iota_s == dst[:, None]).astype(dtype)
+        out_ref[:] += jnp.dot(oh_dst.T, msgs, preferred_element_type=dtype)
+
+        # 3) wait for the in-flight exchange before the next round
+        @pl.when(jnp.logical_not(last))
+        def _():
+            _rdma().wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, d, round_body, 0)
+
+
+def make_ring_halo_spmm(mesh: Mesh, axis: str = "edge", *,
+                        interpret: bool = False):
+    """Returns ring_fn(h_sh (D,S,nf), vid_b (D,D,Eb), src_b, dst_b,
+    amat (K,mf,nf)) → (D,S,mf): out[p][dst] += A[vid]·h[src-shard], every
+    halo exchange overlapped with the local contraction. Gradients via the
+    ppermute reference."""
+    d = mesh.shape[axis]
+
+    def local(h_sh, vid_b, src_b, dst_b, amat):
+        h = h_sh[0]
+        s, nf = h.shape
+        k, mf, _ = amat.shape
+        a2 = jnp.transpose(amat, (2, 0, 1)).reshape(nf, k * mf)
+        my = jax.lax.axis_index(axis).reshape(1)
+        kernel = functools.partial(_halo_kernel, d=d, kmats=k, mf=mf,
+                                   axis=axis,
+                                   single_axis=len(mesh.shape) == 1)
+        eb = src_b.shape[-1]
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, s, nf), h.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]),
+            out_shape=jax.ShapeDtypeStruct((s, mf), h.dtype),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=1),
+        )(my, vid_b[0], src_b[0], dst_b[0], a2, h)
+        return out[None]
+
+    def ring_fn(h_sh, vid_b, src_b, dst_b, amat):
+        # a cheap psum barrier keeps devices in lockstep entering the
+        # kernel (all buffers allocated before any RDMA lands)
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=P(axis), check_vma=False,
+        )(h_sh, vid_b, src_b, dst_b, amat)
+
+    @jax.custom_vjp
+    def op(h_sh, vid_b, src_b, dst_b, amat):
+        return ring_fn(h_sh, vid_b, src_b, dst_b, amat)
+
+    def fwd(h_sh, vid_b, src_b, dst_b, amat):
+        return (ring_fn(h_sh, vid_b, src_b, dst_b, amat),
+                (h_sh, vid_b, src_b, dst_b, amat))
+
+    def bwd(res, g):
+        h_sh, vid_b, src_b, dst_b, amat = res
+        ref = make_ring_halo_reference(mesh, axis)
+        _, vjp = jax.vjp(lambda h, a: ref(h, vid_b, src_b, dst_b, a),
+                         h_sh, amat)
+        dh, da = vjp(g)
+        return dh, None, None, None, da
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def make_ring_halo_reference(mesh: Mesh, axis: str = "edge"):
+    """ppermute (XLA) statement of the same A-form ring — parity oracle and
+    backward path for the overlapped kernel."""
+    d = mesh.shape[axis]
+
+    def local(h_sh, vid_b, src_b, dst_b, amat):
+        h = h_sh[0]
+        s = h.shape[0]
+        k, mf, nf = amat.shape
+        my = jax.lax.axis_index(axis)
+
+        def round_body(r, carry):
+            h_rot, acc = carry
+            q = (my - r) % d
+            vid = jnp.take(vid_b[0], q, axis=0)
+            src = jnp.take(src_b[0], q, axis=0)
+            dst = jnp.take(dst_b[0], q, axis=0)
+            v2 = jnp.einsum("kmf,nf->knm", amat, h_rot,
+                            preferred_element_type=h.dtype)
+            msg = v2[vid, src]
+            acc = acc + jax.ops.segment_sum(msg, dst, num_segments=s)
+            h_next = jax.lax.ppermute(
+                h_rot, axis, perm=[(i, (i + 1) % d) for i in range(d)])
+            return h_next, acc
+
+        acc0 = jax.lax.pcast(jnp.zeros((s, mf), h.dtype), (axis,),
+                             to="varying")
+        _, acc = jax.lax.fori_loop(0, d, round_body, (h, acc0))
+        return acc[None]
+
+    def ring_fn(h_sh, vid_b, src_b, dst_b, amat):
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=P(axis),
+        )(h_sh, vid_b, src_b, dst_b, amat)
+
+    return ring_fn

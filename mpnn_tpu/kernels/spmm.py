@@ -132,10 +132,15 @@ def _pad_edges(x, rows):
 
 
 # ---------------------------------------------------------------------------
-# forward kernel
+# forward kernels — two layouts:
+#   * 'vmem': h/out fully VMEM-resident (fastest; fits up to ~16k nodes —
+#     the (N, nf) buffer pads nf to 128 lanes in VMEM)
+#   * 'hbm' : h/out stay in HBM with the features padded to a 128-lane
+#     panel; each block DMAs only its node WINDOW into VMEM (scales to any
+#     node count; Mosaic requires 128-aligned DMA slice widths)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_ref, out_ref,
+def _fwd_kernel_vmem(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_ref, out_ref,
                 *, window: int, kmats: int, mf: int):
     # edge index arrays arrive as FULL (nblk, BE) VMEM buffers (a (1, BE)
     # block would violate the (8, 128) tile rule); row i is this block's
@@ -175,7 +180,8 @@ def _fwd_kernel(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_ref, out_ref,
     out_ref[pl.ds(ws, window), :] = cur + contrib
 
 
-def _spmm_fwd(a, h, vid, src, dst, win_start, *, block_edges: int,
+
+def _spmm_fwd_vmem(a, h, vid, src, dst, win_start, *, block_edges: int,
               window: int, interpret: bool = False):
     """a: (K, mf, nf); h: (N, nf) → (N, mf)."""
     k, mf, nf = a.shape
@@ -188,7 +194,7 @@ def _spmm_fwd(a, h, vid, src, dst, win_start, *, block_edges: int,
     dst2 = _pad_edges(dst, ep).reshape(nblk, block_edges)
     vid2 = _pad_edges(vid, ep).reshape(nblk, block_edges)
 
-    kernel = functools.partial(_fwd_kernel, window=window, kmats=k, mf=mf)
+    kernel = functools.partial(_fwd_kernel_vmem, window=window, kmats=k, mf=mf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
@@ -215,11 +221,114 @@ def _spmm_fwd(a, h, vid, src, dst, win_start, *, block_edges: int,
     )(win_start, src2, dst2, vid2, a2, h)
 
 
+
+
+def _fwd_kernel_hbm(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_hbm,
+                    zero_ref, out_hbm, hw, ow, sems,
+                    *, window: int, kmats: int, mf: int, mfp: int):
+    # h and out live in HBM — VMEM holds only one node WINDOW at a time, so
+    # the kernel scales to any node count (a full (N, nf) f32 buffer pads
+    # nf to 128 lanes and blows the 16MB scoped-VMEM limit past ~30k nodes)
+    i = pl.program_id(0)
+    ws = win_ref[i]
+    be = src_ref.shape[1]
+    kmf = kmats * mf
+    dtype = hw.dtype
+
+    cp_h = pltpu.make_async_copy(h_hbm.at[pl.ds(ws, window), :], hw,
+                                 sems.at[0])
+    cp_o = pltpu.make_async_copy(out_hbm.at[pl.ds(ws, window), :], ow,
+                                 sems.at[1])
+    cp_h.start()
+    cp_o.start()
+
+    src = src_ref[i, :] - ws
+    dst = dst_ref[i, :] - ws
+    vid = vid_ref[i, :]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
+    oh_src = (iota_w == src[:, None]).astype(dtype)
+    # select vocab-id block per edge WITHOUT 3D reshapes (Mosaic-friendly):
+    #   ohm[e, k·mf+m] = 1[vid_e = k];  msgs = (ohm ⊙ bulk) @ S,
+    #   S[k·mf+m, m'] = 1[m = m']  (strided column-group reduction as MXU)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (be, kmf), 1)
+    ohm = (lane // mf == vid[:, None]).astype(dtype)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (kmf, mfp), 0) % mf
+           == jax.lax.broadcasted_iota(jnp.int32, (kmf, mfp), 1)
+           ).astype(dtype)
+    oh_dst = (iota_w == dst[:, None]).astype(dtype)
+
+    cp_h.wait()
+    hs = jnp.dot(oh_src, hw[:], preferred_element_type=dtype)  # (BE, nf)
+    bulk = jnp.dot(hs, a2_ref[:],
+                   preferred_element_type=dtype)               # (BE, K·mf)
+    msgs = jnp.dot(ohm * bulk, sel,
+                   preferred_element_type=dtype)               # (BE, mf)
+    contrib = jnp.dot(oh_dst.T, msgs,
+                      preferred_element_type=dtype)            # (W, mf)
+    cp_o.wait()
+    ow[:] = ow[:] + contrib
+    wb = pltpu.make_async_copy(ow, out_hbm.at[pl.ds(ws, window), :],
+                               sems.at[1])
+    wb.start()
+    wb.wait()
+
+
+def _spmm_fwd_hbm(a, h, vid, src, dst, win_start, *, block_edges: int,
+                  window: int, interpret: bool = False, lanes: int = 128):
+    """a: (K, mf, nf); h: (N, nf) → (N, mf). Feature dims are padded to a
+    128-lane panel so the window DMAs satisfy Mosaic's alignment rule."""
+    k, mf, nf = a.shape
+    n = h.shape[0]
+    e = src.shape[0]
+    nblk = _round_up(e, block_edges) // block_edges
+    ep = nblk * block_edges
+    a2 = jnp.transpose(a, (2, 0, 1)).reshape(nf, k * mf)    # (nf, K·mf)
+    a2 = jnp.pad(a2, ((0, lanes - nf), (0, 0)))             # (128, K·mf)
+    hp = jnp.pad(h, ((0, 0), (0, lanes - nf)))              # (N, 128)
+    src2 = _pad_edges(src, ep).reshape(nblk, block_edges)
+    dst2 = _pad_edges(dst, ep).reshape(nblk, block_edges)
+    vid2 = _pad_edges(vid, ep).reshape(nblk, block_edges)
+    zeros = jnp.zeros((n, lanes), h.dtype)
+
+    kernel = functools.partial(_fwd_kernel_hbm, window=window, kmats=k,
+                               mf=mf, mfp=lanes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, k * mf), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # h stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),       # zero-init of out
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((window, lanes), h.dtype),
+            pltpu.VMEM((window, lanes), h.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, lanes), h.dtype),
+        input_output_aliases={6: 0},     # pre-zeroed out accumulates in HBM
+        interpret=interpret,
+    )(win_start, src2, dst2, vid2, a2, hp, zeros)
+    return out[:, :mf]
+
+
 # ---------------------------------------------------------------------------
-# backward kernel for dA
+# backward kernels for dA
 # ---------------------------------------------------------------------------
 
-def _da_kernel(win_ref, src_ref, dst_ref, vid_ref, h_ref, g_ref, da_ref,
+def _da_kernel_vmem(win_ref, src_ref, dst_ref, vid_ref, h_ref, g_ref, da_ref,
                *, window: int, kmats: int, mf: int):
     i = pl.program_id(0)
 
@@ -254,7 +363,8 @@ def _da_kernel(win_ref, src_ref, dst_ref, vid_ref, h_ref, g_ref, da_ref,
     da_ref[:] += jnp.dot(gk.T, hs, preferred_element_type=dtype)
 
 
-def _spmm_da(a_shape, h, g, vid, src, dst, win_start, *, block_edges: int,
+
+def _spmm_da_vmem(a_shape, h, g, vid, src, dst, win_start, *, block_edges: int,
              window: int, interpret: bool = False):
     k, mf, nf = a_shape
     n = h.shape[0]
@@ -265,7 +375,7 @@ def _spmm_da(a_shape, h, g, vid, src, dst, win_start, *, block_edges: int,
     dst2 = _pad_edges(dst, ep).reshape(nblk, block_edges)
     vid2 = _pad_edges(vid, ep).reshape(nblk, block_edges)
 
-    kernel = functools.partial(_da_kernel, window=window, kmats=k, mf=mf)
+    kernel = functools.partial(_da_kernel_vmem, window=window, kmats=k, mf=mf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
@@ -293,39 +403,145 @@ def _spmm_da(a_shape, h, g, vid, src, dst, win_start, *, block_edges: int,
     return da2.reshape(k, mf, nf)
 
 
+
+
+def _da_kernel_hbm(win_ref, src_ref, dst_ref, vid_ref, h_hbm, g_hbm,
+                   da_ref, hw, gw, sems,
+                   *, window: int, kmats: int, mf: int, mfp: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    ws = win_ref[i]
+    be = src_ref.shape[1]
+    dtype = hw.dtype
+    cp_h = pltpu.make_async_copy(h_hbm.at[pl.ds(ws, window), :], hw,
+                                 sems.at[0])
+    cp_g = pltpu.make_async_copy(g_hbm.at[pl.ds(ws, window), :], gw,
+                                 sems.at[1])
+    cp_h.start()
+    cp_g.start()
+    src = src_ref[i, :] - ws
+    dst = dst_ref[i, :] - ws
+    vid = vid_ref[i, :]
+    kmf = kmats * mf
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
+    oh_src = (iota_w == src[:, None]).astype(dtype)
+    oh_dst = (iota_w == dst[:, None]).astype(dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (be, kmf), 1)
+    ohm = (lane // mf == vid[:, None]).astype(dtype)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (kmf, mfp), 0) % mf
+           == jax.lax.broadcasted_iota(jnp.int32, (kmf, mfp), 1)
+           ).astype(dtype)
+    cp_h.wait()
+    cp_g.wait()
+    hs = jnp.dot(oh_src, hw[:], preferred_element_type=dtype)  # (BE, 128)
+    gd = jnp.dot(oh_dst, gw[:], preferred_element_type=dtype)  # (BE, 128)
+    # gk[e, k·mf+m] = 1[vid_e=k]·gd[e,m]  → dA2 += gkᵀ @ hs  (K·mf, 128)
+    # 2D only (Mosaic): tile gd over k with the selection matrix Sᵀ, then
+    # mask by the lane-expanded vocab one-hot
+    gdr = jnp.dot(gd, sel.T, preferred_element_type=dtype)   # (BE, K·mf)
+    gk = ohm * gdr
+    da_ref[:] += jnp.dot(gk.T, hs, preferred_element_type=dtype)
+
+
+def _spmm_da_hbm(a_shape, h, g, vid, src, dst, win_start, *,
+                 block_edges: int, window: int, interpret: bool = False,
+                 lanes: int = 128):
+    k, mf, nf = a_shape
+    n = h.shape[0]
+    e = src.shape[0]
+    nblk = _round_up(e, block_edges) // block_edges
+    ep = nblk * block_edges
+    hp = jnp.pad(h, ((0, 0), (0, lanes - h.shape[1])))
+    gp = jnp.pad(g, ((0, 0), (0, lanes - g.shape[1])))
+    src2 = _pad_edges(src, ep).reshape(nblk, block_edges)
+    dst2 = _pad_edges(dst, ep).reshape(nblk, block_edges)
+    vid2 = _pad_edges(vid, ep).reshape(nblk, block_edges)
+
+    kernel = functools.partial(_da_kernel_hbm, window=window, kmats=k,
+                               mf=mf, mfp=lanes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, block_edges), lambda i, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # h in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),       # g in HBM
+        ],
+        out_specs=pl.BlockSpec((k * mf, lanes), lambda i, w: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((window, lanes), h.dtype),
+            pltpu.VMEM((window, lanes), h.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    da2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k * mf, lanes), h.dtype),
+        interpret=interpret,
+    )(win_start, src2, dst2, vid2, hp, gp)
+    return da2[:, :nf].reshape(k, mf, nf)
+
+
 # ---------------------------------------------------------------------------
 # public custom-VJP op
 # ---------------------------------------------------------------------------
 
+# up to this node count the fully-VMEM layout fits the 16MB scoped budget
+# (the (N, nf) buffer pads nf to 128 lanes: N·128·4B ≈ 8MB at 16k nodes)
+VMEM_LAYOUT_MAX_NODES = 16384
+
+
 def make_spmm_op(block_edges: int = 512, window: int = 512,
-                 interpret: bool = False):
+                 interpret: bool = False, layout: str = "auto"):
     """Returns spmm(a, h, vid, src, dst, win_start) → (N, mf) with the
     Pallas forward and a fused Pallas backward. Static shapes:
     a (K, mf, nf), h (N, nf), vid/src/dst (E,) int32,
-    win_start (ceil(E/block_edges),) int32 from plan_edge_windows."""
+    win_start (ceil(E/block_edges),) int32 from plan_edge_windows.
+
+    layout: 'vmem' (h/out resident, fastest, ≤ ~16k nodes), 'hbm'
+    (window DMAs, any size), or 'auto' (pick by node count)."""
+
+    def pick(n):
+        if layout != "auto":
+            return layout
+        return "vmem" if n <= VMEM_LAYOUT_MAX_NODES else "hbm"
+
+    def run_fwd(a, h, vid, src, dst, win_start):
+        fn = _spmm_fwd_vmem if pick(h.shape[0]) == "vmem" else _spmm_fwd_hbm
+        return fn(a, h, vid, src, dst, win_start, block_edges=block_edges,
+                  window=window, interpret=interpret)
+
+    def run_da(a_shape, h, g, vid, src, dst, win_start):
+        fn = _spmm_da_vmem if pick(h.shape[0]) == "vmem" else _spmm_da_hbm
+        return fn(a_shape, h, g, vid, src, dst, win_start,
+                  block_edges=block_edges, window=window,
+                  interpret=interpret)
 
     @jax.custom_vjp
     def op(a, h, vid, src, dst, win_start):
-        return _spmm_fwd(a, h, vid, src, dst, win_start,
-                         block_edges=block_edges, window=window,
-                         interpret=interpret)
+        return run_fwd(a, h, vid, src, dst, win_start)
 
     def fwd(a, h, vid, src, dst, win_start):
-        out = _spmm_fwd(a, h, vid, src, dst, win_start,
-                        block_edges=block_edges, window=window,
-                        interpret=interpret)
-        return out, (a, h, vid, src, dst, win_start)
+        return (run_fwd(a, h, vid, src, dst, win_start),
+                (a, h, vid, src, dst, win_start))
 
     def bwd(res, g):
         a, h, vid, src, dst, win_start = res
         at = jnp.transpose(a, (0, 2, 1))          # (K, nf, mf)
         # transpose graph: out[s] += Aᵀ[vid] g[dst]  → swap src/dst
-        dh = _spmm_fwd(at, g, vid, dst, src, win_start,
-                       block_edges=block_edges, window=window,
-                       interpret=interpret)
-        da = _spmm_da(a.shape, h, g, vid, src, dst, win_start,
-                      block_edges=block_edges, window=window,
-                      interpret=interpret)
+        dh = run_fwd(at, g, vid, dst, src, win_start)
+        da = run_da(a.shape, h, g, vid, src, dst, win_start)
         return da, dh, None, None, None, None
 
     op.defvjp(fwd, bwd)

@@ -183,11 +183,18 @@ def main():
     label_std = float(np.std([g.label for g in tr + va]))
 
     # ---- ours: full driver config (lipo network incl. halving head) ------
+    # Both sides start from the SAME initial weights (the torch draw,
+    # transplanted): the ×50 weight-shared relu tail's output scale is a
+    # SEED LOTTERY under the reference init (spectral radius of one shared
+    # matrix raised to the 50th power), so independent draws measure luck,
+    # not framework quality. tests/test_parity_lockstep.py proves the
+    # transplanted models compute identical functions.
     import dataclasses
+    import torch
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from mpnn_tpu.models import build as build_net
+    from mpnn_tpu.models import build as build_net, network_init
     from mpnn_tpu.models.network import network_apply_packed
     from mpnn_tpu.train import trainer
     from mpnn_tpu import graphs as G
@@ -197,12 +204,21 @@ def main():
     m = dataclasses.replace(cfg.mpnn, edge_mlp_tail_repeats=args.tail,
                             message_steps=6)
     cfg = dataclasses.replace(cfg, mpnn=m)
+
+    out_dim = 2 * ge.atom_width()
+    torch.manual_seed(args.seed)
+    full_t = build_full_torch(ge.atom_width(), 3, ge.bond_width(), out_dim,
+                              args.tail, 6)
+    params, state = network_init(jax.random.PRNGKey(args.seed), cfg)
+    params = transplant_torch_to_jax(full_t, params)
+
     tcfg = trainer.TrainConfig(epochs=args.epochs, batch_size=args.bs,
                                learning_rate=1e-2, weight_decay=1e-4,
                                loss="mse", packed=True, plateau=True,
                                seed=args.seed, shuffle=True)
     t0 = time.time()
-    params, state, _, hist = trainer.train(cfg, tcfg, tr, va)
+    params, state, _, hist = trainer.train(cfg, tcfg, tr, va,
+                                           params=params, state=state)
     ours_t = time.time() - t0
 
     # held-out RMSE in TRAINING mode (batch statistics) — the torch
@@ -212,10 +228,8 @@ def main():
     out, _ = network_apply_packed(params, state, cfg, jb, training=True)
     ours_rmse = float(np.sqrt(np.mean((np.asarray(out)[:, 0] - y_va) ** 2)))
 
-    # ---- torch restatement: FULL faithful driver -------------------------
-    import torch
+    # ---- torch restatement: FULL faithful driver (same init weights) -----
     from scripts.measure_baseline_torch import DenseLipoModel
-    torch.manual_seed(args.seed)
     ncap = max(g.num_atoms for g in tr + va)
     ncap = int(-(-ncap // 8) * 8)
 
@@ -252,9 +266,6 @@ def main():
         rmse = float(np.sqrt(np.mean((np.concatenate(preds) - y_va) ** 2)))
         return rmse, dt
 
-    out_dim = 2 * ge.atom_width()
-    full_t = build_full_torch(ge.atom_width(), 3, ge.bond_width(), out_dim,
-                              args.tail, 6)
     torch_full_rmse, torch_full_t = train_torch(
         full_t, lambda m, b: m(*b[:5]))
 

@@ -115,14 +115,15 @@ class TestSpmm:
         a_mats[0] = 0                   # id 0 = zero matrix (padding)
         return a_mats, h, vid, src, dst, mask, node_cap
 
-    def test_plan_and_forward_parity(self):
+    @pytest.mark.parametrize("layout", ["vmem", "hbm"])
+    def test_plan_and_forward_parity(self, layout):
         from mpnn_tpu.kernels.spmm import (make_spmm_op, plan_edge_windows,
                                            spmm_reference)
         a, h, vid, src, dst, mask, node_cap = self._batch()
         plan = plan_edge_windows(src, dst, mask, node_cap, block_edges=128)
         assert plan is not None
         op = make_spmm_op(block_edges=plan.block_edges, window=plan.window,
-                          interpret=True)
+                          interpret=True, layout=layout)
         out = op(jnp.asarray(a), jnp.asarray(h), jnp.asarray(vid),
                  jnp.asarray(src), jnp.asarray(dst),
                  jnp.asarray(plan.win_start))
@@ -132,13 +133,14 @@ class TestSpmm:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
 
-    def test_grad_parity(self):
+    @pytest.mark.parametrize("layout", ["vmem", "hbm"])
+    def test_grad_parity(self, layout):
         from mpnn_tpu.kernels.spmm import (make_spmm_op, plan_edge_windows,
                                            spmm_reference)
         a, h, vid, src, dst, mask, node_cap = self._batch(n_graphs=12, seed=3)
         plan = plan_edge_windows(src, dst, mask, node_cap, block_edges=128)
         op = make_spmm_op(block_edges=plan.block_edges, window=plan.window,
-                          interpret=True)
+                          interpret=True, layout=layout)
         va, vh = jnp.asarray(a), jnp.asarray(h)
         args = (jnp.asarray(vid), jnp.asarray(src), jnp.asarray(dst))
         w = jnp.asarray(plan.win_start)
