@@ -65,8 +65,22 @@ def flagship_mpnn_cfg(ge):
         edge_mlp_tail_repeats=50)
 
 
+def att_mpnn_cfg(ge):
+    """Attention family (test_adv.py semantics: AttEdgeNetwork + att
+    aggregation + set2vec readout, update hidden = initial)."""
+    from mpnn_tpu import models
+    nf = ge.atom_width() + 3
+    return models.MPNNConfig(
+        node_features=nf, edge_features=ge.bond_width(),
+        message_features=nf, output_dim=4 * nf,
+        message_fn="att_edge_network", aggregation="att",
+        readout="set2vec", set2vec_steps=12, update_hidden="initial",
+        message_steps=3, edge_mlp_tail_repeats=50)
+
+
 def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
-                 use_vocab: bool = True, spmm: str = "xla"):
+                 use_vocab: bool = True, spmm: str = "kernel",
+                 spmm_block: int = 512, model: str = "flagship"):
     import functools
     import jax
     import jax.numpy as jnp
@@ -78,22 +92,26 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
     from mpnn_tpu.train.optim import adam
 
     gs, ge = build_batch(batch_size)
-    cfg = flagship_mpnn_cfg(ge)
+    cfg = flagship_mpnn_cfg(ge) if model == "flagship" else att_mpnn_cfg(ge)
     params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
     if use_vocab:
         # edge vocab: run the ×50 edge-MLP per DISTINCT bond-feature row
         # (≤16 here), not per edge — exact (graphs/batching.py)
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
-    spmm_vocab_fn = None
+    spmm_vocab_fn = sddmm_fn = None
     if spmm == "kernel":
         from mpnn_tpu.kernels.spmm import attach_spmm_plan, make_spmm_op
         assert use_vocab, "--spmm kernel needs the edge vocab"
-        packed = attach_spmm_plan(packed)
+        packed = attach_spmm_plan(packed, block_edges=spmm_block)
         assert "spmm_win" in packed, "window plan failed"
-        spmm_vocab_fn = make_spmm_op(
-            block_edges=packed.pop("spmm_block_edges"),
-            window=packed.pop("spmm_window"))
+        be = packed.pop("spmm_block_edges")
+        win = packed.pop("spmm_window")
+        if model == "att":
+            from mpnn_tpu.kernels.sddmm import make_sddmm_op
+            sddmm_fn = make_sddmm_op(block_edges=be, window=win)
+        else:
+            spmm_vocab_fn = make_spmm_op(block_edges=be, window=win)
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
     real_edges = int(packed["edge_mask"].sum())
@@ -127,7 +145,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                 cs = jax.tree.map(lambda x: x.astype(cdtype), s) \
                     if dtype == "bfloat16" else s
                 out, ns = sparse_mpnn_apply(cp, cs, cfg, jb, training=True,
-                                            spmm_vocab_fn=spmm_vocab_fn)
+                                            spmm_vocab_fn=spmm_vocab_fn,
+                                            sddmm_fn=sddmm_fn)
                 gm = jb["graph_mask"][:, None]
                 per = ((out.astype(jnp.float32) - labels[:, None]) ** 2) * gm
                 return per.sum() / gm.sum(), ns
@@ -229,19 +248,28 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-vocab", action="store_true",
                    help="disable the edge-feature vocab dedup")
-    p.add_argument("--spmm", default="xla", choices=["xla", "kernel"],
-                   help="message-step SpMM: XLA gather+segment_sum or the "
-                        "Pallas windowed one-hot kernel (kernels/spmm.py)")
+    p.add_argument("--spmm", default="kernel", choices=["xla", "kernel"],
+                   help="message-step SpMM: the Pallas windowed one-hot "
+                        "kernel (kernels/spmm.py, default — measured 2-3x "
+                        "over the XLA gather+segment_sum path) or xla")
+    p.add_argument("--spmm-block", type=int, default=512,
+                   help="edge-block/window size for the Pallas kernel")
+    p.add_argument("--model", default="flagship",
+                   choices=["flagship", "att"],
+                   help="flagship (lipo EdgeNetwork) or the attention "
+                        "family (AttEdgeNetwork + att agg + set2vec)")
     args = p.parse_args(argv)
 
     if args.mode == "sparse":
         value, real_edges, last_loss = bench_sparse(
             args.batch, args.iters, args.dtype,
-            use_vocab=not args.no_vocab, spmm=args.spmm)
+            use_vocab=not args.no_vocab, spmm=args.spmm,
+            spmm_block=args.spmm_block, model=args.model)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
+    suffix = "" if args.model == "flagship" else f"_{args.model}"
     print(json.dumps({
-        "metric": f"edge_messages_per_s_train_step_{args.mode}",
+        "metric": f"edge_messages_per_s_train_step_{args.mode}{suffix}",
         "value": round(value, 1),
         "unit": "edge-messages/s",
         "vs_baseline": round(value / BASELINE_EDGE_MSGS_PER_S, 3),

@@ -39,7 +39,9 @@ class GraphLoader:
                  with_nafm: bool = True,
                  use_native: bool = True,
                  fixed_packed_caps: bool = True,
-                 edge_vocab: bool = True):
+                 edge_vocab: bool = True,
+                 spmm_plan: bool = False,
+                 spmm_block_edges: int = 512):
         self.graphs = graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -75,6 +77,17 @@ class GraphLoader:
             n_distinct = np.unique(all_ef, axis=0).shape[0] + 1
             if n_distinct <= 64:
                 self._vocab_cap = max(8, bucket_for(n_distinct))
+        # Pallas-SpMM window plan (kernels/spmm.py): ONE static
+        # (block_edges, window) for the whole run so every batch compiles
+        # once; per-batch win_start arrays ride in the batch dict
+        self.spmm_block_edges = None
+        self.spmm_window = None
+        if spmm_plan and collate == "packed" and self._vocab_cap:
+            self.spmm_block_edges = spmm_block_edges
+            # window = block size covers molecular locality (a block of E
+            # consecutive edges spans ≈ E/2 nodes + one graph of slack);
+            # batches whose plan misses the window fall back to XLA
+            self.spmm_window = spmm_block_edges
 
     def __len__(self):
         n = len(self.graphs)
@@ -146,6 +159,14 @@ class GraphLoader:
                                            edge_cap=edge_cap).as_dict()
                 if self._vocab_cap is not None:
                     batch = attach_edge_vocab(batch, self._vocab_cap)
+                if self.spmm_window is not None and "edge_vid" in batch:
+                    from mpnn_tpu.kernels.spmm import plan_edge_windows
+                    plan = plan_edge_windows(
+                        batch["edge_src"], batch["edge_dst"],
+                        batch["edge_mask"], batch["node_feats"].shape[0],
+                        self.spmm_block_edges, window=self.spmm_window)
+                    if plan is not None:
+                        batch["spmm_win"] = plan.win_start
                 yield batch
             else:
                 raise ValueError(self.collate)

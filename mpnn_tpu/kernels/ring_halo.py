@@ -89,12 +89,12 @@ def _halo_kernel(my_ref, vidb_ref, srcb_ref, dstb_ref, a2_ref, h_ref,
         dst = dstb_ref[q, :]
         vid = vidb_ref[q, :]
         oh_src = (iota_s == src[:, None]).astype(dtype)
-        hs = jnp.dot(oh_src, hq, preferred_element_type=dtype)
-        bulk = jnp.dot(hs, a2_ref[:], preferred_element_type=dtype)
+        hs = jnp.dot(oh_src, hq, preferred_element_type=jnp.float32).astype(dtype)
+        bulk = jnp.dot(hs, a2_ref[:], preferred_element_type=jnp.float32).astype(dtype)
         ohm = (lane // mf == vid[:, None]).astype(dtype)
-        msgs = jnp.dot(ohm * bulk, sel, preferred_element_type=dtype)
+        msgs = jnp.dot(ohm * bulk, sel, preferred_element_type=jnp.float32).astype(dtype)
         oh_dst = (iota_s == dst[:, None]).astype(dtype)
-        out_ref[:] += jnp.dot(oh_dst.T, msgs, preferred_element_type=dtype)
+        out_ref[:] += jnp.dot(oh_dst.T, msgs, preferred_element_type=jnp.float32).astype(dtype)
 
         # 3) wait for the in-flight exchange before the next round
         @pl.when(jnp.logical_not(last))

@@ -47,7 +47,7 @@ def _sddmm_kernel(win_ref, src_ref, dst_ref, vid_ref, evocab_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ws = win_ref[i]
+    ws = pl.multiple_of(win_ref[i], 16)
     be = src_ref.shape[1]
     kmf = kmats * mf
     dtype = h_ref.dtype
@@ -58,27 +58,27 @@ def _sddmm_kernel(win_ref, src_ref, dst_ref, vid_ref, evocab_ref,
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
     oh_src = (iota_w == src[:, None]).astype(dtype)
     oh_dst = (iota_w == dst[:, None]).astype(dtype)
-    hs = jnp.dot(oh_src, hw, preferred_element_type=dtype)   # (BE, nf)
-    hd = jnp.dot(oh_dst, hw, preferred_element_type=dtype)   # (BE, nf)
+    hs = jnp.dot(oh_src, hw, preferred_element_type=jnp.float32).astype(dtype)   # (BE, nf)
+    hd = jnp.dot(oh_dst, hw, preferred_element_type=jnp.float32).astype(dtype)   # (BE, nf)
     # per-edge raw features from the vocab table (one-hot over K ids)
     oh_vid_k = (jax.lax.broadcasted_iota(jnp.int32, (be, kmats), 1)
                 == vid[:, None]).astype(dtype)
     ev = jnp.dot(oh_vid_k, evocab_ref[:],
-                 preferred_element_type=dtype)               # (BE, ef)
+                 preferred_element_type=jnp.float32).astype(dtype)               # (BE, ef)
     # SDDMM: logits over the nf features, softmaxed per edge
-    logits = (jnp.dot(hd, wa_h_ref[:], preferred_element_type=dtype)
-              + jnp.dot(ev, wa_e_ref[:], preferred_element_type=dtype)
+    logits = (jnp.dot(hd, wa_h_ref[:], preferred_element_type=jnp.float32).astype(dtype)
+              + jnp.dot(ev, wa_e_ref[:], preferred_element_type=jnp.float32).astype(dtype)
               + ba_ref[:])
     gate = jax.nn.softmax(logits, axis=-1)                   # (BE, nf)
     g = gate * hs
-    bulk = jnp.dot(g, a2_ref[:], preferred_element_type=dtype)  # (BE, K·mf)
+    bulk = jnp.dot(g, a2_ref[:], preferred_element_type=jnp.float32).astype(dtype)  # (BE, K·mf)
     lane = jax.lax.broadcasted_iota(jnp.int32, (be, kmf), 1)
     ohm = (lane // mf == vid[:, None]).astype(dtype)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 0) % mf
            == jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 1)
            ).astype(dtype)
-    msgs = jnp.dot(ohm * bulk, sel, preferred_element_type=dtype)
-    contrib = jnp.dot(oh_dst.T, msgs, preferred_element_type=dtype)
+    msgs = jnp.dot(ohm * bulk, sel, preferred_element_type=jnp.float32).astype(dtype)
+    contrib = jnp.dot(oh_dst.T, msgs, preferred_element_type=jnp.float32).astype(dtype)
     cur = out_ref[pl.ds(ws, window), :]
     out_ref[pl.ds(ws, window), :] = cur + contrib
 

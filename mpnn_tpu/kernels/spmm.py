@@ -87,7 +87,7 @@ def plan_edge_windows(src: np.ndarray, dst: np.ndarray,
     empty = hi < 0
     lo = np.where(empty, 0, lo)
     hi = np.where(empty, 0, hi)
-    ws = (lo // 8) * 8                          # sublane alignment
+    ws = (lo // 16) * 16          # sublane alignment (16 covers bf16)
     span = hi - ws + 1
     need = int(span.max()) if len(span) else 1
     if window is None:
@@ -150,7 +150,7 @@ def _fwd_kernel_vmem(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_ref, out_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ws = win_ref[i]
+    ws = pl.multiple_of(win_ref[i], 16)
     be = src_ref.shape[1]
     kmf = kmats * mf
     dtype = h_ref.dtype
@@ -160,9 +160,9 @@ def _fwd_kernel_vmem(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_ref, out_ref,
     vid = vid_ref[i, :]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
     oh_src = (iota_w == src[:, None]).astype(dtype)
-    hs = jnp.dot(oh_src, hw, preferred_element_type=dtype)  # (BE, nf)
+    hs = jnp.dot(oh_src, hw, preferred_element_type=jnp.float32).astype(dtype)  # (BE, nf)
     bulk = jnp.dot(hs, a2_ref[:],
-                   preferred_element_type=dtype)            # (BE, K·mf)
+                   preferred_element_type=jnp.float32).astype(dtype)            # (BE, K·mf)
     # select vocab-id block per edge WITHOUT 3D reshapes (Mosaic-friendly):
     #   ohm[e, k·mf+m] = 1[vid_e = k];  msgs = (ohm ⊙ bulk) @ S,
     #   S[k·mf+m, m'] = 1[m = m']  (strided column-group reduction as MXU)
@@ -172,10 +172,10 @@ def _fwd_kernel_vmem(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_ref, out_ref,
            == jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 1)
            ).astype(dtype)
     msgs = jnp.dot(ohm * bulk, sel,
-                   preferred_element_type=dtype)            # (BE, mf)
+                   preferred_element_type=jnp.float32).astype(dtype)            # (BE, mf)
     oh_dst = (iota_w == dst[:, None]).astype(dtype)
     contrib = jnp.dot(oh_dst.T, msgs,
-                      preferred_element_type=dtype)         # (W, mf)
+                      preferred_element_type=jnp.float32).astype(dtype)         # (W, mf)
     cur = out_ref[pl.ds(ws, window), :]
     out_ref[pl.ds(ws, window), :] = cur + contrib
 
@@ -230,7 +230,7 @@ def _fwd_kernel_hbm(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_hbm,
     # the kernel scales to any node count (a full (N, nf) f32 buffer pads
     # nf to 128 lanes and blows the 16MB scoped-VMEM limit past ~30k nodes)
     i = pl.program_id(0)
-    ws = win_ref[i]
+    ws = pl.multiple_of(win_ref[i], 16)
     be = src_ref.shape[1]
     kmf = kmats * mf
     dtype = hw.dtype
@@ -258,13 +258,13 @@ def _fwd_kernel_hbm(win_ref, src_ref, dst_ref, vid_ref, a2_ref, h_hbm,
     oh_dst = (iota_w == dst[:, None]).astype(dtype)
 
     cp_h.wait()
-    hs = jnp.dot(oh_src, hw[:], preferred_element_type=dtype)  # (BE, nf)
+    hs = jnp.dot(oh_src, hw[:], preferred_element_type=jnp.float32).astype(dtype)  # (BE, nf)
     bulk = jnp.dot(hs, a2_ref[:],
-                   preferred_element_type=dtype)               # (BE, K·mf)
+                   preferred_element_type=jnp.float32).astype(dtype)               # (BE, K·mf)
     msgs = jnp.dot(ohm * bulk, sel,
-                   preferred_element_type=dtype)               # (BE, mf)
+                   preferred_element_type=jnp.float32).astype(dtype)               # (BE, mf)
     contrib = jnp.dot(oh_dst.T, msgs,
-                      preferred_element_type=dtype)            # (W, mf)
+                      preferred_element_type=jnp.float32).astype(dtype)            # (W, mf)
     cp_o.wait()
     ow[:] = ow[:] + contrib
     wb = pltpu.make_async_copy(ow, out_hbm.at[pl.ds(ws, window), :],
@@ -336,7 +336,7 @@ def _da_kernel_vmem(win_ref, src_ref, dst_ref, vid_ref, h_ref, g_ref, da_ref,
     def _():
         da_ref[:] = jnp.zeros_like(da_ref)
 
-    ws = win_ref[i]
+    ws = pl.multiple_of(win_ref[i], 16)
     be = src_ref.shape[1]
     dtype = h_ref.dtype
     hw = h_ref[pl.ds(ws, window), :]
@@ -348,8 +348,8 @@ def _da_kernel_vmem(win_ref, src_ref, dst_ref, vid_ref, h_ref, g_ref, da_ref,
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
     oh_src = (iota_w == src[:, None]).astype(dtype)
     oh_dst = (iota_w == dst[:, None]).astype(dtype)
-    hs = jnp.dot(oh_src, hw, preferred_element_type=dtype)   # (BE, nf)
-    gd = jnp.dot(oh_dst, gw, preferred_element_type=dtype)   # (BE, mf)
+    hs = jnp.dot(oh_src, hw, preferred_element_type=jnp.float32).astype(dtype)   # (BE, nf)
+    gd = jnp.dot(oh_dst, gw, preferred_element_type=jnp.float32).astype(dtype)   # (BE, mf)
     # gk[e, k·mf+m] = 1[vid_e=k]·gd[e,m]  → dA2 += gkᵀ @ hs  (K·mf, nf)
     # 2D only (Mosaic): tile gd over k with the selection matrix Sᵀ, then
     # mask by the lane-expanded vocab one-hot
@@ -358,9 +358,9 @@ def _da_kernel_vmem(win_ref, src_ref, dst_ref, vid_ref, h_ref, g_ref, da_ref,
     sel = (jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 0) % mf
            == jax.lax.broadcasted_iota(jnp.int32, (kmf, mf), 1)
            ).astype(dtype)
-    gdr = jnp.dot(gd, sel.T, preferred_element_type=dtype)   # (BE, K·mf)
+    gdr = jnp.dot(gd, sel.T, preferred_element_type=jnp.float32).astype(dtype)   # (BE, K·mf)
     gk = ohm * gdr
-    da_ref[:] += jnp.dot(gk.T, hs, preferred_element_type=dtype)
+    da_ref[:] += jnp.dot(gk.T, hs, preferred_element_type=jnp.float32).astype(dtype)
 
 
 
@@ -414,7 +414,7 @@ def _da_kernel_hbm(win_ref, src_ref, dst_ref, vid_ref, h_hbm, g_hbm,
     def _():
         da_ref[:] = jnp.zeros_like(da_ref)
 
-    ws = win_ref[i]
+    ws = pl.multiple_of(win_ref[i], 16)
     be = src_ref.shape[1]
     dtype = hw.dtype
     cp_h = pltpu.make_async_copy(h_hbm.at[pl.ds(ws, window), :], hw,
@@ -437,14 +437,14 @@ def _da_kernel_hbm(win_ref, src_ref, dst_ref, vid_ref, h_hbm, g_hbm,
            ).astype(dtype)
     cp_h.wait()
     cp_g.wait()
-    hs = jnp.dot(oh_src, hw[:], preferred_element_type=dtype)  # (BE, 128)
-    gd = jnp.dot(oh_dst, gw[:], preferred_element_type=dtype)  # (BE, 128)
+    hs = jnp.dot(oh_src, hw[:], preferred_element_type=jnp.float32).astype(dtype)  # (BE, 128)
+    gd = jnp.dot(oh_dst, gw[:], preferred_element_type=jnp.float32).astype(dtype)  # (BE, 128)
     # gk[e, k·mf+m] = 1[vid_e=k]·gd[e,m]  → dA2 += gkᵀ @ hs  (K·mf, 128)
     # 2D only (Mosaic): tile gd over k with the selection matrix Sᵀ, then
     # mask by the lane-expanded vocab one-hot
-    gdr = jnp.dot(gd, sel.T, preferred_element_type=dtype)   # (BE, K·mf)
+    gdr = jnp.dot(gd, sel.T, preferred_element_type=jnp.float32).astype(dtype)   # (BE, K·mf)
     gk = ohm * gdr
-    da_ref[:] += jnp.dot(gk.T, hs, preferred_element_type=dtype)
+    da_ref[:] += jnp.dot(gk.T, hs, preferred_element_type=jnp.float32).astype(dtype)
 
 
 def _spmm_da_hbm(a_shape, h, g, vid, src, dst, win_start, *,

@@ -89,7 +89,7 @@ def sparse_edge_network_fused(mparams, pen, pen0, h, edge_src, edge_dst,
         ptable = pen_vocab - pen0                           # (K, pf)
         amat = jnp.einsum("kp,pmf->kmf", ptable, wf,
                           preferred_element_type=h.dtype)   # (K, mf, nf)
-        if spmm_vocab_fn is not None:
+        if spmm_vocab_fn is not None and spmm_win is not None:
             agg = spmm_vocab_fn(amat, h, edge_vid, edge_src, edge_dst,
                                 spmm_win)
         else:
@@ -128,7 +128,7 @@ def sparse_ggnn_fused(mparams, bond_types, h, edge_src, edge_dst, *,
     node_cap = h.shape[0]
     w = jnp.concatenate([jnp.zeros((1, mf, nf), mparams["adj_w"].dtype),
                          mparams["adj_w"]], axis=0)         # (T+1, mf, nf)
-    if spmm_vocab_fn is not None:
+    if spmm_vocab_fn is not None and spmm_win is not None:
         agg = spmm_vocab_fn(w, h, bond_types, edge_src, edge_dst, spmm_win)
     else:
         v = jnp.einsum("tmf,nf->tnm", w, h,
@@ -164,7 +164,8 @@ def sparse_att_edge_network(mparams, pen, pen0, h, edge_feats, edge_src,
     wf = mparams["final"]["w"].reshape(pf, mf, nf)
     bf = mparams["final"]["b"].reshape(mf, nf)
 
-    if sddmm_fn is not None and pen_vocab is not None:
+    if sddmm_fn is not None and pen_vocab is not None \
+            and spmm_win is not None:
         # fused Pallas SDDMM (kernels/sddmm.py): per-vocab-id matrices
         # A'_k = Σ_p pen_k[p]·W̃[p] + B_f  (att keeps the final bias)
         aprime = jnp.einsum("kp,pmf->kmf", pen_vocab, wf,

@@ -50,6 +50,9 @@ class TrainConfig:
     early_stop_loss: Optional[float] = None  # test_adv.py:96-98 (<0.02)
     log_path: Optional[str] = None
     shuffle: bool = True
+    spmm: str = "xla"                # packed message-step SpMM backend:
+                                     # xla | kernel (Pallas, TPU) |
+                                     # kernel_interpret (CPU testing)
     handle_preemption: bool = True   # SIGTERM → checkpoint + clean exit
                                      # (resume picks the run back up; the
                                      # reference loses preempted runs —
@@ -60,14 +63,16 @@ class TrainConfig:
 # losses
 # ---------------------------------------------------------------------------
 
-def make_loss_fn(net_cfg: NetworkConfig, kind: str):
+def make_loss_fn(net_cfg: NetworkConfig, kind: str,
+                 spmm_vocab_fn=None, sddmm_fn=None):
     def loss_fn(params, state, batch, training: bool):
         packed = "node_feats" in batch
         if packed:
             from mpnn_tpu.models.network import network_apply_packed
             b = {k: v for k, v in batch.items() if k != "num_graphs"}
-            out, new_state = network_apply_packed(params, state, net_cfg, b,
-                                                  training=training)
+            out, new_state = network_apply_packed(
+                params, state, net_cfg, b, training=training,
+                spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn)
             gm = batch["graph_mask"]
         else:
             out, new_state = network_apply(params, state, net_cfg, batch,
@@ -102,8 +107,10 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str):
 # ---------------------------------------------------------------------------
 
 def make_train_step(net_cfg: NetworkConfig, tx, loss_kind: str,
-                    compute_dtype: str = "float32"):
-    loss_fn = make_loss_fn(net_cfg, loss_kind)
+                    compute_dtype: str = "float32",
+                    spmm_vocab_fn=None, sddmm_fn=None):
+    loss_fn = make_loss_fn(net_cfg, loss_kind,
+                           spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn)
     mixed = compute_dtype == "bfloat16"
 
     def _cast(tree, dtype):
@@ -212,11 +219,28 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                 sched.load_state_dict(meta["sched"])
 
     logger = MetricLogger(cfg.log_path)
-    step_fn = make_train_step(net_cfg, tx, cfg.loss, cfg.compute_dtype)
+    use_kernel = cfg.packed and cfg.spmm.startswith("kernel")
     collate = "packed" if cfg.packed else "dense"
     train_loader = GraphLoader(train_graphs, cfg.batch_size,
                                shuffle=cfg.shuffle, seed=cfg.seed,
-                               collate=collate, with_nafm=with_nafm)
+                               collate=collate, with_nafm=with_nafm,
+                               spmm_plan=use_kernel)
+    spmm_vocab_fn = sddmm_fn = None
+    if use_kernel and train_loader.spmm_window is not None:
+        from mpnn_tpu.kernels.sddmm import make_sddmm_op
+        from mpnn_tpu.kernels.spmm import make_spmm_op
+        interp = cfg.spmm == "kernel_interpret"
+        if net_cfg.mpnn.message_fn == "att_edge_network":
+            sddmm_fn = make_sddmm_op(
+                block_edges=train_loader.spmm_block_edges,
+                window=train_loader.spmm_window, interpret=interp)
+        else:
+            spmm_vocab_fn = make_spmm_op(
+                block_edges=train_loader.spmm_block_edges,
+                window=train_loader.spmm_window, interpret=interp)
+    step_fn = make_train_step(net_cfg, tx, cfg.loss, cfg.compute_dtype,
+                              spmm_vocab_fn=spmm_vocab_fn,
+                              sddmm_fn=sddmm_fn)
     val_loader = (GraphLoader(val_graphs, cfg.batch_size, shuffle=False,
                               collate=collate, with_nafm=with_nafm)
                   if val_graphs is not None else None)

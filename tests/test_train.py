@@ -420,3 +420,31 @@ class TestInjectedLR:
         st = set_learning_rate(st, 1e-4)
         u2, st = tx.update(g, st, w)
         assert float(jnp.abs(u2).mean()) < float(jnp.abs(u1).mean()) / 50
+
+
+class TestKernelTrainer:
+    def test_packed_training_with_pallas_kernel_interpret(self, tmp_path):
+        """TrainConfig(spmm='kernel_interpret') routes the packed message
+        step through the Pallas SpMM kernel (interpret mode on CPU) and
+        must train equivalently to the XLA path."""
+        import dataclasses
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import build
+        from mpnn_tpu.train import trainer
+        smiles = TestEndToEnd.SMILES
+        gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+            smiles, [0.1 * len(s) for s in smiles]))
+        cfg = build("lipo", afm=ge.atom_width(), bfm=ge.bond_width(),
+                    nafm=3, n_out=1)
+        cfg = dataclasses.replace(cfg, mpnn=dataclasses.replace(
+            cfg.mpnn, edge_mlp_tail_repeats=2, message_steps=2))
+        losses = {}
+        for spmm in ("xla", "kernel_interpret"):
+            tcfg = trainer.TrainConfig(
+                epochs=3, batch_size=4, learning_rate=1e-2, loss="mse",
+                packed=True, spmm=spmm, seed=317, shuffle=False,
+                log_path=None)
+            _, _, _, h = trainer.train(cfg, tcfg, gs)
+            losses[spmm] = [r["train_loss"] for r in h]
+        np.testing.assert_allclose(losses["kernel_interpret"],
+                                   losses["xla"], rtol=5e-3)
