@@ -80,7 +80,8 @@ def att_mpnn_cfg(ge):
 
 def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                  use_vocab: bool = True, spmm: str = "kernel",
-                 spmm_block: int = 512, model: str = "flagship"):
+                 spmm_block: int = 512, model: str = "flagship",
+                 fuse: bool = False):
     import functools
     import jax
     import jax.numpy as jnp
@@ -114,6 +115,13 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
             spmm_vocab_fn = make_spmm_op(block_edges=be, window=win)
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
+    recurrence_fn = None
+    if fuse:
+        from mpnn_tpu.kernels.recurrence import make_recurrence_op
+        assert model == "flagship", "--fuse covers the flagship recurrence"
+        recurrence_fn = make_recurrence_op(
+            cfg.message_steps, cfg.node_features,
+            int(packed["node_feats"].shape[0]))
     real_edges = int(packed["edge_mask"].sum())
     jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
           for k, v in packed.items()}
@@ -146,7 +154,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                     if dtype == "bfloat16" else s
                 out, ns = sparse_mpnn_apply(cp, cs, cfg, jb, training=True,
                                             spmm_vocab_fn=spmm_vocab_fn,
-                                            sddmm_fn=sddmm_fn)
+                                            sddmm_fn=sddmm_fn,
+                                            recurrence_fn=recurrence_fn)
                 gm = jb["graph_mask"][:, None]
                 per = ((out.astype(jnp.float32) - labels[:, None]) ** 2) * gm
                 return per.sum() / gm.sum(), ns
@@ -254,6 +263,9 @@ def main(argv=None):
                         "over the XLA gather+segment_sum path) or xla")
     p.add_argument("--spmm-block", type=int, default=512,
                    help="edge-block/window size for the Pallas kernel")
+    p.add_argument("--fuse", action="store_true",
+                   help="fuse the BN-GRU-BN recurrence into one Pallas "
+                        "kernel (kernels/recurrence.py, flagship only)")
     p.add_argument("--model", default="flagship",
                    choices=["flagship", "att"],
                    help="flagship (lipo EdgeNetwork) or the attention "
@@ -264,7 +276,7 @@ def main(argv=None):
         value, real_edges, last_loss = bench_sparse(
             args.batch, args.iters, args.dtype,
             use_vocab=not args.no_vocab, spmm=args.spmm,
-            spmm_block=args.spmm_block, model=args.model)
+            spmm_block=args.spmm_block, model=args.model, fuse=args.fuse)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"

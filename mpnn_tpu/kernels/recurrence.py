@@ -1,0 +1,401 @@
+"""Pallas TPU fused message-passing recurrence — the flagship hot loop.
+
+For the lipo flagship config (shared message weights, messages computed
+from the INITIAL node features — lipo_basic_model.py:85 — one shared
+ma_bn/bn pair, GRU update), the per-step message aggregation is CONSTANT
+across the 6 steps (XLA CSEs the SpMM), so the remaining per-step work is
+
+    mb  = ma_bn(msgs)                        (once — msgs constant)
+    h_t = bn( GRU(mb, h_{t-1}, mask) )       (×T)
+
+which XLA executes as ~40 small ops per step, each a separate HBM round
+trip over (N, 10)-wide tensors. This kernel runs the WHOLE chain in one
+pallas_call with every operand resident in VMEM.
+
+Layout: everything TRANSPOSED to (features, N) — lanes = nodes — so a
+13k-node state occupies (16, N) physical tiles (844 KB) instead of the
+(N, 128)-lane-padded 6.7 MB of the row layout: 12× less VMEM and every
+lane does real work. BN reductions are lane-axis sums; GRU matmuls are
+(f, f) × (f, N) with the huge dimension in lanes.
+
+Mosaic discipline (learned the hard way): NO sub-tile slicing anywhere —
+gate weights arrive as six separate (fp, fp) blocks, biases and affine
+params as (fp, 1) columns, the mask as a (1, N) row; padded feature rows
+carry junk through elementwise ops but never reach real rows (weight pads
+are zero) and are sliced off OUTSIDE the kernel in XLA.
+
+Backward is a second kernel: replays the forward storing the T step inputs
+in VMEM scratch, then walks the chain in reverse with the masked-BN
+gradient in closed form:
+
+    dh̃ = (1/d)·(dx̂ − m·S1/c) − m·x̂·S2/(c·s),  s=√v, d=s+ε,
+    S1 = Σ dx̂,  S2 = Σ dx̂·x̂                   (per feature row)
+
+Verified against jax.vjp of the pure-JAX reference (tests/test_kernels.py
+::TestRecurrence, interpret mode); the reference is itself verified
+against sparse_mpnn_apply's step loop.
+
+Constraints: share_message_weights, message_input='initial',
+msg_norm=state_norm='bn1d', per_step_norms=False, update_hidden='state',
+training mode, N divisible by 128 (node caps already are).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BN_EPS = 1e-5
+VAR_CLAMP = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# pure-JAX reference (parity oracle; same math as sparse_mpnn_apply's loop)
+# ---------------------------------------------------------------------------
+
+def reference_recurrence(msgs, h0, mask, gru, ma_bn, bn, *, steps: int):
+    """msgs, h0: (N, f); mask: (N, 1). Returns (hT, (ma_mean, ma_var),
+    [(mean_t, var_t)]×steps) — stats for the caller's running EMAs."""
+    from mpnn_tpu.ops.update import gru_apply
+
+    def bn_fwd(p, x):
+        m = mask.astype(x.dtype)
+        total = (x * m).sum(axis=0)
+        c = m.sum()
+        mean = total / c
+        var = ((((x - mean) * m) ** 2).sum(axis=0)) / c
+        out = (x - mean) / (jnp.sqrt(jnp.maximum(var, VAR_CLAMP)) + BN_EPS)
+        out = (p["weight"] * out + p["bias"]) * m
+        return out, (mean, var)
+
+    mb, ma_stats = bn_fwd(ma_bn, msgs)
+    h = h0 * mask
+    step_stats = []
+    for _ in range(steps):
+        h = gru_apply(gru, mb[None], h[None], mask[None])[0]
+        h, st = bn_fwd(bn, h)
+        step_stats.append(st)
+    return h, ma_stats, step_stats
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers (transposed (fp, N) layout; no sub-tile slicing)
+# ---------------------------------------------------------------------------
+
+def _bn_fwd_t(x, mask_l, w_col, b_col, c):
+    mean = jnp.sum(x * mask_l, axis=1, keepdims=True) / c
+    cen = (x - mean) * mask_l
+    var = jnp.sum(cen * cen, axis=1, keepdims=True) / c
+    xhat = cen / (jnp.sqrt(jnp.maximum(var, VAR_CLAMP)) + BN_EPS)
+    return (w_col * xhat + b_col) * mask_l, mean, var
+
+
+def _bn_bwd_t(gy, x, mask_l, w_col, c):
+    """x is the PRE-BN input (masked). Returns (dx, dw_col, db_col)."""
+    mean = jnp.sum(x * mask_l, axis=1, keepdims=True) / c
+    cen = (x - mean) * mask_l
+    var = jnp.sum(cen * cen, axis=1, keepdims=True) / c
+    s = jnp.sqrt(jnp.maximum(var, VAR_CLAMP))
+    d = s + BN_EPS
+    xhat = cen / d
+    gym = gy * mask_l
+    dw = jnp.sum(gym * xhat, axis=1, keepdims=True)
+    db = jnp.sum(gym, axis=1, keepdims=True)
+    dxhat = gym * w_col
+    s1 = jnp.sum(dxhat, axis=1, keepdims=True)
+    s2 = jnp.sum(dxhat * xhat, axis=1, keepdims=True)
+    dx = (dxhat - mask_l * s1 / c) / d - mask_l * xhat * s2 / (c * s)
+    return dx, dw, db
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _gru_fwd_t(h, gr, gz, gn, whr, whz, whn, bhr, bhz, bhn, mask_l):
+    rh = _dot(whr.T, h) + bhr
+    zh = _dot(whz.T, h) + bhz
+    nh = _dot(whn.T, h) + bhn
+    r = jax.nn.sigmoid(gr + rh) * mask_l
+    z = jax.nn.sigmoid(gz + zh) * mask_l
+    n = jnp.tanh(gn + r * nh) * mask_l
+    return ((1.0 - z) * n + z * h) * mask_l
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(msgs_ref, h0_ref, mask_ref,
+                wir_ref, wiz_ref, win_ref, whr_ref, whz_ref, whn_ref,
+                bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
+                mw_ref, mb_ref, sw_ref, sb_ref,
+                h_out, ma_mean_out, ma_var_out, bn_mean_out, bn_var_out,
+                *, steps: int, fp: int):
+    mask_l = mask_ref[:]                               # (1, N)
+    c = jnp.sum(mask_l)
+    mb, ma_mean, ma_var = _bn_fwd_t(msgs_ref[:] * mask_l, mask_l,
+                                    mw_ref[:], mb_ref[:], c)
+    ma_mean_out[:] = ma_mean
+    ma_var_out[:] = ma_var
+    gr = _dot(wir_ref[:].T, mb) + bir_ref[:]
+    gz = _dot(wiz_ref[:].T, mb) + biz_ref[:]
+    gn = _dot(win_ref[:].T, mb) + bin_ref[:]
+
+    h = h0_ref[:] * mask_l
+    for t in range(steps):
+        h = _gru_fwd_t(h, gr, gz, gn, whr_ref[:], whz_ref[:], whn_ref[:],
+                       bhr_ref[:], bhz_ref[:], bhn_ref[:], mask_l)
+        h, mean, var = _bn_fwd_t(h, mask_l, sw_ref[:], sb_ref[:], c)
+        bn_mean_out[t * fp:(t + 1) * fp, :] = mean
+        bn_var_out[t * fp:(t + 1) * fp, :] = var
+    h_out[:] = h
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (recompute forward, reverse walk)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(msgs_ref, h0_ref, mask_ref,
+                wir_ref, wiz_ref, win_ref, whr_ref, whz_ref, whn_ref,
+                bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
+                mw_ref, mb_ref, sw_ref, sb_ref, g_ref,
+                dmsgs_out, dh0_out,
+                dwir_out, dwiz_out, dwin_out, dwhr_out, dwhz_out, dwhn_out,
+                dbir_out, dbiz_out, dbin_out, dbhr_out, dbhz_out, dbhn_out,
+                dmw_out, dmb_out, dsw_out, dsb_out,
+                hs, pre,
+                *, steps: int, fp: int):
+    mask_l = mask_ref[:]
+    c = jnp.sum(mask_l)
+    msgs_m = msgs_ref[:] * mask_l
+    mb, _, _ = _bn_fwd_t(msgs_m, mask_l, mw_ref[:], mb_ref[:], c)
+    gr = _dot(wir_ref[:].T, mb) + bir_ref[:]
+    gz = _dot(wiz_ref[:].T, mb) + biz_ref[:]
+    gn = _dot(win_ref[:].T, mb) + bin_ref[:]
+    whr = whr_ref[:]
+    whz = whz_ref[:]
+    whn = whn_ref[:]
+    bhr = bhr_ref[:]
+    bhz = bhz_ref[:]
+    bhn = bhn_ref[:]
+    sw = sw_ref[:]
+    sb = sb_ref[:]
+
+    # forward replay: stash h_{t-1} and the pre-BN state h̃_t
+    h = h0_ref[:] * mask_l
+    for t in range(steps):
+        hs[t * fp:(t + 1) * fp, :] = h
+        h = _gru_fwd_t(h, gr, gz, gn, whr, whz, whn, bhr, bhz, bhn, mask_l)
+        pre[t * fp:(t + 1) * fp, :] = h
+        h, _, _ = _bn_fwd_t(h, mask_l, sw, sb, c)
+
+    gh = g_ref[:]
+    dsw = jnp.zeros_like(sw)
+    dsb = jnp.zeros_like(sb)
+    dgr = jnp.zeros_like(gh)
+    dgz = jnp.zeros_like(gh)
+    dgn = jnp.zeros_like(gh)
+    dwhr = jnp.zeros_like(whr)
+    dwhz = jnp.zeros_like(whz)
+    dwhn = jnp.zeros_like(whn)
+    dbhr = jnp.zeros_like(bhr)
+    dbhz = jnp.zeros_like(bhz)
+    dbhn = jnp.zeros_like(bhn)
+    for t in range(steps - 1, -1, -1):
+        hprev = hs[t * fp:(t + 1) * fp, :]
+        htil = pre[t * fp:(t + 1) * fp, :]
+        dhtil, dw_t, db_t = _bn_bwd_t(gh, htil, mask_l, sw, c)
+        dsw += dw_t
+        dsb += db_t
+        # recompute GRU internals of step t
+        rh = _dot(whr.T, hprev) + bhr
+        zh = _dot(whz.T, hprev) + bhz
+        nh = _dot(whn.T, hprev) + bhn
+        sr = jax.nn.sigmoid(gr + rh)
+        sz = jax.nn.sigmoid(gz + zh)
+        r = sr * mask_l
+        z = sz * mask_l
+        tn = jnp.tanh(gn + r * nh)
+        n = tn * mask_l
+        dhp = dhtil * mask_l                       # through the final ·m
+        dz = dhp * (hprev - n)
+        dn = dhp * (1.0 - z)
+        gh_new = dhp * z
+        da_n = dn * mask_l * (1.0 - tn * tn)
+        dr = da_n * nh
+        dnh = da_n * r
+        da_r = dr * mask_l * sr * (1.0 - sr)
+        da_z = dz * mask_l * sz * (1.0 - sz)
+        gh_new = gh_new + _dot(whr, da_r) + _dot(whz, da_z) \
+            + _dot(whn, dnh)
+        dwhr += _dot(hprev, da_r.T)
+        dwhz += _dot(hprev, da_z.T)
+        dwhn += _dot(hprev, dnh.T)
+        dbhr += jnp.sum(da_r, axis=1, keepdims=True)
+        dbhz += jnp.sum(da_z, axis=1, keepdims=True)
+        dbhn += jnp.sum(dnh, axis=1, keepdims=True)
+        dgr += da_r
+        dgz += da_z
+        dgn += da_n
+        gh = gh_new
+
+    dh0_out[:] = gh * mask_l
+    dmb_total = _dot(wir_ref[:], dgr) + _dot(wiz_ref[:], dgz) \
+        + _dot(win_ref[:], dgn)
+    dwir_out[:] = _dot(mb, dgr.T)
+    dwiz_out[:] = _dot(mb, dgz.T)
+    dwin_out[:] = _dot(mb, dgn.T)
+    dwhr_out[:] = dwhr
+    dwhz_out[:] = dwhz
+    dwhn_out[:] = dwhn
+    dbir_out[:] = jnp.sum(dgr, axis=1, keepdims=True)
+    dbiz_out[:] = jnp.sum(dgz, axis=1, keepdims=True)
+    dbin_out[:] = jnp.sum(dgn, axis=1, keepdims=True)
+    dbhr_out[:] = dbhr
+    dbhz_out[:] = dbhz
+    dbhn_out[:] = dbhn
+    dsw_out[:] = dsw
+    dsb_out[:] = dsb
+    dmsgs, dmw, dmbias = _bn_bwd_t(dmb_total, msgs_m, mask_l, mw_ref[:], c)
+    dmsgs_out[:] = dmsgs * mask_l
+    dmw_out[:] = dmw
+    dmb_out[:] = dmbias
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def make_recurrence_op(steps: int, f: int, n: int, *,
+                       interpret: bool = False):
+    """Fused flagship recurrence for (N=n, features=f), T=steps.
+    Returns op(msgs (N,f), h0 (N,f), mask (N,1), gru, ma_bn, bn) →
+    (hT (N,f), (ma_mean, ma_var), [(mean_t, var_t)]×steps).
+    n is padded internally to a 128-lane multiple."""
+    npad = _round_up(n, 128)
+    fp = _round_up(f, 16)
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def pack(msgs, h0, mask, gru, ma_bn, bn):
+        dt = jnp.float32
+        padf = ((0, 0), (0, fp - f))
+
+        def mat_t(x):                    # (N, f) row → (fp, Npad) transposed
+            return jnp.pad(x.astype(dt), padf).T if npad == n else \
+                jnp.pad(jnp.pad(x.astype(dt), padf).T,
+                        ((0, 0), (0, npad - n)))
+
+        def blocks(w):                   # (f, 3f) → three (fp, fp)
+            b = w.astype(dt).reshape(f, 3, f)
+            return [jnp.pad(b[:, k, :], ((0, fp - f), (0, fp - f)))
+                    for k in range(3)]
+
+        def col3(v):                     # (3f,) → three (fp, 1)
+            b = v.astype(dt).reshape(3, f)
+            return [jnp.pad(b[k][:, None], ((0, fp - f), (0, 0)))
+                    for k in range(3)]
+
+        def col(v):                      # (f,) → (fp, 1)
+            return jnp.pad(v.astype(dt)[:, None], ((0, fp - f), (0, 0)))
+
+        wi = blocks(gru["w_ih"])
+        wh = blocks(gru["w_hh"])
+        bi = col3(gru["b_ih"])
+        bh = col3(gru["b_hh"])
+        mask_row = jnp.pad(mask.astype(dt).reshape(1, n),
+                           ((0, 0), (0, npad - n)))
+        return ([mat_t(msgs), mat_t(h0), mask_row]
+                + wi + wh + bi + bh
+                + [col(ma_bn["weight"]), col(ma_bn["bias"]),
+                   col(bn["weight"]), col(bn["bias"])])
+
+    fwd_kernel = functools.partial(_fwd_kernel, steps=steps, fp=fp)
+    bwd_kernel = functools.partial(_bwd_kernel, steps=steps, fp=fp)
+
+    @jax.custom_vjp
+    def op(msgs, h0, mask, gru, ma_bn, bn):
+        packed = pack(msgs, h0, mask, gru, ma_bn, bn)
+        h_t, ma_m, ma_v, bn_m, bn_v = pl.pallas_call(
+            fwd_kernel,
+            in_specs=[_vm()] * 19,
+            out_specs=tuple([_vm()] * 5),
+            out_shape=(
+                jax.ShapeDtypeStruct((fp, npad), jnp.float32),
+                jax.ShapeDtypeStruct((fp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((fp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((steps * fp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((steps * fp, 1), jnp.float32),
+            ),
+            interpret=interpret,
+        )(*packed)
+        ma_stats = (ma_m[:f, 0], ma_v[:f, 0])
+        step_stats = [(bn_m[t * fp:t * fp + f, 0],
+                       bn_v[t * fp:t * fp + f, 0]) for t in range(steps)]
+        return (h_t[:f, :n].T.astype(msgs.dtype), ma_stats,
+                step_stats)
+
+    def fwd(msgs, h0, mask, gru, ma_bn, bn):
+        return (op(msgs, h0, mask, gru, ma_bn, bn),
+                (msgs, h0, mask, gru, ma_bn, bn))
+
+    def bwd(res, cot):
+        msgs, h0, mask, gru, ma_bn, bn = res
+        g_ht, _, _ = cot          # stats feed running-state EMAs (no grad)
+        packed = pack(msgs, h0, mask, gru, ma_bn, bn)
+        g_t = jnp.pad(g_ht.astype(jnp.float32),
+                      ((0, 0), (0, fp - f))).T
+        if npad != n:
+            g_t = jnp.pad(g_t, ((0, 0), (0, npad - n)))
+        fpn = jax.ShapeDtypeStruct((fp, npad), jnp.float32)
+        fpf = jax.ShapeDtypeStruct((fp, fp), jnp.float32)
+        fc = jax.ShapeDtypeStruct((fp, 1), jnp.float32)
+        outs = pl.pallas_call(
+            bwd_kernel,
+            in_specs=[_vm()] * 20,
+            out_specs=tuple([_vm()] * 18),
+            out_shape=(fpn, fpn, fpf, fpf, fpf, fpf, fpf, fpf,
+                       fc, fc, fc, fc, fc, fc, fc, fc, fc, fc),
+            scratch_shapes=[
+                pltpu.VMEM((steps * fp, npad), jnp.float32),
+                pltpu.VMEM((steps * fp, npad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*packed, g_t)
+        (dmsgs_t, dh0_t, dwir, dwiz, dwin, dwhr, dwhz, dwhn,
+         dbir, dbiz, dbin_, dbhr, dbhz, dbhn, dmw, dmbb, dsw, dsb) = outs
+
+        def unblocks(ws):                # three (fp, fp) → (f, 3f)
+            return jnp.stack([w[:f, :f] for w in ws], axis=1) \
+                .reshape(f, 3 * f)
+
+        def uncol3(cs):                  # three (fp, 1) → (3f,)
+            return jnp.concatenate([cv[:f, 0] for cv in cs])
+
+        dgru = {
+            "w_ih": unblocks([dwir, dwiz, dwin]).astype(
+                gru["w_ih"].dtype),
+            "w_hh": unblocks([dwhr, dwhz, dwhn]).astype(
+                gru["w_hh"].dtype),
+            "b_ih": uncol3([dbir, dbiz, dbin_]).astype(gru["b_ih"].dtype),
+            "b_hh": uncol3([dbhr, dbhz, dbhn]).astype(gru["b_hh"].dtype),
+        }
+        dma = {"weight": dmw[:f, 0].astype(ma_bn["weight"].dtype),
+               "bias": dmbb[:f, 0].astype(ma_bn["bias"].dtype)}
+        dbn = {"weight": dsw[:f, 0].astype(bn["weight"].dtype),
+               "bias": dsb[:f, 0].astype(bn["bias"].dtype)}
+        return (dmsgs_t[:f, :n].T.astype(msgs.dtype),
+                dh0_t[:f, :n].T.astype(h0.dtype), None, dgru, dma, dbn)
+
+    op.defvjp(fwd, bwd)
+    return op

@@ -91,14 +91,14 @@ def plan_edge_windows(src: np.ndarray, dst: np.ndarray,
     span = hi - ws + 1
     need = int(span.max()) if len(span) else 1
     if window is None:
-        cand = [w for w in WINDOW_BUCKETS if w <= node_cap]
-        if not cand:
-            cand = [node_cap]          # tiny batch: window = whole node axis
-        for w in cand:
-            if need <= w:
-                window = w
-                break
-        else:
+        # exact fit rounded to 32 sublanes (any ×16 is legal; a coarse
+        # bucket ladder wasted ~2× one-hot compute — BE=512 blocks of
+        # molecular batches only span ~270 nodes). If a block needs more
+        # than 4× the edge-block size, the locality premise failed (edges
+        # not packed graph-contiguously) — decline and let XLA handle it.
+        max_window = min(max(4 * block_edges, 256), node_cap)
+        window = min(max(_round_up(need, 32), 64), node_cap)
+        if need > max_window:
             return None
     elif need > window or window > node_cap:
         return None

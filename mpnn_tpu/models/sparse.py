@@ -273,9 +273,26 @@ def sparse_graph_level_output(rparams, x, node_mask, node_graph,
                                num_segments=num_graphs + 1)[:-1]
 
 
+def recurrence_eligible(cfg: MPNNConfig, *, training: bool,
+                        axis_name=None) -> bool:
+    """True when the fused Pallas recurrence (kernels/recurrence.py) computes
+    exactly this config's step loop: messages constant across steps
+    (message_input='initial' + shared weights) and one shared bn1d pair."""
+    return (training and axis_name is None
+            and cfg.message_fn == "edge_network"
+            and cfg.share_message_weights
+            and cfg.message_input == "initial"
+            and cfg.update_hidden == "state"
+            and cfg.msg_norm == "bn1d" and cfg.state_norm == "bn1d"
+            and not cfg.per_step_norms
+            and not cfg.concat_state_history
+            and not cfg.remat)
+
+
 def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                       training: bool, axis_name: Optional[str] = None,
-                      spmm_fn=None, spmm_vocab_fn=None, sddmm_fn=None):
+                      spmm_fn=None, spmm_vocab_fn=None, sddmm_fn=None,
+                      recurrence_fn=None):
     """Packed-batch MPNN forward; parameters from mpnn_init (shared with the
     dense path). Supports edge_network / ggnn / att_edge_network (adj + att
     aggregations) / bilinear messages, GRU update, masked norms, and both
@@ -326,6 +343,54 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
 
     ma_bn_state = list(state.get("ma_bn", []))
     bn_state = list(state.get("bn", []))
+
+    if recurrence_fn is not None and recurrence_eligible(
+            cfg, training=training, axis_name=axis_name):
+        # messages are CONSTANT across steps — compute them once, run the
+        # whole BN→GRU→BN chain in the fused kernel, then apply the same
+        # running-stat EMAs the sequential loop would have applied
+        pen, pen0, pen_vocab = pens[0]
+        msgs_raw = sparse_edge_network_fused(
+            params["message"][0], pen, pen0, h0,
+            batch["edge_src"], batch["edge_dst"], node_graph,
+            graph_mask, nf=cfg.node_features, mf=cfg.message_features,
+            spmm_fn=spmm_fn, pen_vocab=pen_vocab, edge_vid=vid,
+            spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win)
+        h, ma_stats, step_stats = recurrence_fn(
+            msgs_raw, h0, mask, params["gru"], params["ma_bn"][0],
+            params["bn"][0])
+        mom = 0.1
+        ma_s = dict(ma_bn_state[0])
+        for _ in range(cfg.message_steps):
+            ma_s = {"running_mean": (1 - mom) * ma_s["running_mean"]
+                    + mom * ma_stats[0],
+                    "running_var": (1 - mom) * ma_s["running_var"]
+                    + mom * ma_stats[1]}
+        ma_bn_state[0] = ma_s
+        bn_s = dict(bn_state[0])
+        for mean_t, var_t in step_stats:
+            bn_s = {"running_mean": (1 - mom) * bn_s["running_mean"]
+                    + mom * mean_t,
+                    "running_var": (1 - mom) * bn_s["running_var"]
+                    + mom * var_t}
+        bn_state[0] = bn_s
+        new_state["ma_bn"] = ma_bn_state
+        new_state["bn"] = bn_state
+        readout_in = jnp.concatenate([h, h0], axis=-1)
+        if cfg.readout == "graph_level":
+            out = sparse_graph_level_output(params["readout"], readout_in,
+                                            mask, node_graph, num_graphs)
+        else:
+            out = sparse_set2vec(params["readout"], readout_in, mask,
+                                 node_graph, num_graphs,
+                                 time_steps=cfg.set2vec_steps,
+                                 batch_softmax=cfg.set2vec_batch_softmax)
+        if cfg.output_norm:
+            gm = graph_mask[:, None]
+            out, new_state["obn"] = bn1d_apply(
+                params["obn"], state["obn"], out, gm,
+                training=training, axis_name=axis_name)
+        return out, new_state
 
     h = h0
     history = [h0]

@@ -238,3 +238,89 @@ class TestSddmm:
         for x, y in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestRecurrence:
+    """Fused BN→GRU→BN recurrence kernel vs the pure-JAX reference."""
+
+    F, N, T = 10, 256, 4
+
+    def _inputs(self, seed=0):
+        import jax
+        from mpnn_tpu.ops.update import gru_init
+        from mpnn_tpu.ops.norm import bn1d_init
+        rs = np.random.RandomState(seed)
+        msgs = rs.randn(self.N, self.F).astype(np.float32)
+        h0 = rs.randn(self.N, self.F).astype(np.float32)
+        mask = (rs.rand(self.N, 1) > 0.25).astype(np.float32)
+        gru = gru_init(jax.random.PRNGKey(seed), self.F, self.F)
+        ma_p, _ = bn1d_init(self.F)
+        bn_p, _ = bn1d_init(self.F)
+        # non-trivial affine params so their grads are exercised
+        ma_p = {"weight": jnp.asarray(rs.rand(self.F).astype(np.float32)
+                                      + 0.5),
+                "bias": jnp.asarray(rs.randn(self.F).astype(np.float32))}
+        bn_p = {"weight": jnp.asarray(rs.rand(self.F).astype(np.float32)
+                                      + 0.5),
+                "bias": jnp.asarray(rs.randn(self.F).astype(np.float32))}
+        return (jnp.asarray(msgs), jnp.asarray(h0), jnp.asarray(mask),
+                gru, ma_p, bn_p)
+
+    def test_reference_matches_sparse_loop(self):
+        """The reference recurrence must equal bn1d_apply+gru_apply chained
+        the way sparse_mpnn_apply chains them."""
+        from mpnn_tpu.kernels.recurrence import reference_recurrence
+        from mpnn_tpu.ops.norm import bn1d_apply, bn1d_init
+        from mpnn_tpu.ops.update import gru_apply
+        msgs, h0, mask, gru, ma_p, bn_p = self._inputs()
+        _, ma_s = bn1d_init(self.F)
+        _, bn_s = bn1d_init(self.F)
+        mb, ma_s = bn1d_apply(ma_p, ma_s, msgs, mask, training=True)
+        h = h0 * mask
+        for _ in range(self.T):
+            h = gru_apply(gru, mb[None], h[None], mask[None])[0]
+            h, bn_s = bn1d_apply(bn_p, bn_s, h, mask, training=True)
+        want = h
+        got, ma_stats, step_stats = reference_recurrence(
+            msgs, h0, mask, gru, ma_p, bn_p, steps=self.T)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        # EMA'd running stats match too
+        rm = (1 - 0.1) * 0 + 0.1 * np.asarray(ma_stats[0])
+        np.testing.assert_allclose(rm, np.asarray(ma_s["running_mean"]),
+                                   atol=1e-6)
+
+    def test_kernel_forward_and_grads(self):
+        from mpnn_tpu.kernels.recurrence import (make_recurrence_op,
+                                                 reference_recurrence)
+        msgs, h0, mask, gru, ma_p, bn_p = self._inputs(3)
+        op = make_recurrence_op(self.T, self.F, self.N, interpret=True)
+        got, gst, gsteps = op(msgs, h0, mask, gru, ma_p, bn_p)
+        want, wst, wsteps = reference_recurrence(
+            msgs, h0, mask, gru, ma_p, bn_p, steps=self.T)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gst[0]), np.asarray(wst[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gsteps[-1][1]),
+                                   np.asarray(wsteps[-1][1]), atol=1e-5)
+
+        gt = jnp.asarray(np.random.RandomState(7).randn(
+            self.N, self.F).astype(np.float32))
+
+        def lk(m_, h_, g_, a_, b_):
+            out, _, _ = op(m_, h_, mask, g_, a_, b_)
+            return (out * gt).sum()
+
+        def lr(m_, h_, g_, a_, b_):
+            out, _, _ = reference_recurrence(m_, h_, mask, g_, a_, b_,
+                                             steps=self.T)
+            return (out * gt).sum()
+
+        gk = jax.grad(lk, argnums=(0, 1, 2, 3, 4))(msgs, h0, gru, ma_p,
+                                                   bn_p)
+        gr_ = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(msgs, h0, gru, ma_p,
+                                                    bn_p)
+        for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr_)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)

@@ -211,6 +211,57 @@ def test_sddmm_kernel_through_full_model():
                                        rtol=2e-3, atol=2e-3, err_msg=agg)
 
 
+def test_fused_recurrence_through_full_model():
+    """The fused BN→GRU→BN recurrence kernel (interpret) must reproduce the
+    flagship sparse forward exactly: outputs, grads, AND the BN running
+    stats (EMA'd per step)."""
+    from mpnn_tpu.kernels.recurrence import make_recurrence_op
+    gs, ge = setup_graphs()
+    cfg = mpnn_cfg(ge, msg_norm="bn1d", state_norm="bn1d", message_steps=6)
+    params, state = models.mpnn_init(jax.random.PRNGKey(31), cfg)
+    _, packed = dense_and_packed(gs)
+    pv = G.attach_edge_vocab({k: np.asarray(v) if not np.isscalar(v)
+                              else v for k, v in packed.items()})
+    pv = {k: jnp.asarray(v) if not np.isscalar(v) else v
+          for k, v in pv.items()}
+    n = int(pv["node_feats"].shape[0])
+    op = make_recurrence_op(cfg.message_steps, cfg.node_features, n,
+                            interpret=True)
+
+    def loss(p, fuse):
+        out, ns = sparse_mpnn_apply(p, state, cfg, pv, training=True,
+                                    recurrence_fn=op if fuse else None)
+        return (out ** 2).mean(), (out, ns)
+
+    (l0, (o0, s0)), g0 = jax.value_and_grad(
+        lambda p: loss(p, False), has_aux=True)(params)
+    (l1, (o1, s1)), g1 = jax.value_and_grad(
+        lambda p: loss(p, True), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_recurrence_eligibility_gating():
+    """Configs outside the fused kernel's contract must NOT take the fused
+    branch (the hook is ignored, the sequential loop runs)."""
+    from mpnn_tpu.models.sparse import recurrence_eligible
+    gs, ge = setup_graphs()
+    good = mpnn_cfg(ge, msg_norm="bn1d", state_norm="bn1d")
+    assert recurrence_eligible(good, training=True)
+    import dataclasses
+    for kw in (dict(message_input="state"), dict(update_hidden="initial"),
+               dict(share_message_weights=False), dict(msg_norm="none"),
+               dict(per_step_norms=True), dict(concat_state_history=True)):
+        bad = dataclasses.replace(good, **kw)
+        assert not recurrence_eligible(bad, training=True), kw
+    assert not recurrence_eligible(good, training=False)
+    assert not recurrence_eligible(good, training=True, axis_name="data")
+
+
 def test_edge_vocab_overflow_falls_back():
     """Continuous edge features blow the vocab cap → keys absent, per-edge
     path used (no crash, no silent wrong result)."""
