@@ -168,7 +168,7 @@ def _bwd_kernel(msgs_ref, h0_ref, mask_ref,
                 dwir_out, dwiz_out, dwin_out, dwhr_out, dwhz_out, dwhn_out,
                 dbir_out, dbiz_out, dbin_out, dbhr_out, dbhz_out, dbhn_out,
                 dmw_out, dmb_out, dsw_out, dsb_out,
-                hs, pre,
+                hs,
                 *, steps: int, fp: int):
     mask_l = mask_ref[:]
     c = jnp.sum(mask_l)
@@ -186,33 +186,32 @@ def _bwd_kernel(msgs_ref, h0_ref, mask_ref,
     sw = sw_ref[:]
     sb = sb_ref[:]
 
-    # forward replay: stash h_{t-1} and the pre-BN state h̃_t
+    # forward replay: stash h_{t-1}; h̃_t is recomputed in the reverse walk
     h = h0_ref[:] * mask_l
     for t in range(steps):
         hs[t * fp:(t + 1) * fp, :] = h
         h = _gru_fwd_t(h, gr, gz, gn, whr, whz, whn, bhr, bhz, bhn, mask_l)
-        pre[t * fp:(t + 1) * fp, :] = h
         h, _, _ = _bn_fwd_t(h, mask_l, sw, sb, c)
 
     gh = g_ref[:]
     dsw = jnp.zeros_like(sw)
     dsb = jnp.zeros_like(sb)
-    dgr = jnp.zeros_like(gh)
-    dgz = jnp.zeros_like(gh)
-    dgn = jnp.zeros_like(gh)
+    dmb_acc = jnp.zeros_like(gh)
     dwhr = jnp.zeros_like(whr)
     dwhz = jnp.zeros_like(whz)
     dwhn = jnp.zeros_like(whn)
     dbhr = jnp.zeros_like(bhr)
     dbhz = jnp.zeros_like(bhz)
     dbhn = jnp.zeros_like(bhn)
+    dwir_acc = jnp.zeros_like(whr)
+    dwiz_acc = jnp.zeros_like(whz)
+    dwin_acc = jnp.zeros_like(whn)
+    dbir_acc = jnp.zeros_like(bhr)
+    dbiz_acc = jnp.zeros_like(bhz)
+    dbin_acc = jnp.zeros_like(bhn)
     for t in range(steps - 1, -1, -1):
         hprev = hs[t * fp:(t + 1) * fp, :]
-        htil = pre[t * fp:(t + 1) * fp, :]
-        dhtil, dw_t, db_t = _bn_bwd_t(gh, htil, mask_l, sw, c)
-        dsw += dw_t
-        dsb += db_t
-        # recompute GRU internals of step t
+        # recompute GRU internals (and h̃_t) of step t
         rh = _dot(whr.T, hprev) + bhr
         zh = _dot(whz.T, hprev) + bhz
         nh = _dot(whn.T, hprev) + bhn
@@ -222,6 +221,10 @@ def _bwd_kernel(msgs_ref, h0_ref, mask_ref,
         z = sz * mask_l
         tn = jnp.tanh(gn + r * nh)
         n = tn * mask_l
+        htil = ((1.0 - z) * n + z * hprev) * mask_l
+        dhtil, dw_t, db_t = _bn_bwd_t(gh, htil, mask_l, sw, c)
+        dsw += dw_t
+        dsb += db_t
         dhp = dhtil * mask_l                       # through the final ·m
         dz = dhp * (hprev - n)
         dn = dhp * (1.0 - z)
@@ -239,23 +242,27 @@ def _bwd_kernel(msgs_ref, h0_ref, mask_ref,
         dbhr += jnp.sum(da_r, axis=1, keepdims=True)
         dbhz += jnp.sum(da_z, axis=1, keepdims=True)
         dbhn += jnp.sum(dnh, axis=1, keepdims=True)
-        dgr += da_r
-        dgz += da_z
-        dgn += da_n
+        dmb_acc = dmb_acc + _dot(wir_ref[:], da_r) \
+            + _dot(wiz_ref[:], da_z) + _dot(win_ref[:], da_n)
+        dwir_acc += _dot(mb, da_r.T)
+        dwiz_acc += _dot(mb, da_z.T)
+        dwin_acc += _dot(mb, da_n.T)
+        dbir_acc += jnp.sum(da_r, axis=1, keepdims=True)
+        dbiz_acc += jnp.sum(da_z, axis=1, keepdims=True)
+        dbin_acc += jnp.sum(da_n, axis=1, keepdims=True)
         gh = gh_new
 
     dh0_out[:] = gh * mask_l
-    dmb_total = _dot(wir_ref[:], dgr) + _dot(wiz_ref[:], dgz) \
-        + _dot(win_ref[:], dgn)
-    dwir_out[:] = _dot(mb, dgr.T)
-    dwiz_out[:] = _dot(mb, dgz.T)
-    dwin_out[:] = _dot(mb, dgn.T)
+    dmb_total = dmb_acc
+    dwir_out[:] = dwir_acc
+    dwiz_out[:] = dwiz_acc
+    dwin_out[:] = dwin_acc
     dwhr_out[:] = dwhr
     dwhz_out[:] = dwhz
     dwhn_out[:] = dwhn
-    dbir_out[:] = jnp.sum(dgr, axis=1, keepdims=True)
-    dbiz_out[:] = jnp.sum(dgz, axis=1, keepdims=True)
-    dbin_out[:] = jnp.sum(dgn, axis=1, keepdims=True)
+    dbir_out[:] = dbir_acc
+    dbiz_out[:] = dbiz_acc
+    dbin_out[:] = dbin_acc
     dbhr_out[:] = dbhr
     dbhz_out[:] = dbhz
     dbhn_out[:] = dbhn
@@ -276,13 +283,21 @@ def _round_up(x, m):
 
 
 def make_recurrence_op(steps: int, f: int, n: int, *,
-                       interpret: bool = False):
+                       interpret: bool = False, bwd_mode: str = "auto"):
     """Fused flagship recurrence for (N=n, features=f), T=steps.
     Returns op(msgs (N,f), h0 (N,f), mask (N,1), gru, ma_bn, bn) →
     (hT (N,f), (ma_mean, ma_var), [(mean_t, var_t)]×steps).
-    n is padded internally to a 128-lane multiple."""
+    n is padded internally to a 128-lane multiple.
+
+    bwd_mode: 'fused' (second Pallas kernel - needs the T stashed states
+    plus the reverse walk's live set in VMEM, ~(T+14)*fp rows), 'xla'
+    (jax.vjp of the pure reference - exact same math, many small ops), or
+    'auto' (fused when the estimate fits the 16MB scoped-VMEM budget)."""
     npad = _round_up(n, 128)
     fp = _round_up(f, 16)
+    if bwd_mode == "auto":
+        est = (steps + 14) * fp * npad * 4
+        bwd_mode = "fused" if est <= 13 * 2 ** 20 else "xla"
 
     def _vm():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -351,6 +366,15 @@ def make_recurrence_op(steps: int, f: int, n: int, *,
 
     def bwd(res, cot):
         msgs, h0, mask, gru, ma_bn, bn = res
+        if bwd_mode == "xla":
+            # exact same math through the pure reference (stats cotangents
+            # ride along - they are zeros when only the loss is grad'd)
+            _, vjp = jax.vjp(
+                lambda m_, h_, g_, a_, b_: reference_recurrence(
+                    m_, h_, mask, g_, a_, b_, steps=steps),
+                msgs, h0, gru, ma_bn, bn)
+            dm, dh, dg, da_, db_ = vjp(cot)
+            return dm, dh, None, dg, da_, db_
         g_ht, _, _ = cot          # stats feed running-state EMAs (no grad)
         packed = pack(msgs, h0, mask, gru, ma_bn, bn)
         g_t = jnp.pad(g_ht.astype(jnp.float32),
@@ -367,7 +391,6 @@ def make_recurrence_op(steps: int, f: int, n: int, *,
             out_shape=(fpn, fpn, fpf, fpf, fpf, fpf, fpf, fpf,
                        fc, fc, fc, fc, fc, fc, fc, fc, fc, fc),
             scratch_shapes=[
-                pltpu.VMEM((steps * fp, npad), jnp.float32),
                 pltpu.VMEM((steps * fp, npad), jnp.float32),
             ],
             interpret=interpret,
