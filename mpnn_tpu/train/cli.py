@@ -123,6 +123,8 @@ def cmd_train(args):
         overrides["log_path"] = args.log
     if args.packed:
         overrides["packed"] = True
+    if getattr(args, "spmm", None):
+        overrides["spmm"] = args.spmm
     if overrides:
         tcfg = dataclasses.replace(tcfg, **overrides)
     init_params = init_state = None
@@ -281,6 +283,9 @@ def main(argv=None):
     t.add_argument("--resume", action="store_true")
     t.add_argument("--packed", action="store_true",
                    help="train on the sparse packed-COO path")
+    t.add_argument("--spmm", choices=["xla", "kernel", "kernel_interpret"],
+                   help="packed message-step SpMM backend (kernel = the "
+                        "Pallas windowed one-hot kernel, TPU)")
     t.add_argument("--atom-ae", help="pretrained atom AE checkpoint "
                                      "(see the pretrain verb)")
     t.add_argument("--bond-ae", help="pretrained bond AE checkpoint")
