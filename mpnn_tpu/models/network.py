@@ -132,7 +132,8 @@ def network_apply(params, state, cfg: NetworkConfig, batch, *,
 
 def network_apply_packed(params, state, cfg: NetworkConfig, batch, *,
                          training: bool, axis_name: Optional[str] = None,
-                         spmm_fn=None, spmm_vocab_fn=None, sddmm_fn=None):
+                         spmm_fn=None, spmm_vocab_fn=None, sddmm_fn=None,
+                         recurrence_fn=None):
     """Packed-batch network forward: same params as network_init; the MPNN
     runs on the sparse path (models/sparse.py). batch: PackedBatch dict.
     Returns (out (num_graphs, classes), new_state)."""
@@ -159,7 +160,8 @@ def network_apply_packed(params, state, cfg: NetworkConfig, batch, *,
     out, new_state["mpnn"] = sparse_mpnn_apply(
         params["mpnn"], state["mpnn"], cfg.mpnn, mb,
         training=training, axis_name=axis_name, spmm_fn=spmm_fn,
-        spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn)
+        spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
+        recurrence_fn=recurrence_fn)
 
     if cfg.head_bn:
         # same torch-BatchNorm1d semantics as the dense path; assumes no

@@ -53,6 +53,9 @@ class TrainConfig:
     spmm: str = "xla"                # packed message-step SpMM backend:
                                      # xla | kernel (Pallas, TPU) |
                                      # kernel_interpret (CPU testing)
+    fuse_recurrence: bool = False    # fuse the BN→GRU→BN step chain into
+                                     # one Pallas kernel (flagship-shaped
+                                     # configs only; kernels/recurrence.py)
     handle_preemption: bool = True   # SIGTERM → checkpoint + clean exit
                                      # (resume picks the run back up; the
                                      # reference loses preempted runs —
@@ -64,7 +67,7 @@ class TrainConfig:
 # ---------------------------------------------------------------------------
 
 def make_loss_fn(net_cfg: NetworkConfig, kind: str,
-                 spmm_vocab_fn=None, sddmm_fn=None):
+                 spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None):
     def loss_fn(params, state, batch, training: bool):
         packed = "node_feats" in batch
         if packed:
@@ -72,7 +75,8 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str,
             b = {k: v for k, v in batch.items() if k != "num_graphs"}
             out, new_state = network_apply_packed(
                 params, state, net_cfg, b, training=training,
-                spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn)
+                spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
+                recurrence_fn=recurrence_fn if training else None)
             gm = batch["graph_mask"]
         else:
             out, new_state = network_apply(params, state, net_cfg, batch,
@@ -108,9 +112,10 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str,
 
 def make_train_step(net_cfg: NetworkConfig, tx, loss_kind: str,
                     compute_dtype: str = "float32",
-                    spmm_vocab_fn=None, sddmm_fn=None):
+                    spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None):
     loss_fn = make_loss_fn(net_cfg, loss_kind,
-                           spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn)
+                           spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
+                           recurrence_fn=recurrence_fn)
     mixed = compute_dtype == "bfloat16"
 
     def _cast(tree, dtype):
@@ -238,9 +243,19 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
             spmm_vocab_fn = make_spmm_op(
                 block_edges=train_loader.spmm_block_edges,
                 window=train_loader.spmm_window, interpret=interp)
+    recurrence_fn = None
+    if cfg.fuse_recurrence and cfg.packed and train_loader._packed_caps:
+        from mpnn_tpu.kernels.recurrence import make_recurrence_op
+        from mpnn_tpu.models.sparse import recurrence_eligible
+        if recurrence_eligible(net_cfg.mpnn, training=True):
+            recurrence_fn = make_recurrence_op(
+                net_cfg.mpnn.message_steps, net_cfg.mpnn.node_features,
+                train_loader._packed_caps[0],
+                interpret=cfg.spmm == "kernel_interpret")
     step_fn = make_train_step(net_cfg, tx, cfg.loss, cfg.compute_dtype,
                               spmm_vocab_fn=spmm_vocab_fn,
-                              sddmm_fn=sddmm_fn)
+                              sddmm_fn=sddmm_fn,
+                              recurrence_fn=recurrence_fn)
     val_loader = (GraphLoader(val_graphs, cfg.batch_size, shuffle=False,
                               collate=collate, with_nafm=with_nafm)
                   if val_graphs is not None else None)

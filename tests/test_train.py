@@ -448,3 +448,31 @@ class TestKernelTrainer:
             losses[spmm] = [r["train_loss"] for r in h]
         np.testing.assert_allclose(losses["kernel_interpret"],
                                    losses["xla"], rtol=5e-3)
+
+    def test_packed_training_with_fused_recurrence_interpret(self):
+        """TrainConfig(fuse_recurrence=True) routes the flagship step chain
+        through the fused Pallas recurrence (interpret) — must match XLA."""
+        import dataclasses
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import build
+        from mpnn_tpu.train import trainer
+        smiles = TestEndToEnd.SMILES
+        gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+            smiles, [0.1 * len(s) for s in smiles]))
+        cfg = build("lipo", afm=ge.atom_width(), bfm=ge.bond_width(),
+                    nafm=3, n_out=1)
+        cfg = dataclasses.replace(cfg, mpnn=dataclasses.replace(
+            cfg.mpnn, edge_mlp_tail_repeats=2, message_steps=3))
+        losses = {}
+        for fuse in (False, True):
+            tcfg = trainer.TrainConfig(
+                epochs=3, batch_size=4, learning_rate=1e-2, loss="mse",
+                packed=True, spmm="kernel_interpret", fuse_recurrence=fuse,
+                seed=317, shuffle=False, log_path=None)
+            _, _, _, h = trainer.train(cfg, tcfg, gs)
+            losses[fuse] = [r["train_loss"] for r in h]
+        # first epoch tight; later epochs drift through float chaos (the
+        # per-step parity is 2e-5 — tests/test_sparse.py)
+        np.testing.assert_allclose(losses[True][0], losses[False][0],
+                                   rtol=5e-3)
+        np.testing.assert_allclose(losses[True], losses[False], rtol=0.05)
