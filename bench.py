@@ -119,9 +119,11 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
     if fuse:
         from mpnn_tpu.kernels.recurrence import make_recurrence_op
         assert model == "flagship", "--fuse covers the flagship recurrence"
+        import os as _os
         recurrence_fn = make_recurrence_op(
             cfg.message_steps, cfg.node_features,
-            int(packed["node_feats"].shape[0]))
+            int(packed["node_feats"].shape[0]),
+            bwd_mode=_os.environ.get("MPNN_TPU_RECURRENCE_BWD", "auto"))
     real_edges = int(packed["edge_mask"].sum())
     jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
           for k, v in packed.items()}
