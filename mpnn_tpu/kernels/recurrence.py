@@ -354,9 +354,11 @@ def make_recurrence_op(steps: int, f: int, n: int, *,
             ),
             interpret=interpret,
         )(*packed)
-        ma_stats = (ma_m[:f, 0], ma_v[:f, 0])
-        step_stats = [(bn_m[t * fp:t * fp + f, 0],
-                       bn_v[t * fp:t * fp + f, 0]) for t in range(steps)]
+        dt = msgs.dtype   # uniform output dtype (mixed outputs break vjp)
+        ma_stats = (ma_m[:f, 0].astype(dt), ma_v[:f, 0].astype(dt))
+        step_stats = [(bn_m[t * fp:t * fp + f, 0].astype(dt),
+                       bn_v[t * fp:t * fp + f, 0].astype(dt))
+                      for t in range(steps)]
         return (h_t[:f, :n].T.astype(msgs.dtype), ma_stats,
                 step_stats)
 
