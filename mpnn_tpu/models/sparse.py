@@ -392,9 +392,36 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                 training=training, axis_name=axis_name)
         return out, new_state
 
+    # With messages computed from the INITIAL features and shared message
+    # weights, msgs are IDENTICAL every step: computing them once inside
+    # the loop would still run the backward of the message op once PER
+    # STEP (JAX does not merge pullbacks of a repeated primal — profiled
+    # as 6 SpMM-bwd kernel launches per train step). Hoist the common case.
+    msgs_const = cfg.message_input == "initial" \
+        and cfg.share_message_weights
+    cached_msgs = None
+
     h = h0
     history = [h0]
     for step in range(cfg.message_steps):
+        if msgs_const and cached_msgs is not None:
+            msgs = cached_msgs
+            ni = step if cfg.per_step_norms else 0
+            if cfg.msg_norm == "bn1d":
+                msgs, ma_bn_state[ni] = bn1d_apply(
+                    params["ma_bn"][ni], ma_bn_state[ni], msgs, mask,
+                    training=training, axis_name=axis_name)
+            hidden = h if cfg.update_hidden == "state" else h0
+            h = gru_apply(params["gru"], msgs[None], hidden[None],
+                          mask[None])[0]
+            if cfg.state_norm == "stateless":
+                h = mask_batch_norm(h, mask, axis_name=axis_name)
+            elif cfg.state_norm == "bn1d":
+                h, bn_state[ni] = bn1d_apply(
+                    params["bn"][ni], bn_state[ni], h, mask,
+                    training=training, axis_name=axis_name)
+            history.append(h)
+            continue
         mi = 0 if cfg.share_message_weights else step
         ni = step if cfg.per_step_norms else 0
         msg_src = h0 if cfg.message_input == "initial" else h
@@ -432,6 +459,8 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                                    nf=cfg.node_features)
         else:
             raise NotImplementedError(cfg.message_fn)
+        if msgs_const:
+            cached_msgs = msgs
         if cfg.msg_norm == "bn1d":
             msgs, ma_bn_state[ni] = bn1d_apply(
                 params["ma_bn"][ni], ma_bn_state[ni], msgs, mask,
