@@ -117,13 +117,11 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
     recurrence_fn = None
     if fuse:
-        from mpnn_tpu.kernels.recurrence import make_recurrence_op
+        from mpnn_tpu.kernels.recurrence import make_recurrence_op_auto
         assert model == "flagship", "--fuse covers the flagship recurrence"
-        import os as _os
-        recurrence_fn = make_recurrence_op(
+        recurrence_fn = make_recurrence_op_auto(
             cfg.message_steps, cfg.node_features,
-            int(packed["node_feats"].shape[0]),
-            bwd_mode=_os.environ.get("MPNN_TPU_RECURRENCE_BWD", "auto"))
+            int(packed["node_feats"].shape[0]))
     real_edges = int(packed["edge_mask"].sum())
     jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
           for k, v in packed.items()}

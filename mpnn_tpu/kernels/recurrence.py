@@ -424,3 +424,270 @@ def make_recurrence_op(steps: int, f: int, n: int, *,
 
     op.defvjp(fwd, bwd)
     return op
+
+
+# ---------------------------------------------------------------------------
+# node-BLOCKED forward (any N): grid (T+1, 2, node-blocks)
+# ---------------------------------------------------------------------------
+#
+# The monolithic kernel above needs the whole (fp, N) state set in VMEM —
+# fine to ~20k nodes. For larger batches this variant streams node BLOCKS
+# from HBM: every (step, phase) makes one pass over the blocks,
+#   phase 0: compute (GRU for steps ≥ 1; the ma_bn input pass for step 0),
+#            write h̃ blocks to an HBM buffer, accumulate Σx and Σx² per
+#            feature in VMEM accumulators (grid is sequential);
+#   phase 1: finalize stats at block 0 (single-pass variance E[x²] − μ² —
+#            documented numerical difference vs the two-pass reference,
+#            covered by a looser test tolerance), then normalize + affine +
+#            mask each block and write the new state (and for step 0, also
+#            the constant GRU input-gate contributions g_r/z/n).
+# Backward for this variant is the XLA VJP of the reference (the monolithic
+# fused backward does not fit scoped VMEM at these sizes anyway).
+
+def _blocked_kernel(msgs_hbm, h0_hbm, mask_hbm, c_ref,
+                    wir_ref, wiz_ref, win_ref, whr_ref, whz_ref, whn_ref,
+                    bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
+                    mw_ref, mb_ref, sw_ref, sb_ref,
+                    zg_hbm, zt_hbm, zh_hbm,
+                    gates_hbm, htil_hbm, h_hbm, stats_out,
+                    xblk, gblk, mblk, acc, stats, sems,
+                    *, steps: int, fp: int, blk: int):
+    t = pl.program_id(0)
+    p = pl.program_id(1)
+    b = pl.program_id(2)
+    nb = pl.num_programs(2)
+    c = c_ref[0, 0]
+    off = b * blk
+
+    @pl.when(jnp.logical_and(jnp.logical_and(t == 0, p == 0), b == 0))
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(p == 0)
+    def _():
+        # load the mask block once per (t, phase-0, b)
+        cpm = pltpu.make_async_copy(mask_hbm.at[:, pl.ds(off, blk)], mblk,
+                                    sems.at[0])
+        cpm.start()
+
+        @pl.when(t == 0)
+        def _():
+            cpx = pltpu.make_async_copy(msgs_hbm.at[:, pl.ds(off, blk)],
+                                        xblk, sems.at[1])
+            cpx.start()
+            cpx.wait()
+            cpm.wait()
+            # stage the masked msgs into htil as the phase-1 input
+            x = xblk[:] * mblk[:]
+            xblk[:] = x
+            wb = pltpu.make_async_copy(xblk,
+                                       htil_hbm.at[:, pl.ds(off, blk)],
+                                       sems.at[1])
+            wb.start()
+            acc[:, 0:1] += jnp.sum(x, axis=1, keepdims=True)
+            acc[:, 1:2] += jnp.sum(x * x, axis=1, keepdims=True)
+            wb.wait()
+
+        @pl.when(t > 0)
+        def _():
+            cph = pltpu.make_async_copy(h_hbm.at[:, pl.ds(off, blk)],
+                                        xblk, sems.at[1])
+            cpg = pltpu.make_async_copy(
+                gates_hbm.at[:, pl.ds(off, blk)], gblk, sems.at[2])
+            cph.start()
+            cpg.start()
+            cph.wait()
+            cpg.wait()
+            cpm.wait()
+            h = xblk[:]
+            m = mblk[:]
+            gr = gblk[0 * fp:1 * fp, :]
+            gz = gblk[1 * fp:2 * fp, :]
+            gn = gblk[2 * fp:3 * fp, :]
+            htil = _gru_fwd_t(h, gr, gz, gn, whr_ref[:], whz_ref[:],
+                              whn_ref[:], bhr_ref[:], bhz_ref[:],
+                              bhn_ref[:], m)
+            xblk[:] = htil
+            wb = pltpu.make_async_copy(xblk,
+                                       htil_hbm.at[:, pl.ds(off, blk)],
+                                       sems.at[1])
+            wb.start()
+            acc[:, 0:1] += jnp.sum(htil, axis=1, keepdims=True)
+            acc[:, 1:2] += jnp.sum(htil * htil, axis=1, keepdims=True)
+            wb.wait()
+
+    @pl.when(p == 1)
+    def _():
+        @pl.when(b == 0)
+        def _():
+            mean = acc[:, 0:1] / c
+            var = jnp.maximum(acc[:, 1:2] / c - mean * mean, 0.0)
+            stats[:, 0:1] = mean
+            stats[:, 1:2] = var
+            stats_out[pl.ds(t * fp, fp), 0:1] = mean
+            stats_out[pl.ds(t * fp, fp), 1:2] = var
+            acc[:] = jnp.zeros_like(acc)
+
+        cpx = pltpu.make_async_copy(htil_hbm.at[:, pl.ds(off, blk)], xblk,
+                                    sems.at[1])
+        cpm = pltpu.make_async_copy(mask_hbm.at[:, pl.ds(off, blk)], mblk,
+                                    sems.at[0])
+        cpx.start()
+        cpm.start()
+        cpx.wait()
+        cpm.wait()
+        m = mblk[:]
+        mean = stats[:, 0:1]
+        var = stats[:, 1:2]
+        xhat = ((xblk[:] - mean) * m) \
+            / (jnp.sqrt(jnp.maximum(var, VAR_CLAMP)) + BN_EPS)
+
+        @pl.when(t == 0)
+        def _():
+            mbv = (mw_ref[:] * xhat + mb_ref[:]) * m
+            gblk[0 * fp:1 * fp, :] = _dot(wir_ref[:].T, mbv) + bir_ref[:]
+            gblk[1 * fp:2 * fp, :] = _dot(wiz_ref[:].T, mbv) + biz_ref[:]
+            gblk[2 * fp:3 * fp, :] = _dot(win_ref[:].T, mbv) + bin_ref[:]
+            wbg = pltpu.make_async_copy(
+                gblk, gates_hbm.at[:, pl.ds(off, blk)], sems.at[2])
+            wbg.start()
+            wbg.wait()
+
+        @pl.when(t > 0)
+        def _():
+            xblk[:] = (sw_ref[:] * xhat + sb_ref[:]) * m
+            wbh = pltpu.make_async_copy(xblk, h_hbm.at[:, pl.ds(off, blk)],
+                                        sems.at[1])
+            wbh.start()
+            wbh.wait()
+
+
+def make_blocked_recurrence_fwd(steps: int, f: int, n: int, *,
+                                blk: int = 8192, interpret: bool = False):
+    """Blocked forward for any node count. Returns
+    fwd(msgs, h0, mask, gru, ma_bn, bn) → (hT, ma_stats, step_stats) with
+    the same contract as make_recurrence_op (variance is single-pass)."""
+    fp = _round_up(f, 16)
+    npad = _round_up(n, blk)
+    nb = npad // blk
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def _any():
+        return pl.BlockSpec(memory_space=pltpu.ANY)
+
+    kernel = functools.partial(_blocked_kernel, steps=steps, fp=fp, blk=blk)
+
+    def fwd(msgs, h0, mask, gru, ma_bn, bn):
+        dt = jnp.float32
+        padf = ((0, 0), (0, fp - f))
+
+        def mat_t(x):
+            xt = jnp.pad(x.astype(dt), padf).T
+            return jnp.pad(xt, ((0, 0), (0, npad - n)))
+
+        def blocks(w):
+            bmat = w.astype(dt).reshape(f, 3, f)
+            return [jnp.pad(bmat[:, k, :], ((0, fp - f), (0, fp - f)))
+                    for k in range(3)]
+
+        def col3(v):
+            bmat = v.astype(dt).reshape(3, f)
+            return [jnp.pad(bmat[k][:, None], ((0, fp - f), (0, 0)))
+                    for k in range(3)]
+
+        def col(v):
+            return jnp.pad(v.astype(dt)[:, None], ((0, fp - f), (0, 0)))
+
+        mask_row = jnp.pad(mask.astype(dt).reshape(1, n),
+                           ((0, 0), (0, npad - n)))
+        c = jnp.sum(mask_row).reshape(1, 1)
+        wi = blocks(gru["w_ih"])
+        wh = blocks(gru["w_hh"])
+        bi = col3(gru["b_ih"])
+        bh = col3(gru["b_hh"])
+        zg = jnp.zeros((3 * fp, npad), dt)
+        zt = jnp.zeros((fp, npad), dt)
+        h0m = mat_t(h0 * mask)
+        args = ([mat_t(msgs), h0m, mask_row, c]
+                + wi + wh + bi + bh
+                + [col(ma_bn["weight"]), col(ma_bn["bias"]),
+                   col(bn["weight"]), col(bn["bias"]),
+                   zg, zt, h0m])
+
+        gates, htil, h_fin, stats = pl.pallas_call(
+            kernel,
+            grid=(steps + 1, 2, nb),
+            in_specs=[_any(), _any(), _any(),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [_vm()] * 16 + [_any(), _any(), _any()],
+            out_specs=(_any(), _any(), _any(), _vm()),
+            out_shape=(
+                jax.ShapeDtypeStruct((3 * fp, npad), dt),
+                jax.ShapeDtypeStruct((fp, npad), dt),
+                jax.ShapeDtypeStruct((fp, npad), dt),
+                jax.ShapeDtypeStruct(((steps + 1) * fp, 2), dt),
+            ),
+            input_output_aliases={20: 0, 21: 1, 22: 2},
+            scratch_shapes=[
+                pltpu.VMEM((fp, blk), dt),          # xblk
+                pltpu.VMEM((3 * fp, blk), dt),      # gblk
+                pltpu.VMEM((1, blk), dt),           # mblk
+                pltpu.VMEM((fp, 2), dt),            # acc
+                pltpu.VMEM((fp, 2), dt),            # stats
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            interpret=interpret,
+        )(*args)
+        odt = msgs.dtype
+        ma_stats = (stats[0 * fp:0 * fp + f, 0].astype(odt),
+                    stats[0 * fp:0 * fp + f, 1].astype(odt))
+        step_stats = [(stats[(t + 1) * fp:(t + 1) * fp + f, 0].astype(odt),
+                       stats[(t + 1) * fp:(t + 1) * fp + f, 1].astype(odt))
+                      for t in range(steps)]
+        return h_fin[:f, :n].T.astype(odt), ma_stats, step_stats
+
+    return fwd
+
+
+def make_recurrence_op_blocked(steps: int, f: int, n: int, *,
+                               blk: int = 8192, interpret: bool = False):
+    """Blocked-forward variant of make_recurrence_op for LARGE node counts:
+    Pallas streaming forward + XLA-VJP backward (reference math)."""
+    fwd_fn = make_blocked_recurrence_fwd(steps, f, n, blk=blk,
+                                         interpret=interpret)
+
+    @jax.custom_vjp
+    def op(msgs, h0, mask, gru, ma_bn, bn):
+        return fwd_fn(msgs, h0, mask, gru, ma_bn, bn)
+
+    def fwd(msgs, h0, mask, gru, ma_bn, bn):
+        return (fwd_fn(msgs, h0, mask, gru, ma_bn, bn),
+                (msgs, h0, mask, gru, ma_bn, bn))
+
+    def bwd(res, cot):
+        msgs, h0, mask, gru, ma_bn, bn = res
+        _, vjp = jax.vjp(
+            lambda m_, h_, g_, a_, b_: reference_recurrence(
+                m_, h_, mask, g_, a_, b_, steps=steps),
+            msgs, h0, gru, ma_bn, bn)
+        dm, dh, dg, da_, db_ = vjp(cot)
+        return dm, dh, None, dg, da_, db_
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+# the monolithic forward holds ~12 (fp, N) buffers in VMEM; past this node
+# count use the blocked streaming variant
+MONOLITHIC_MAX_NODES = 16384
+
+
+def make_recurrence_op_auto(steps: int, f: int, n: int, *,
+                            interpret: bool = False):
+    """Monolithic fused op for small node counts, blocked streaming forward
+    (+ XLA-VJP backward) for large ones."""
+    if n <= MONOLITHIC_MAX_NODES:
+        return make_recurrence_op(steps, f, n, interpret=interpret)
+    return make_recurrence_op_blocked(steps, f, n, interpret=interpret)

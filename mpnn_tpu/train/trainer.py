@@ -245,10 +245,10 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                 window=train_loader.spmm_window, interpret=interp)
     recurrence_fn = None
     if cfg.fuse_recurrence and cfg.packed and train_loader._packed_caps:
-        from mpnn_tpu.kernels.recurrence import make_recurrence_op
+        from mpnn_tpu.kernels.recurrence import make_recurrence_op_auto
         from mpnn_tpu.models.sparse import recurrence_eligible
         if recurrence_eligible(net_cfg.mpnn, training=True):
-            recurrence_fn = make_recurrence_op(
+            recurrence_fn = make_recurrence_op_auto(
                 net_cfg.mpnn.message_steps, net_cfg.mpnn.node_features,
                 train_loader._packed_caps[0],
                 interpret=cfg.spmm == "kernel_interpret")

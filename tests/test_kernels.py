@@ -324,3 +324,46 @@ class TestRecurrence:
         for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr_)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-4)
+
+    def test_blocked_forward_matches_reference(self):
+        """Streaming (node-blocked) forward vs the reference — looser
+        tolerance: single-pass variance (E[x²] − μ²)."""
+        from mpnn_tpu.kernels.recurrence import (
+            make_recurrence_op_blocked, reference_recurrence)
+        msgs, h0, mask, gru, ma_p, bn_p = self._inputs(5)
+        op = make_recurrence_op_blocked(self.T, self.F, self.N, blk=128,
+                                        interpret=True)
+        got, gst, gsteps = op(msgs, h0, mask, gru, ma_p, bn_p)
+        want, wst, wsteps = reference_recurrence(
+            msgs, h0, mask, gru, ma_p, bn_p, steps=self.T)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gst[1]), np.asarray(wst[1]),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gsteps[-1][0]),
+                                   np.asarray(wsteps[-1][0]),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_blocked_grads_flow(self):
+        from mpnn_tpu.kernels.recurrence import (
+            make_recurrence_op_blocked, reference_recurrence)
+        msgs, h0, mask, gru, ma_p, bn_p = self._inputs(6)
+        op = make_recurrence_op_blocked(self.T, self.F, self.N, blk=128,
+                                        interpret=True)
+        gt = jnp.asarray(np.random.RandomState(8).randn(
+            self.N, self.F).astype(np.float32))
+
+        def lk(m_, h_):
+            out, _, _ = op(m_, h_, mask, gru, ma_p, bn_p)
+            return (out * gt).sum()
+
+        def lr(m_, h_):
+            out, _, _ = reference_recurrence(m_, h_, mask, gru, ma_p, bn_p,
+                                             steps=self.T)
+            return (out * gt).sum()
+
+        gk = jax.grad(lk, argnums=(0, 1))(msgs, h0)
+        gr_ = jax.grad(lr, argnums=(0, 1))(msgs, h0)
+        for a, b in zip(gk, gr_):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
