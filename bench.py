@@ -81,7 +81,7 @@ def att_mpnn_cfg(ge):
 def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                  use_vocab: bool = True, spmm: str = "kernel",
                  spmm_block: int = 512, model: str = "flagship",
-                 fuse: bool = False):
+                 fuse: bool = False, tail: int | None = None):
     import functools
     import jax
     import jax.numpy as jnp
@@ -94,6 +94,9 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
 
     gs, ge = build_batch(batch_size)
     cfg = flagship_mpnn_cfg(ge) if model == "flagship" else att_mpnn_cfg(ge)
+    if tail is not None:        # component-isolation probe, not a real config
+        import dataclasses
+        cfg = dataclasses.replace(cfg, edge_mlp_tail_repeats=tail)
     params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
     if use_vocab:
@@ -269,6 +272,9 @@ def main(argv=None):
                         "kernel (kernels/recurrence.py; DEFAULT for the "
                         "flagship — measured 1.77 ms/step vs 2.15)")
     p.add_argument("--no-fuse", dest="fuse", action="store_false")
+    p.add_argument("--tail", type=int, default=None,
+                   help="override edge_mlp_tail_repeats (component-isolation "
+                        "probe; the real config is 50)")
     p.add_argument("--model", default="flagship",
                    choices=["flagship", "att"],
                    help="flagship (lipo EdgeNetwork) or the attention "
@@ -281,7 +287,7 @@ def main(argv=None):
             use_vocab=not args.no_vocab, spmm=args.spmm,
             spmm_block=args.spmm_block, model=args.model,
             fuse=(args.model == "flagship") if args.fuse is None
-            else args.fuse)
+            else args.fuse, tail=args.tail)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"

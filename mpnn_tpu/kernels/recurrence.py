@@ -441,14 +441,14 @@ def make_recurrence_op(steps: int, f: int, n: int, *,
 #            covered by a looser test tolerance), then normalize + affine +
 #            mask each block and write the new state (and for step 0, also
 #            the constant GRU input-gate contributions g_r/z/n).
-# Backward for this variant is the XLA VJP of the reference (the monolithic
-# fused backward does not fit scoped VMEM at these sizes anyway).
+# The forward writes SLOTTED residual buffers (pre-BN inputs per grid step,
+# post-BN states per step, the gates, raw stats) so the blocked BACKWARD
+# below can walk the chain in reverse without a monolithic replay.
 
 def _blocked_kernel(msgs_hbm, h0_hbm, mask_hbm, c_ref,
                     wir_ref, wiz_ref, win_ref, whr_ref, whz_ref, whn_ref,
                     bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
                     mw_ref, mb_ref, sw_ref, sb_ref,
-                    zg_hbm, zt_hbm, zh_hbm,
                     gates_hbm, htil_hbm, h_hbm, stats_out,
                     xblk, gblk, mblk, acc, stats, sems,
                     *, steps: int, fp: int, blk: int):
@@ -477,12 +477,12 @@ def _blocked_kernel(msgs_hbm, h0_hbm, mask_hbm, c_ref,
             cpx.start()
             cpx.wait()
             cpm.wait()
-            # stage the masked msgs into htil as the phase-1 input
+            # stage the masked msgs into htil slot 0 as the phase-1 input
             x = xblk[:] * mblk[:]
             xblk[:] = x
-            wb = pltpu.make_async_copy(xblk,
-                                       htil_hbm.at[:, pl.ds(off, blk)],
-                                       sems.at[1])
+            wb = pltpu.make_async_copy(
+                xblk, htil_hbm.at[pl.ds(0, fp), pl.ds(off, blk)],
+                sems.at[1])
             wb.start()
             acc[:, 0:1] += jnp.sum(x, axis=1, keepdims=True)
             acc[:, 1:2] += jnp.sum(x * x, axis=1, keepdims=True)
@@ -490,13 +490,24 @@ def _blocked_kernel(msgs_hbm, h0_hbm, mask_hbm, c_ref,
 
         @pl.when(t > 0)
         def _():
-            cph = pltpu.make_async_copy(h_hbm.at[:, pl.ds(off, blk)],
-                                        xblk, sems.at[1])
+            # previous state s_{t-1}: h0 for step 1, slot t-2 after
+            @pl.when(t == 1)
+            def _():
+                cph = pltpu.make_async_copy(
+                    h0_hbm.at[:, pl.ds(off, blk)], xblk, sems.at[1])
+                cph.start()
+                cph.wait()
+
+            @pl.when(t > 1)
+            def _():
+                cph = pltpu.make_async_copy(
+                    h_hbm.at[pl.ds((t - 2) * fp, fp), pl.ds(off, blk)],
+                    xblk, sems.at[1])
+                cph.start()
+                cph.wait()
             cpg = pltpu.make_async_copy(
                 gates_hbm.at[:, pl.ds(off, blk)], gblk, sems.at[2])
-            cph.start()
             cpg.start()
-            cph.wait()
             cpg.wait()
             cpm.wait()
             h = xblk[:]
@@ -508,9 +519,9 @@ def _blocked_kernel(msgs_hbm, h0_hbm, mask_hbm, c_ref,
                               whn_ref[:], bhr_ref[:], bhz_ref[:],
                               bhn_ref[:], m)
             xblk[:] = htil
-            wb = pltpu.make_async_copy(xblk,
-                                       htil_hbm.at[:, pl.ds(off, blk)],
-                                       sems.at[1])
+            wb = pltpu.make_async_copy(
+                xblk, htil_hbm.at[pl.ds(t * fp, fp), pl.ds(off, blk)],
+                sems.at[1])
             wb.start()
             acc[:, 0:1] += jnp.sum(htil, axis=1, keepdims=True)
             acc[:, 1:2] += jnp.sum(htil * htil, axis=1, keepdims=True)
@@ -528,8 +539,9 @@ def _blocked_kernel(msgs_hbm, h0_hbm, mask_hbm, c_ref,
             stats_out[pl.ds(t * fp, fp), 1:2] = var
             acc[:] = jnp.zeros_like(acc)
 
-        cpx = pltpu.make_async_copy(htil_hbm.at[:, pl.ds(off, blk)], xblk,
-                                    sems.at[1])
+        cpx = pltpu.make_async_copy(
+            htil_hbm.at[pl.ds(t * fp, fp), pl.ds(off, blk)], xblk,
+            sems.at[1])
         cpm = pltpu.make_async_copy(mask_hbm.at[:, pl.ds(off, blk)], mblk,
                                     sems.at[0])
         cpx.start()
@@ -556,20 +568,58 @@ def _blocked_kernel(msgs_hbm, h0_hbm, mask_hbm, c_ref,
         @pl.when(t > 0)
         def _():
             xblk[:] = (sw_ref[:] * xhat + sb_ref[:]) * m
-            wbh = pltpu.make_async_copy(xblk, h_hbm.at[:, pl.ds(off, blk)],
-                                        sems.at[1])
+            wbh = pltpu.make_async_copy(
+                xblk, h_hbm.at[pl.ds((t - 1) * fp, fp), pl.ds(off, blk)],
+                sems.at[1])
             wbh.start()
             wbh.wait()
 
 
-def make_blocked_recurrence_fwd(steps: int, f: int, n: int, *,
-                                blk: int = 8192, interpret: bool = False):
-    """Blocked forward for any node count. Returns
-    fwd(msgs, h0, mask, gru, ma_bn, bn) → (hT, ma_stats, step_stats) with
-    the same contract as make_recurrence_op (variance is single-pass)."""
+def _pack_blocked(msgs, h0, mask, gru, ma_bn, bn, *, f, fp, n, npad):
+    """Transposed/padded operand list shared by the blocked fwd and bwd."""
+    dt = jnp.float32
+    padf = ((0, 0), (0, fp - f))
+
+    def mat_t(x):
+        xt = jnp.pad(x.astype(dt), padf).T
+        return jnp.pad(xt, ((0, 0), (0, npad - n)))
+
+    def blocks(w):
+        bmat = w.astype(dt).reshape(f, 3, f)
+        return [jnp.pad(bmat[:, k, :], ((0, fp - f), (0, fp - f)))
+                for k in range(3)]
+
+    def col3(v):
+        bmat = v.astype(dt).reshape(3, f)
+        return [jnp.pad(bmat[k][:, None], ((0, fp - f), (0, 0)))
+                for k in range(3)]
+
+    def col(v):
+        return jnp.pad(v.astype(dt)[:, None], ((0, fp - f), (0, 0)))
+
+    mask_row = jnp.pad(mask.astype(dt).reshape(1, n),
+                       ((0, 0), (0, npad - n)))
+    c = jnp.sum(mask_row).reshape(1, 1)
+    wi = blocks(gru["w_ih"])
+    wh = blocks(gru["w_hh"])
+    bi = col3(gru["b_ih"])
+    bh = col3(gru["b_hh"])
+    h0m = mat_t(h0 * mask)
+    return ([mat_t(msgs), h0m, mask_row, c]
+            + wi + wh + bi + bh
+            + [col(ma_bn["weight"]), col(ma_bn["bias"]),
+               col(bn["weight"]), col(bn["bias"])]), mat_t
+
+
+def _blocked_forward_call(msgs, h0, mask, gru, ma_bn, bn, *, steps, f, n,
+                          blk, interpret):
+    """Run the blocked forward kernel; returns (hT, ma_stats, step_stats)
+    plus the residual buffers (gates, htil slots, h slots, raw stats) the
+    blocked backward consumes."""
     fp = _round_up(f, 16)
     npad = _round_up(n, blk)
     nb = npad // blk
+    dt = jnp.float32
 
     def _vm():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -578,101 +628,380 @@ def make_blocked_recurrence_fwd(steps: int, f: int, n: int, *,
         return pl.BlockSpec(memory_space=pltpu.ANY)
 
     kernel = functools.partial(_blocked_kernel, steps=steps, fp=fp, blk=blk)
+    args, _ = _pack_blocked(msgs, h0, mask, gru, ma_bn, bn,
+                            f=f, fp=fp, n=n, npad=npad)
+    gates, htil, h_all, stats = pl.pallas_call(
+        kernel,
+        grid=(steps + 1, 2, nb),
+        in_specs=[_any(), _any(), _any(),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_vm()] * 16,
+        out_specs=(_any(), _any(), _any(), _vm()),
+        out_shape=(
+            jax.ShapeDtypeStruct((3 * fp, npad), dt),
+            jax.ShapeDtypeStruct(((steps + 1) * fp, npad), dt),
+            jax.ShapeDtypeStruct((steps * fp, npad), dt),
+            jax.ShapeDtypeStruct(((steps + 1) * fp, 2), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((fp, blk), dt),          # xblk
+            pltpu.VMEM((3 * fp, blk), dt),      # gblk
+            pltpu.VMEM((1, blk), dt),           # mblk
+            pltpu.VMEM((fp, 2), dt),            # acc
+            pltpu.VMEM((fp, 2), dt),            # stats
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(*args)
+    odt = msgs.dtype
+    ma_stats = (stats[0 * fp:0 * fp + f, 0].astype(odt),
+                stats[0 * fp:0 * fp + f, 1].astype(odt))
+    step_stats = [(stats[(t + 1) * fp:(t + 1) * fp + f, 0].astype(odt),
+                   stats[(t + 1) * fp:(t + 1) * fp + f, 1].astype(odt))
+                  for t in range(steps)]
+    h_fin = h_all[(steps - 1) * fp:(steps - 1) * fp + f, :n].T
+    return ((h_fin.astype(odt), ma_stats, step_stats),
+            (gates, htil, h_all, stats))
+
+
+def make_blocked_recurrence_fwd(steps: int, f: int, n: int, *,
+                                blk: int = 8192, interpret: bool = False):
+    """Blocked forward for any node count. Returns
+    fwd(msgs, h0, mask, gru, ma_bn, bn) → (hT, ma_stats, step_stats) with
+    the same contract as make_recurrence_op (variance is single-pass)."""
 
     def fwd(msgs, h0, mask, gru, ma_bn, bn):
-        dt = jnp.float32
-        padf = ((0, 0), (0, fp - f))
-
-        def mat_t(x):
-            xt = jnp.pad(x.astype(dt), padf).T
-            return jnp.pad(xt, ((0, 0), (0, npad - n)))
-
-        def blocks(w):
-            bmat = w.astype(dt).reshape(f, 3, f)
-            return [jnp.pad(bmat[:, k, :], ((0, fp - f), (0, fp - f)))
-                    for k in range(3)]
-
-        def col3(v):
-            bmat = v.astype(dt).reshape(3, f)
-            return [jnp.pad(bmat[k][:, None], ((0, fp - f), (0, 0)))
-                    for k in range(3)]
-
-        def col(v):
-            return jnp.pad(v.astype(dt)[:, None], ((0, fp - f), (0, 0)))
-
-        mask_row = jnp.pad(mask.astype(dt).reshape(1, n),
-                           ((0, 0), (0, npad - n)))
-        c = jnp.sum(mask_row).reshape(1, 1)
-        wi = blocks(gru["w_ih"])
-        wh = blocks(gru["w_hh"])
-        bi = col3(gru["b_ih"])
-        bh = col3(gru["b_hh"])
-        zg = jnp.zeros((3 * fp, npad), dt)
-        zt = jnp.zeros((fp, npad), dt)
-        h0m = mat_t(h0 * mask)
-        args = ([mat_t(msgs), h0m, mask_row, c]
-                + wi + wh + bi + bh
-                + [col(ma_bn["weight"]), col(ma_bn["bias"]),
-                   col(bn["weight"]), col(bn["bias"]),
-                   zg, zt, h0m])
-
-        gates, htil, h_fin, stats = pl.pallas_call(
-            kernel,
-            grid=(steps + 1, 2, nb),
-            in_specs=[_any(), _any(), _any(),
-                      pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [_vm()] * 16 + [_any(), _any(), _any()],
-            out_specs=(_any(), _any(), _any(), _vm()),
-            out_shape=(
-                jax.ShapeDtypeStruct((3 * fp, npad), dt),
-                jax.ShapeDtypeStruct((fp, npad), dt),
-                jax.ShapeDtypeStruct((fp, npad), dt),
-                jax.ShapeDtypeStruct(((steps + 1) * fp, 2), dt),
-            ),
-            input_output_aliases={20: 0, 21: 1, 22: 2},
-            scratch_shapes=[
-                pltpu.VMEM((fp, blk), dt),          # xblk
-                pltpu.VMEM((3 * fp, blk), dt),      # gblk
-                pltpu.VMEM((1, blk), dt),           # mblk
-                pltpu.VMEM((fp, 2), dt),            # acc
-                pltpu.VMEM((fp, 2), dt),            # stats
-                pltpu.SemaphoreType.DMA((3,)),
-            ],
-            interpret=interpret,
-        )(*args)
-        odt = msgs.dtype
-        ma_stats = (stats[0 * fp:0 * fp + f, 0].astype(odt),
-                    stats[0 * fp:0 * fp + f, 1].astype(odt))
-        step_stats = [(stats[(t + 1) * fp:(t + 1) * fp + f, 0].astype(odt),
-                       stats[(t + 1) * fp:(t + 1) * fp + f, 1].astype(odt))
-                      for t in range(steps)]
-        return h_fin[:f, :n].T.astype(odt), ma_stats, step_stats
+        out, _ = _blocked_forward_call(msgs, h0, mask, gru, ma_bn, bn,
+                                       steps=steps, f=f, n=n, blk=blk,
+                                       interpret=interpret)
+        return out
 
     return fwd
 
 
+# ---------------------------------------------------------------------------
+# node-BLOCKED backward: grid (T+1, 2, node-blocks), steps walked in REVERSE
+# ---------------------------------------------------------------------------
+#
+# Consumes the forward's slotted residuals. Reversed step t = steps - ts:
+#   phase 0 (reduction): per block, recompute x̂_t from the stashed pre-BN
+#     input (htil slot t) + the forward's own stats; accumulate the masked-BN
+#     backward's global sums S1 = Σ dx̂, S2 = Σ dx̂·x̂ (and dsw/dsb).
+#   phase 1 (apply): per block, closed-form BN input-gradient, then the GRU
+#     backward (internals recomputed from the stashed s_{t-1} + gates);
+#     writes the new cotangent gh ← ∂L/∂s_{t-1} in place (HBM buffer aliased
+#     from the incoming cotangent) and accumulates the per-node dmb
+#     (cotangent of the BN'd messages) into an HBM buffer; weight/bias
+#     gradients accumulate in VMEM outputs (sequential grid).
+# Final grid step ts == steps: masked-BN backward of ma_bn over the messages
+# with cotangent dmb (same two-phase reduction/apply pattern) → dmsgs.
+
+def _blocked_bwd_kernel(h0_hbm, hs_hbm, htil_hbm, gates_hbm, mask_hbm,
+                        c_ref,
+                        wir_ref, wiz_ref, win_ref, whr_ref, whz_ref,
+                        whn_ref, bhr_ref, bhz_ref, bhn_ref,
+                        mw_ref, mbias_ref, sw_ref, stats_ref, g_in,
+                        gh_hbm, dmb_hbm, dmsgs_hbm,
+                        dwir_out, dwiz_out, dwin_out,
+                        dwhr_out, dwhz_out, dwhn_out,
+                        dbir_out, dbiz_out, dbin_out,
+                        dbhr_out, dbhz_out, dbhn_out,
+                        dmw_out, dmbias_out, dsw_out, dsb_out,
+                        sblk, gblk, mblk, ghblk, hblk, mbblk, dmbblk,
+                        accS, sems,
+                        *, steps: int, fp: int, blk: int):
+    ts = pl.program_id(0)
+    p = pl.program_id(1)
+    b = pl.program_id(2)
+    t = steps - ts                      # reversed step index (ts < steps)
+    off = b * blk
+    c = c_ref[0, 0]
+
+    def _load(src, dst, i):
+        cp = pltpu.make_async_copy(src, dst, sems.at[i])
+        cp.start()
+        return cp
+
+    @pl.when(jnp.logical_and(jnp.logical_and(ts == 0, p == 0), b == 0))
+    def _():
+        for o in (dwir_out, dwiz_out, dwin_out, dwhr_out, dwhz_out,
+                  dwhn_out, dbir_out, dbiz_out, dbin_out, dbhr_out,
+                  dbhz_out, dbhn_out, dmw_out, dmbias_out, dsw_out,
+                  dsb_out):
+            o[:] = jnp.zeros_like(o)
+
+    @pl.when(ts < steps)
+    def _():
+        mean = stats_ref[pl.ds(t * fp, fp), 0:1]
+        var = stats_ref[pl.ds(t * fp, fp), 1:2]
+        s = jnp.sqrt(jnp.maximum(var, VAR_CLAMP))
+        d = s + BN_EPS
+
+        @pl.when(p == 0)
+        def _():
+            @pl.when(b == 0)
+            def _():
+                accS[:] = jnp.zeros_like(accS)
+            cps = [_load(htil_hbm.at[pl.ds(t * fp, fp), pl.ds(off, blk)],
+                         hblk, 0),
+                   _load(mask_hbm.at[:, pl.ds(off, blk)], mblk, 1),
+                   _load(gh_hbm.at[:, pl.ds(off, blk)], ghblk, 2)]
+            for cp in cps:
+                cp.wait()
+            m = mblk[:]
+            xhat = (hblk[:] - mean) * m / d
+            gym = ghblk[:] * m
+            dsw_out[:] += jnp.sum(gym * xhat, axis=1, keepdims=True)
+            dsb_out[:] += jnp.sum(gym, axis=1, keepdims=True)
+            dxhat = gym * sw_ref[:]
+            accS[:, 0:1] += jnp.sum(dxhat, axis=1, keepdims=True)
+            accS[:, 1:2] += jnp.sum(dxhat * xhat, axis=1, keepdims=True)
+
+        @pl.when(p == 1)
+        def _():
+            @pl.when(t == 1)
+            def _():
+                _load(h0_hbm.at[:, pl.ds(off, blk)], sblk, 0).wait()
+
+            @pl.when(t > 1)
+            def _():
+                _load(hs_hbm.at[pl.ds((t - 2) * fp, fp), pl.ds(off, blk)],
+                      sblk, 0).wait()
+
+            @pl.when(ts == 0)
+            def _():
+                dmbblk[:] = jnp.zeros_like(dmbblk)
+
+            @pl.when(ts > 0)
+            def _():
+                _load(dmb_hbm.at[:, pl.ds(off, blk)], dmbblk, 1).wait()
+            cps = [_load(gates_hbm.at[:, pl.ds(off, blk)], gblk, 1),
+                   _load(mask_hbm.at[:, pl.ds(off, blk)], mblk, 2),
+                   _load(gh_hbm.at[:, pl.ds(off, blk)], ghblk, 3),
+                   _load(htil_hbm.at[pl.ds(t * fp, fp), pl.ds(off, blk)],
+                         hblk, 4),
+                   _load(htil_hbm.at[pl.ds(0, fp), pl.ds(off, blk)],
+                         mbblk, 5)]
+            for cp in cps:
+                cp.wait()
+            m = mblk[:]
+            # masked-BN input gradient (closed form, forward's own stats)
+            xhat = (hblk[:] - mean) * m / d
+            gym = ghblk[:] * m
+            dxhat = gym * sw_ref[:]
+            S1 = accS[:, 0:1]
+            S2 = accS[:, 1:2]
+            dhtil = (dxhat - m * S1 / c) / d - m * xhat * S2 / (c * s)
+            dhp = dhtil * m
+            # GRU backward (internals recomputed from s_{t-1} + gates)
+            hprev = sblk[:]
+            gr = gblk[0 * fp:1 * fp, :]
+            gz = gblk[1 * fp:2 * fp, :]
+            gn = gblk[2 * fp:3 * fp, :]
+            whr = whr_ref[:]
+            whz = whz_ref[:]
+            whn = whn_ref[:]
+            rh = _dot(whr.T, hprev) + bhr_ref[:]
+            zh = _dot(whz.T, hprev) + bhz_ref[:]
+            nh = _dot(whn.T, hprev) + bhn_ref[:]
+            sr = jax.nn.sigmoid(gr + rh)
+            sz = jax.nn.sigmoid(gz + zh)
+            z = sz * m
+            tn = jnp.tanh(gn + (sr * m) * nh)
+            n_ = tn * m
+            dz = dhp * (hprev - n_)
+            dn = dhp * (1.0 - z)
+            da_n = dn * m * (1.0 - tn * tn)
+            dr = da_n * nh
+            dnh = da_n * (sr * m)
+            da_r = dr * m * sr * (1.0 - sr)
+            da_z = dz * m * sz * (1.0 - sz)
+            gh_new = dhp * z + _dot(whr, da_r) + _dot(whz, da_z) \
+                + _dot(whn, dnh)
+            # t == 1 ends the walk: gh becomes dh0 (mask like the monolith)
+            lastmul = jnp.where(t == 1, m, jnp.ones_like(m))
+            ghblk[:] = gh_new * lastmul
+            dwhr_out[:] += _dot(hprev, da_r.T)
+            dwhz_out[:] += _dot(hprev, da_z.T)
+            dwhn_out[:] += _dot(hprev, dnh.T)
+            dbhr_out[:] += jnp.sum(da_r, axis=1, keepdims=True)
+            dbhz_out[:] += jnp.sum(da_z, axis=1, keepdims=True)
+            dbhn_out[:] += jnp.sum(dnh, axis=1, keepdims=True)
+            # mb (the BN'd messages) recomputed from htil slot 0 + ma stats
+            ma_mean = stats_ref[0:fp, 0:1]
+            ma_var = stats_ref[0:fp, 1:2]
+            ma_d = jnp.sqrt(jnp.maximum(ma_var, VAR_CLAMP)) + BN_EPS
+            xhat_m = (mbblk[:] - ma_mean) * m / ma_d
+            mb = (mw_ref[:] * xhat_m + mbias_ref[:]) * m
+            dwir_out[:] += _dot(mb, da_r.T)
+            dwiz_out[:] += _dot(mb, da_z.T)
+            dwin_out[:] += _dot(mb, da_n.T)
+            dbir_out[:] += jnp.sum(da_r, axis=1, keepdims=True)
+            dbiz_out[:] += jnp.sum(da_z, axis=1, keepdims=True)
+            dbin_out[:] += jnp.sum(da_n, axis=1, keepdims=True)
+            dmbblk[:] += _dot(wir_ref[:], da_r) + _dot(wiz_ref[:], da_z) \
+                + _dot(win_ref[:], da_n)
+            wb1 = pltpu.make_async_copy(
+                ghblk, gh_hbm.at[:, pl.ds(off, blk)], sems.at[0])
+            wb2 = pltpu.make_async_copy(
+                dmbblk, dmb_hbm.at[:, pl.ds(off, blk)], sems.at[1])
+            wb1.start()
+            wb2.start()
+            wb1.wait()
+            wb2.wait()
+
+    @pl.when(ts == steps)
+    def _():
+        # masked-BN backward of ma_bn over msgs with cotangent dmb
+        mean = stats_ref[0:fp, 0:1]
+        var = stats_ref[0:fp, 1:2]
+        s = jnp.sqrt(jnp.maximum(var, VAR_CLAMP))
+        d = s + BN_EPS
+        cps = [_load(htil_hbm.at[pl.ds(0, fp), pl.ds(off, blk)], mbblk, 0),
+               _load(mask_hbm.at[:, pl.ds(off, blk)], mblk, 1),
+               _load(dmb_hbm.at[:, pl.ds(off, blk)], dmbblk, 2)]
+        for cp in cps:
+            cp.wait()
+        m = mblk[:]
+        xhat = (mbblk[:] - mean) * m / d
+        gym = dmbblk[:] * m
+        dxhat = gym * mw_ref[:]
+
+        @pl.when(p == 0)
+        def _():
+            @pl.when(b == 0)
+            def _():
+                accS[:] = jnp.zeros_like(accS)
+            dmw_out[:] += jnp.sum(gym * xhat, axis=1, keepdims=True)
+            dmbias_out[:] += jnp.sum(gym, axis=1, keepdims=True)
+            accS[:, 0:1] += jnp.sum(dxhat, axis=1, keepdims=True)
+            accS[:, 1:2] += jnp.sum(dxhat * xhat, axis=1, keepdims=True)
+
+        @pl.when(p == 1)
+        def _():
+            S1 = accS[:, 0:1]
+            S2 = accS[:, 1:2]
+            dmsgs = ((dxhat - m * S1 / c) / d
+                     - m * xhat * S2 / (c * s)) * m
+            mbblk[:] = dmsgs
+            wb = pltpu.make_async_copy(
+                mbblk, dmsgs_hbm.at[:, pl.ds(off, blk)], sems.at[0])
+            wb.start()
+            wb.wait()
+
+
+def _blocked_backward_call(res, g_ht, *, steps, f, n, blk, interpret):
+    """Run the blocked backward kernel; returns (dmsgs, dh0, dgru, dma, dbn)
+    with gradients in the caller's (N, f) layout."""
+    (msgs, h0, mask, gru, ma_bn, bn, gates, htil, h_all, stats) = res
+    fp = _round_up(f, 16)
+    npad = _round_up(n, blk)
+    nb = npad // blk
+    dt = jnp.float32
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def _any():
+        return pl.BlockSpec(memory_space=pltpu.ANY)
+
+    packed, mat_t = _pack_blocked(msgs, h0, mask, gru, ma_bn, bn,
+                                  f=f, fp=fp, n=n, npad=npad)
+    (msgs_t, h0m, mask_row, c,
+     wir, wiz, win, whr, whz, whn, _bir, _biz, _bin, bhr, bhz, bhn,
+     mw, mbias, sw, _sb) = packed
+    g_t = mat_t(g_ht)
+
+    kernel = functools.partial(_blocked_bwd_kernel, steps=steps, fp=fp,
+                               blk=blk)
+    fpn = jax.ShapeDtypeStruct((fp, npad), dt)
+    fpf = jax.ShapeDtypeStruct((fp, fp), dt)
+    fc = jax.ShapeDtypeStruct((fp, 1), dt)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(steps + 1, 2, nb),
+        in_specs=[_any()] * 5 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_vm()] * 13 + [_any()],
+        out_specs=tuple([_any()] * 3 + [_vm()] * 16),
+        out_shape=(fpn, fpn, fpn,
+                   fpf, fpf, fpf, fpf, fpf, fpf,
+                   fc, fc, fc, fc, fc, fc, fc, fc, fc, fc),
+        input_output_aliases={19: 0},
+        scratch_shapes=[
+            pltpu.VMEM((fp, blk), dt),          # sblk (s_{t-1})
+            pltpu.VMEM((3 * fp, blk), dt),      # gblk (gates)
+            pltpu.VMEM((1, blk), dt),           # mblk
+            pltpu.VMEM((fp, blk), dt),          # ghblk (cotangent)
+            pltpu.VMEM((fp, blk), dt),          # hblk (htil slot t)
+            pltpu.VMEM((fp, blk), dt),          # mbblk (htil slot 0)
+            pltpu.VMEM((fp, blk), dt),          # dmbblk
+            pltpu.VMEM((fp, 2), dt),            # accS (S1, S2)
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(h0m, h_all, htil, gates, mask_row, c,
+      wir, wiz, win, whr, whz, whn, bhr, bhz, bhn, mw, mbias, sw,
+      stats, g_t)
+    (dh0_t, _dmb, dmsgs_t, dwir, dwiz, dwin, dwhr, dwhz, dwhn,
+     dbir, dbiz, dbin_, dbhr, dbhz, dbhn, dmw, dmbb, dsw, dsb) = outs
+
+    def unblocks(ws):
+        return jnp.stack([w[:f, :f] for w in ws], axis=1).reshape(f, 3 * f)
+
+    def uncol3(cs):
+        return jnp.concatenate([cv[:f, 0] for cv in cs])
+
+    dgru = {
+        "w_ih": unblocks([dwir, dwiz, dwin]).astype(gru["w_ih"].dtype),
+        "w_hh": unblocks([dwhr, dwhz, dwhn]).astype(gru["w_hh"].dtype),
+        "b_ih": uncol3([dbir, dbiz, dbin_]).astype(gru["b_ih"].dtype),
+        "b_hh": uncol3([dbhr, dbhz, dbhn]).astype(gru["b_hh"].dtype),
+    }
+    dma = {"weight": dmw[:f, 0].astype(ma_bn["weight"].dtype),
+           "bias": dmbb[:f, 0].astype(ma_bn["bias"].dtype)}
+    dbn = {"weight": dsw[:f, 0].astype(bn["weight"].dtype),
+           "bias": dsb[:f, 0].astype(bn["bias"].dtype)}
+    return (dmsgs_t[:f, :n].T.astype(msgs.dtype),
+            dh0_t[:f, :n].T.astype(h0.dtype), dgru, dma, dbn)
+
+
 def make_recurrence_op_blocked(steps: int, f: int, n: int, *,
-                               blk: int = 8192, interpret: bool = False):
-    """Blocked-forward variant of make_recurrence_op for LARGE node counts:
-    Pallas streaming forward + XLA-VJP backward (reference math)."""
-    fwd_fn = make_blocked_recurrence_fwd(steps, f, n, blk=blk,
-                                         interpret=interpret)
+                               blk: int = 8192, interpret: bool = False,
+                               bwd_mode: str = "fused"):
+    """Blocked-streaming variant of make_recurrence_op for LARGE node
+    counts: Pallas streaming forward + (default) Pallas streaming reverse
+    walk over the same node blocks. bwd_mode='xla' keeps the XLA VJP of the
+    pure reference (exact same math, many small ops) as a fallback."""
 
     @jax.custom_vjp
     def op(msgs, h0, mask, gru, ma_bn, bn):
-        return fwd_fn(msgs, h0, mask, gru, ma_bn, bn)
+        out, _ = _blocked_forward_call(msgs, h0, mask, gru, ma_bn, bn,
+                                       steps=steps, f=f, n=n, blk=blk,
+                                       interpret=interpret)
+        return out
 
     def fwd(msgs, h0, mask, gru, ma_bn, bn):
-        return (fwd_fn(msgs, h0, mask, gru, ma_bn, bn),
-                (msgs, h0, mask, gru, ma_bn, bn))
+        out, extras = _blocked_forward_call(msgs, h0, mask, gru, ma_bn, bn,
+                                            steps=steps, f=f, n=n, blk=blk,
+                                            interpret=interpret)
+        if bwd_mode == "xla":
+            return out, (msgs, h0, mask, gru, ma_bn, bn)
+        gates, htil, h_all, stats = extras
+        return out, (msgs, h0, mask, gru, ma_bn, bn,
+                     gates, htil, h_all, stats)
 
     def bwd(res, cot):
-        msgs, h0, mask, gru, ma_bn, bn = res
-        _, vjp = jax.vjp(
-            lambda m_, h_, g_, a_, b_: reference_recurrence(
-                m_, h_, mask, g_, a_, b_, steps=steps),
-            msgs, h0, gru, ma_bn, bn)
-        dm, dh, dg, da_, db_ = vjp(cot)
+        if bwd_mode == "xla":
+            msgs, h0, mask, gru, ma_bn, bn = res
+            _, vjp = jax.vjp(
+                lambda m_, h_, g_, a_, b_: reference_recurrence(
+                    m_, h_, mask, g_, a_, b_, steps=steps),
+                msgs, h0, gru, ma_bn, bn)
+            dm, dh, dg, da_, db_ = vjp(cot)
+            return dm, dh, None, dg, da_, db_
+        g_ht, _, _ = cot          # stats feed running-state EMAs (no grad)
+        dm, dh, dg, da_, db_ = _blocked_backward_call(
+            res, g_ht, steps=steps, f=f, n=n, blk=blk, interpret=interpret)
         return dm, dh, None, dg, da_, db_
 
     op.defvjp(fwd, bwd)

@@ -344,12 +344,40 @@ class TestRecurrence:
                                    np.asarray(wsteps[-1][0]),
                                    rtol=1e-3, atol=1e-4)
 
+    def test_blocked_fused_backward_all_grads(self):
+        """Streaming reverse-walk backward (grid over reversed steps ×
+        node blocks) vs the reference VJP — every gradient leaf."""
+        from mpnn_tpu.kernels.recurrence import (
+            make_recurrence_op_blocked, reference_recurrence)
+        msgs, h0, mask, gru, ma_p, bn_p = self._inputs(9)
+        op = make_recurrence_op_blocked(self.T, self.F, self.N, blk=128,
+                                        interpret=True, bwd_mode="fused")
+        gt = jnp.asarray(np.random.RandomState(11).randn(
+            self.N, self.F).astype(np.float32))
+
+        def lk(m_, h_, g_, a_, b_):
+            out, _, _ = op(m_, h_, mask, g_, a_, b_)
+            return (out * gt).sum()
+
+        def lr(m_, h_, g_, a_, b_):
+            out, _, _ = reference_recurrence(m_, h_, mask, g_, a_, b_,
+                                             steps=self.T)
+            return (out * gt).sum()
+
+        gk = jax.grad(lk, argnums=(0, 1, 2, 3, 4))(msgs, h0, gru, ma_p,
+                                                   bn_p)
+        gr_ = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(msgs, h0, gru, ma_p,
+                                                    bn_p)
+        for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr_)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+
     def test_blocked_grads_flow(self):
         from mpnn_tpu.kernels.recurrence import (
             make_recurrence_op_blocked, reference_recurrence)
         msgs, h0, mask, gru, ma_p, bn_p = self._inputs(6)
         op = make_recurrence_op_blocked(self.T, self.F, self.N, blk=128,
-                                        interpret=True)
+                                        interpret=True, bwd_mode="xla")
         gt = jnp.asarray(np.random.RandomState(8).randn(
             self.N, self.F).astype(np.float32))
 
