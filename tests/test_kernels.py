@@ -208,13 +208,21 @@ class TestSddmm:
         return a, evocab, wa, ba, h, vid, src, dst, mask, node_cap
 
     def test_forward_and_grad_parity(self):
+        self._run_parity(bwd="xla")
+
+    def test_fused_backward_parity(self):
+        """The one-pass Pallas backward (gate recompute + six gradients)
+        vs the XLA reference VJP."""
+        self._run_parity(bwd="kernel")
+
+    def _run_parity(self, bwd):
         from mpnn_tpu.kernels.sddmm import (make_sddmm_op,
                                             sddmm_att_reference)
         from mpnn_tpu.kernels.spmm import plan_edge_windows
         a, evocab, wa, ba, h, vid, src, dst, mask, node_cap = self._batch()
         plan = plan_edge_windows(src, dst, mask, node_cap, block_edges=128)
         op = make_sddmm_op(block_edges=plan.block_edges,
-                           window=plan.window, interpret=True)
+                           window=plan.window, interpret=True, bwd=bwd)
         args = tuple(jnp.asarray(x) for x in
                      (a, evocab, wa, ba, h, vid, src, dst))
         w = jnp.asarray(plan.win_start)
