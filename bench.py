@@ -81,7 +81,8 @@ def att_mpnn_cfg(ge):
 def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                  use_vocab: bool = True, spmm: str = "kernel",
                  spmm_block: int = 512, model: str = "flagship",
-                 fuse: bool = False, tail: int | None = None):
+                 fuse: bool = False, tail: int | None = None,
+                 tail_kernel: bool = False, steps_per_call: int = 50):
     import functools
     import jax
     import jax.numpy as jnp
@@ -118,6 +119,12 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
             spmm_vocab_fn = make_spmm_op(block_edges=be, window=win)
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
+    edge_mlp_fn = None
+    if tail_kernel:
+        from mpnn_tpu.kernels.edge_mlp import make_edge_mlp_op
+        assert use_vocab, "--tail-kernel needs the edge vocab"
+        edge_mlp_fn = make_edge_mlp_op(cfg.edge_mlp_tail_repeats,
+                                       block=32, bwd_block=32)
     recurrence_fn = None
     if fuse:
         from mpnn_tpu.kernels.recurrence import make_recurrence_op_auto
@@ -140,7 +147,11 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
     tx = adam(1e-3, weight_decay=1e-4)
     opt_state = tx.init(params)
 
-    STEPS_PER_CALL = 10   # amortize host→device dispatch latency
+    # amortize host→device dispatch latency: the tunnel costs ~4 ms per
+    # dispatch even fully async (measured — a trivial jitted fn chained 10×
+    # takes 40 ms wall), so 10 steps/call left 0.4 ms/step of pure tunnel
+    # overhead inside every round-2 number; 50 cuts it to ~0.08
+    STEPS_PER_CALL = steps_per_call
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def multi_step(params, state, opt_state, jb, labels0, it):
@@ -158,7 +169,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                 out, ns = sparse_mpnn_apply(cp, cs, cfg, jb, training=True,
                                             spmm_vocab_fn=spmm_vocab_fn,
                                             sddmm_fn=sddmm_fn,
-                                            recurrence_fn=recurrence_fn)
+                                            recurrence_fn=recurrence_fn,
+                                            edge_mlp_fn=edge_mlp_fn)
                 gm = jb["graph_mask"][:, None]
                 per = ((out.astype(jnp.float32) - labels[:, None]) ** 2) * gm
                 return per.sum() / gm.sum(), ns
@@ -275,6 +287,14 @@ def main(argv=None):
     p.add_argument("--tail", type=int, default=None,
                    help="override edge_mlp_tail_repeats (component-isolation "
                         "probe; the real config is 50)")
+    p.add_argument("--tail-kernel", dest="tail_kernel", action="store_true",
+                   default=False,
+                   help="run the vocab edge-MLP chain as ONE Pallas kernel "
+                        "per direction (kernels/edge_mlp.py) instead of the "
+                        "tail_repeats-iteration lax.scan")
+    p.add_argument("--steps-per-call", type=int, default=50,
+                   help="training steps batched per device dispatch "
+                        "(lax.scan; amortizes the ~4 ms tunnel dispatch)")
     p.add_argument("--model", default="flagship",
                    choices=["flagship", "att"],
                    help="flagship (lipo EdgeNetwork) or the attention "
@@ -287,7 +307,8 @@ def main(argv=None):
             use_vocab=not args.no_vocab, spmm=args.spmm,
             spmm_block=args.spmm_block, model=args.model,
             fuse=(args.model == "flagship") if args.fuse is None
-            else args.fuse, tail=args.tail)
+            else args.fuse, tail=args.tail, tail_kernel=args.tail_kernel,
+            steps_per_call=args.steps_per_call)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"

@@ -43,26 +43,42 @@ from mpnn_tpu.ops.update import gru_apply
 
 
 def _edge_penultimates(mparams, edge_feats, cfg: MPNNConfig,
-                       edge_vid=None, edge_vfirst=None):
+                       edge_vid=None, edge_vfirst=None, edge_mlp_fn=None):
     """(E, pf) penultimate features and the zero-edge penultimate (1, pf).
 
     With a vocab (edge_vid/edge_vfirst from graphs.attach_edge_vocab) the
     ×50-tail MLP runs on the ≤vocab_cap DISTINCT rows and gathers — exact,
     since equal input rows map to equal outputs; this removes the dominant
-    FLOP term of the flagship step (the per-edge weight-shared tail)."""
+    FLOP term of the flagship step (the per-edge weight-shared tail). The
+    zero row rides the SAME chain (one scan, not two — the tail is ~100
+    sequential tiny matmuls per train step otherwise, pure launch latency).
+
+    edge_mlp_fn(e, head_ws, head_bs, shared_w) — optional fused Pallas
+    chain (kernels/edge_mlp.py): one kernel launch instead of the
+    tail_repeats-iteration lax.scan in each direction."""
     act = jax.nn.relu
+
+    def run(x):
+        if edge_mlp_fn is not None:
+            return edge_mlp_fn(x,
+                               tuple(l["w"] for l in mparams["head"]),
+                               tuple(l["b"] for l in mparams["head"]),
+                               mparams["shared"]["w"])
+        return _edge_mlp_penultimate(mparams, x, act,
+                                     cfg.edge_mlp_tail_repeats)
+
+    zero = jnp.zeros((1, edge_feats.shape[-1]), edge_feats.dtype)
     pen_vocab = None
     if edge_vid is not None:
         vocab = edge_feats[edge_vfirst]                 # (K, ef)
-        pen_vocab = _edge_mlp_penultimate(mparams, vocab, act,
-                                          cfg.edge_mlp_tail_repeats)
+        pen_both = run(jnp.concatenate([vocab, zero], axis=0))
+        pen_vocab = pen_both[:-1]
+        pen0 = pen_both[-1:]
         pen = pen_vocab[edge_vid]
     else:
-        pen = _edge_mlp_penultimate(mparams, edge_feats, act,
-                                    cfg.edge_mlp_tail_repeats)
-    zero = jnp.zeros((1, edge_feats.shape[-1]), edge_feats.dtype)
-    pen0 = _edge_mlp_penultimate(mparams, zero, act,
-                                 cfg.edge_mlp_tail_repeats)
+        pen_both = run(jnp.concatenate([edge_feats, zero], axis=0))
+        pen = pen_both[:-1]
+        pen0 = pen_both[-1:]
     return pen, pen0, pen_vocab
 
 
@@ -292,7 +308,7 @@ def recurrence_eligible(cfg: MPNNConfig, *, training: bool,
 def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                       training: bool, axis_name: Optional[str] = None,
                       spmm_fn=None, spmm_vocab_fn=None, sddmm_fn=None,
-                      recurrence_fn=None):
+                      recurrence_fn=None, edge_mlp_fn=None):
     """Packed-batch MPNN forward; parameters from mpnn_init (shared with the
     dense path). Supports edge_network / ggnn / att_edge_network (adj + att
     aggregations) / bilinear messages, GRU update, masked norms, and both
@@ -338,7 +354,8 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
     vid = batch.get("edge_vid")
     vfirst = batch.get("edge_vfirst")
     spmm_win = batch.get("spmm_win")
-    pens = ([_edge_penultimates(mp, edge_feats, cfg, vid, vfirst)
+    pens = ([_edge_penultimates(mp, edge_feats, cfg, vid, vfirst,
+                                edge_mlp_fn)
              for mp in params["message"]] if needs_pen else None)
 
     ma_bn_state = list(state.get("ma_bn", []))
