@@ -82,7 +82,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                  use_vocab: bool = True, spmm: str = "kernel",
                  spmm_block: int = 512, model: str = "flagship",
                  fuse: bool = False, tail: int | None = None,
-                 tail_kernel: bool = False, steps_per_call: int = 50):
+                 tail_kernel: bool = False, steps_per_call: int = 50,
+                 slots: bool = True):
     import functools
     import jax
     import jax.numpy as jnp
@@ -117,6 +118,11 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
             sddmm_fn = make_sddmm_op(block_edges=be, window=win)
         else:
             spmm_vocab_fn = make_spmm_op(block_edges=be, window=win)
+    if slots:
+        # scatter-free segment tables (ops/segments.py): A0 correction +
+        # readout ride gathers instead of TPU-serialized scatters
+        from mpnn_tpu.ops.segments import attach_segment_slots
+        packed = attach_segment_slots(packed)
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
     edge_mlp_fn = None
@@ -292,6 +298,10 @@ def main(argv=None):
                    help="run the vocab edge-MLP chain as ONE Pallas kernel "
                         "per direction (kernels/edge_mlp.py) instead of the "
                         "tail_repeats-iteration lax.scan")
+    p.add_argument("--no-slots", dest="slots", action="store_false",
+                   default=True,
+                   help="disable the scatter-free segment tables "
+                        "(ops/segments.py)")
     p.add_argument("--steps-per-call", type=int, default=50,
                    help="training steps batched per device dispatch "
                         "(lax.scan; amortizes the ~4 ms tunnel dispatch)")
@@ -308,7 +318,7 @@ def main(argv=None):
             spmm_block=args.spmm_block, model=args.model,
             fuse=(args.model == "flagship") if args.fuse is None
             else args.fuse, tail=args.tail, tail_kernel=args.tail_kernel,
-            steps_per_call=args.steps_per_call)
+            steps_per_call=args.steps_per_call, slots=args.slots)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"

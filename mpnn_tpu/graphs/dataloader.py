@@ -41,7 +41,8 @@ class GraphLoader:
                  fixed_packed_caps: bool = True,
                  edge_vocab: bool = True,
                  spmm_plan: bool = False,
-                 spmm_block_edges: int = 512):
+                 spmm_block_edges: int = 512,
+                 segment_slots: bool = True):
         self.graphs = graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -77,6 +78,20 @@ class GraphLoader:
             n_distinct = np.unique(all_ef, axis=0).shape[0] + 1
             if n_distinct <= 64:
                 self._vocab_cap = max(8, bucket_for(n_distinct))
+        # Scatter-free segment tables (ops/segments.py): slot widths are
+        # dataset-wide maxima (max atoms per graph / max node degree) so
+        # every batch shares ONE compiled shape; degree is a per-graph
+        # property, so no batch can overflow the caps
+        self._slot_caps = None
+        if segment_slots and collate == "packed" and graphs:
+            node_slot_cap = max(g.num_atoms for g in graphs)
+            deg = 1
+            for g in graphs:
+                if g.num_edges:
+                    deg = max(deg,
+                              int(np.bincount(g.edge_dst).max()),
+                              int(np.bincount(g.edge_src).max()))
+            self._slot_caps = (node_slot_cap, deg)
         # Pallas-SpMM window plan (kernels/spmm.py): ONE static
         # (block_edges, window) for the whole run so every batch compiles
         # once; per-batch win_start arrays ride in the batch dict
@@ -159,6 +174,11 @@ class GraphLoader:
                                            edge_cap=edge_cap).as_dict()
                 if self._vocab_cap is not None:
                     batch = attach_edge_vocab(batch, self._vocab_cap)
+                if self._slot_caps is not None:
+                    from mpnn_tpu.ops.segments import attach_segment_slots
+                    batch = attach_segment_slots(
+                        batch, node_slot_cap=self._slot_caps[0],
+                        edge_slot_cap=self._slot_caps[1])
                 if self.spmm_window is not None and "edge_vid" in batch:
                     from mpnn_tpu.kernels.spmm import plan_edge_windows
                     plan = plan_edge_windows(

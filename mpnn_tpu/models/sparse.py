@@ -39,6 +39,7 @@ from mpnn_tpu.ops.linear import linear_apply
 from mpnn_tpu.ops.message import _edge_mlp_penultimate
 from mpnn_tpu.ops.norm import bn1d_apply, mask_batch_norm
 from mpnn_tpu.ops.readout import _BIG_NEGATIVE
+from mpnn_tpu.ops.segments import SegmentSlots
 from mpnn_tpu.ops.update import gru_apply
 
 
@@ -85,7 +86,8 @@ def _edge_penultimates(mparams, edge_feats, cfg: MPNNConfig,
 def sparse_edge_network_fused(mparams, pen, pen0, h, edge_src, edge_dst,
                               node_graph, graph_mask, *, nf: int, mf: int,
                               spmm_fn=None, pen_vocab=None, edge_vid=None,
-                              spmm_vocab_fn=None, spmm_win=None):
+                              spmm_vocab_fn=None, spmm_win=None,
+                              slots=None):
     """m = SpMM(edges) + A(0)·S_graph + message_bias  (see module docstring).
 
     h: (node_cap, nf); returns (node_cap, mf). Three SpMM strategies:
@@ -112,8 +114,11 @@ def sparse_edge_network_fused(mparams, pen, pen0, h, edge_src, edge_dst,
             v2 = jnp.einsum("kmf,nf->knm", amat, h,
                             preferred_element_type=h.dtype)  # (K,N,mf)
             edge_msg = v2[edge_vid, edge_src]
-            agg = jax.ops.segment_sum(edge_msg, edge_dst,
-                                      num_segments=node_cap)
+            if slots is not None and slots.has_edges:
+                agg = slots.dst_sum(edge_msg)
+            else:
+                agg = jax.ops.segment_sum(edge_msg, edge_dst,
+                                          num_segments=node_cap)
     elif spmm_fn is not None:
         ptilde = pen - pen0                                 # (E, pf)
         agg = spmm_fn(ptilde, h, edge_src, edge_dst, wf)
@@ -123,18 +128,29 @@ def sparse_edge_network_fused(mparams, pen, pen0, h, edge_src, edge_dst,
                        preferred_element_type=h.dtype)      # (node_cap,pf,mf)
         edge_msg = jnp.einsum("ep,epm->em", ptilde, v[edge_src],
                               preferred_element_type=h.dtype)
-        agg = jax.ops.segment_sum(edge_msg, edge_dst, num_segments=node_cap)
+        if slots is not None and slots.has_edges:
+            agg = slots.dst_sum(edge_msg)
+        else:
+            agg = jax.ops.segment_sum(edge_msg, edge_dst,
+                                      num_segments=node_cap)
 
     # per-graph rank-1 correction: A(0) · Σ_{w∈g} h_w
     num_graphs = graph_mask.shape[0]
-    s = jax.ops.segment_sum(h, node_graph, num_segments=num_graphs + 1)
     a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf          # (mf, nf)
-    base = s[node_graph] @ a0.T                             # (node_cap, mf)
+    if slots is not None and slots.has_graph:
+        # scatter-free (ops/segments.py): per-graph sum + broadcast are both
+        # gathers; padded nodes read exactly the zero the sentinel row held
+        s = slots.graph_sum(h)                              # (G, nf)
+        base = slots.graph_broadcast(s @ a0.T)              # (node_cap, mf)
+    else:
+        s = jax.ops.segment_sum(h, node_graph, num_segments=num_graphs + 1)
+        base = s[node_graph] @ a0.T                         # (node_cap, mf)
     return agg + base + mparams["message_bias"]
 
 
 def sparse_ggnn_fused(mparams, bond_types, h, edge_src, edge_dst, *,
-                      nf: int, mf: int, spmm_vocab_fn=None, spmm_win=None):
+                      nf: int, mf: int, spmm_vocab_fn=None, spmm_win=None,
+                      slots=None):
     """GGNN sparse message+aggregate: A_0 is pinned to zero (ggnn_msg_pass.py:19)
     so non-edges contribute nothing — pure edge-sum, exactly the dense result.
 
@@ -150,8 +166,11 @@ def sparse_ggnn_fused(mparams, bond_types, h, edge_src, edge_dst, *,
         v = jnp.einsum("tmf,nf->tnm", w, h,
                        preferred_element_type=h.dtype)      # (T+1,node,mf)
         edge_msg = v[bond_types, edge_src]                  # (E, mf)
-        agg = jax.ops.segment_sum(edge_msg, edge_dst,
-                                  num_segments=node_cap)
+        if slots is not None and slots.has_edges:
+            agg = slots.dst_sum(edge_msg)
+        else:
+            agg = jax.ops.segment_sum(edge_msg, edge_dst,
+                                      num_segments=node_cap)
     return agg + mparams["message_bias"]
 
 
@@ -159,7 +178,7 @@ def sparse_att_edge_network(mparams, pen, pen0, h, edge_feats, edge_src,
                             edge_dst, node_graph, graph_mask, *, nf: int,
                             mf: int, aggregation: str = "adj",
                             pen_vocab=None, edge_vid=None, edge_vfirst=None,
-                            sddmm_fn=None, spmm_win=None):
+                            sddmm_fn=None, spmm_win=None, slots=None):
     """Attention message family, sparsified exactly for the aggregators whose
     dense semantics are padding-independent:
 
@@ -191,55 +210,80 @@ def sparse_att_edge_network(mparams, pen, pen0, h, edge_feats, edge_src,
                        mparams["attn"]["b"], h, edge_vid, edge_src,
                        edge_dst, spmm_win)
     else:
+        use_slots = slots is not None and slots.has_edges
         # per-edge gate: softmax over features of attn([h_dst ‖ e])
-        cat = jnp.concatenate([h[edge_dst], edge_feats], axis=-1)
+        h_dst = slots.gather_nodes(h, "dst") if use_slots else h[edge_dst]
+        h_src = slots.gather_nodes(h, "src") if use_slots else h[edge_src]
+        cat = jnp.concatenate([h_dst, edge_feats], axis=-1)
         gate = jax.nn.softmax(linear_apply(mparams["attn"], cat), axis=-1)
-        g = gate * h[edge_src]                              # (E, nf)
+        g = gate * h_src                                    # (E, nf)
         # per-edge matrix application via the penultimate re-association
         t = jnp.einsum("pmf,ef->epm", wf, g,
                        preferred_element_type=h.dtype)
         edge_msg = jnp.einsum("ep,epm->em", pen, t,
                               preferred_element_type=h.dtype) + g @ bf.T
-        agg = jax.ops.segment_sum(edge_msg, edge_dst,
-                                  num_segments=node_cap)
+        if use_slots:
+            agg = slots.dst_sum(edge_msg)
+        else:
+            agg = jax.ops.segment_sum(edge_msg, edge_dst,
+                                      num_segments=node_cap)
 
     if aggregation == "att":
         # non-edge correction: A(0)·(g0_v ⊙ (S_g − 0)) summed over all w
         num_graphs = graph_mask.shape[0]
-        s = jax.ops.segment_sum(h, node_graph, num_segments=num_graphs + 1)
+        use_g = slots is not None and slots.has_graph
+        use_e = slots is not None and slots.has_edges
         zero_e = jnp.zeros((1, edge_feats.shape[-1]), h.dtype)
         cat0 = jnp.concatenate(
             [h, jnp.broadcast_to(zero_e, (node_cap, zero_e.shape[-1]))],
             axis=-1)
         g0 = jax.nn.softmax(linear_apply(mparams["attn"], cat0), axis=-1)
         a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
-        gated_sum = g0 * s[node_graph]                      # (node_cap, nf)
+        if use_g:
+            sn = slots.graph_broadcast(slots.graph_sum(h))  # (node_cap, nf)
+        else:
+            s = jax.ops.segment_sum(h, node_graph,
+                                    num_segments=num_graphs + 1)
+            sn = s[node_graph]
+        gated_sum = g0 * sn                                 # (node_cap, nf)
         agg = agg + gated_sum @ a0.T
         # subtract the double-counted real-edge A(0) part? No: the dense
         # 'att' sum is Σ_w m(v,w) over ALL w; real edges use A(e), non-edges
         # use A(0) with the zero-e gate. The edge-sum above used the real
         # gate+A(e); the correction must therefore exclude real neighbors:
-        corr = jax.ops.segment_sum(
-            (g0[edge_dst] * h[edge_src]), edge_dst, num_segments=node_cap)
+        if use_e:
+            corr = slots.dst_sum(slots.gather_nodes(g0, "dst")
+                                 * slots.gather_nodes(h, "src"))
+        else:
+            corr = jax.ops.segment_sum(
+                (g0[edge_dst] * h[edge_src]), edge_dst,
+                num_segments=node_cap)
         agg = agg - corr @ a0.T
     return agg
 
 
-def sparse_bilinear(h, edge_feats, edge_src, edge_dst, *, nf: int):
+def sparse_bilinear(h, edge_feats, edge_src, edge_dst, *, nf: int,
+                    slots=None):
     """Bilinear message (ef == nf³), adj-aggregated: W(0) = 0 so non-edges
     vanish — pure edge-sum of h_dstᵀ·W(e)·h_src chains
     (bilinear_edge_network.py literal index order, see ops/message.py)."""
     node_cap = h.shape[0]
     e = edge_feats.shape[-1]
     assert e == nf ** 3
+    use_slots = slots is not None and slots.has_edges
     w = edge_feats.reshape(-1, nf, nf, nf)
-    x = jnp.einsum("en,enij->eij", h[edge_src], w)
-    msg = jnp.einsum("ej,eij->ei", h[edge_dst], x)
+    h_src = slots.gather_nodes(h, "src") if use_slots else h[edge_src]
+    h_dst = slots.gather_nodes(h, "dst") if use_slots else h[edge_dst]
+    x = jnp.einsum("en,enij->eij", h_src, w)
+    msg = jnp.einsum("ej,eij->ei", h_dst, x)
+    if use_slots:
+        return slots.dst_sum(msg)
     return jax.ops.segment_sum(msg, edge_dst, num_segments=node_cap)
 
 
 def sparse_set2vec(rparams, x, node_mask, node_graph, num_graphs: int, *,
-                   time_steps: int = 100, batch_softmax: bool = True):
+                   time_steps: int = 100, batch_softmax: bool = True,
+                   slots=None):
     """Packed set2set readout (set2vec.py semantics on the flat node axis).
     batch_softmax=True normalizes over every real node in the whole batch
     (the reference's dim-0 softmax, set2vec.py:139); False per graph."""
@@ -251,11 +295,19 @@ def sparse_set2vec(rparams, x, node_mask, node_graph, num_graphs: int, *,
 
     from mpnn_tpu.ops.readout import _lstm_hidden_apply
 
+    use_slots = slots is not None and slots.has_graph
+
     def step(carry, _):
         mprev, cprev = carry
         m, c = _lstm_hidden_apply(rparams["lstm"], mprev, cprev)
         query = linear_apply(rparams["q_attn"], m)          # (G, width)
-        q_per_node = query[jnp.clip(node_graph, 0, num_graphs - 1)]
+        if use_slots:
+            # zeros at padded nodes instead of the clipped last-graph query;
+            # identical downstream — add_mask (−1e9) zeroes their attention
+            # either way, and the backward becomes a gather, not a scatter
+            q_per_node = slots.graph_broadcast(query)
+        else:
+            q_per_node = query[jnp.clip(node_graph, 0, num_graphs - 1)]
         energies = linear_apply(
             rparams["e_attn"], jnp.tanh(q_per_node + x))[:, 0]
         energies = energies + add_mask
@@ -268,8 +320,11 @@ def sparse_set2vec(rparams, x, node_mask, node_graph, num_graphs: int, *,
             denom = jax.ops.segment_sum(z, node_graph,
                                         num_segments=num_graphs + 1)
             att = z / denom[node_graph]
-        read = jax.ops.segment_sum(att[:, None] * x, node_graph,
-                                   num_segments=num_graphs + 1)[:-1]
+        if use_slots:
+            read = slots.graph_sum(att[:, None] * x)
+        else:
+            read = jax.ops.segment_sum(att[:, None] * x, node_graph,
+                                       num_segments=num_graphs + 1)[:-1]
         m_out = jnp.concatenate([m, read], axis=1)
         return (m_out, c), None
 
@@ -279,12 +334,14 @@ def sparse_set2vec(rparams, x, node_mask, node_graph, num_graphs: int, *,
 
 
 def sparse_graph_level_output(rparams, x, node_mask, node_graph,
-                              num_graphs: int):
+                              num_graphs: int, slots=None):
     """Packed gated readout: per-node gating then segment-sum per graph
     (graph_level_output.py:36-47 semantics on the flat node axis)."""
     xm = x * node_mask
     gated = jax.nn.softmax(linear_apply(rparams["i"], xm), axis=-1) \
         * linear_apply(rparams["j"], xm) * node_mask
+    if slots is not None and slots.has_graph:
+        return slots.graph_sum(gated)
     return jax.ops.segment_sum(gated, node_graph,
                                num_segments=num_graphs + 1)[:-1]
 
@@ -350,6 +407,10 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
             batch["edge_mask"][:, None],
             training=training, axis_name=axis_name)
 
+    # scatter-free segment tables (ops/segments.py) when the batch carries
+    # them (graphs.attach_segment_slots); every fallback stays in place
+    slots = SegmentSlots(batch)
+
     needs_pen = cfg.message_fn in ("edge_network", "att_edge_network")
     vid = batch.get("edge_vid")
     vfirst = batch.get("edge_vfirst")
@@ -372,7 +433,7 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
             batch["edge_src"], batch["edge_dst"], node_graph,
             graph_mask, nf=cfg.node_features, mf=cfg.message_features,
             spmm_fn=spmm_fn, pen_vocab=pen_vocab, edge_vid=vid,
-            spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win)
+            spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win, slots=slots)
         h, ma_stats, step_stats = recurrence_fn(
             msgs_raw, h0, mask, params["gru"], params["ma_bn"][0],
             params["bn"][0])
@@ -396,12 +457,14 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
         readout_in = jnp.concatenate([h, h0], axis=-1)
         if cfg.readout == "graph_level":
             out = sparse_graph_level_output(params["readout"], readout_in,
-                                            mask, node_graph, num_graphs)
+                                            mask, node_graph, num_graphs,
+                                            slots=slots)
         else:
             out = sparse_set2vec(params["readout"], readout_in, mask,
                                  node_graph, num_graphs,
                                  time_steps=cfg.set2vec_steps,
-                                 batch_softmax=cfg.set2vec_batch_softmax)
+                                 batch_softmax=cfg.set2vec_batch_softmax,
+                                 slots=slots)
         if cfg.output_norm:
             gm = graph_mask[:, None]
             out, new_state["obn"] = bn1d_apply(
@@ -450,13 +513,15 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                 graph_mask, nf=cfg.node_features,
                 mf=cfg.message_features, spmm_fn=spmm_fn,
                 pen_vocab=pen_vocab, edge_vid=vid,
-                spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win)
+                spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win,
+                slots=slots)
         elif cfg.message_fn == "ggnn":
             msgs = sparse_ggnn_fused(
                 params["message"][mi], batch["edge_types"], msg_src,
                 batch["edge_src"], batch["edge_dst"],
                 nf=cfg.node_features, mf=cfg.message_features,
-                spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win)
+                spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win,
+                slots=slots)
         elif cfg.message_fn == "att_edge_network":
             pen, pen0, pen_vocab = pens[mi]
             msgs = sparse_att_edge_network(
@@ -466,14 +531,14 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
                 mf=cfg.message_features, aggregation=cfg.aggregation,
                 pen_vocab=pen_vocab, edge_vid=vid,
                 edge_vfirst=vfirst, sddmm_fn=sddmm_fn,
-                spmm_win=spmm_win)
+                spmm_win=spmm_win, slots=slots)
         elif cfg.message_fn == "bilinear":
             if cfg.aggregation != "adj":
                 raise NotImplementedError(
                     "sparse bilinear supports adj aggregation")
             msgs = sparse_bilinear(msg_src, edge_feats, batch["edge_src"],
                                    batch["edge_dst"],
-                                   nf=cfg.node_features)
+                                   nf=cfg.node_features, slots=slots)
         else:
             raise NotImplementedError(cfg.message_fn)
         if msgs_const:
@@ -504,11 +569,12 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
 
     if cfg.readout == "graph_level":
         out = sparse_graph_level_output(params["readout"], readout_in, mask,
-                                        node_graph, num_graphs)
+                                        node_graph, num_graphs, slots=slots)
     elif cfg.readout == "set2vec":
         out = sparse_set2vec(params["readout"], readout_in, mask, node_graph,
                              num_graphs, time_steps=cfg.set2vec_steps,
-                             batch_softmax=cfg.set2vec_batch_softmax)
+                             batch_softmax=cfg.set2vec_batch_softmax,
+                             slots=slots)
     else:
         raise NotImplementedError(cfg.readout)
 
