@@ -83,7 +83,7 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                  spmm_block: int = 512, model: str = "flagship",
                  fuse: bool = False, tail: int | None = None,
                  tail_kernel: bool = False, steps_per_call: int = 50,
-                 slots: bool = True):
+                 slots: bool = False):
     import functools
     import jax
     import jax.numpy as jnp
@@ -298,10 +298,11 @@ def main(argv=None):
                    help="run the vocab edge-MLP chain as ONE Pallas kernel "
                         "per direction (kernels/edge_mlp.py) instead of the "
                         "tail_repeats-iteration lax.scan")
-    p.add_argument("--no-slots", dest="slots", action="store_false",
-                   default=True,
-                   help="disable the scatter-free segment tables "
-                        "(ops/segments.py)")
+    p.add_argument("--slots", dest="slots", action="store_true",
+                   default=False,
+                   help="scatter-free segment tables (ops/segments.py; "
+                        "measured SLOWER at bench shapes: 0.652 vs 0.591 "
+                        "ms/step — kept opt-in for re-evaluation)")
     p.add_argument("--steps-per-call", type=int, default=50,
                    help="training steps batched per device dispatch "
                         "(lax.scan; amortizes the ~4 ms tunnel dispatch)")

@@ -42,7 +42,7 @@ class GraphLoader:
                  edge_vocab: bool = True,
                  spmm_plan: bool = False,
                  spmm_block_edges: int = 512,
-                 segment_slots: bool = True):
+                 segment_slots: bool = False):
         self.graphs = graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -81,7 +81,11 @@ class GraphLoader:
         # Scatter-free segment tables (ops/segments.py): slot widths are
         # dataset-wide maxima (max atoms per graph / max node degree) so
         # every batch shares ONE compiled shape; degree is a per-graph
-        # property, so no batch can overflow the caps
+        # property, so no batch can overflow the caps. OPT-IN: measured
+        # SLOWER than XLA's scatters at bench shapes on 1× v5e (flagship
+        # batch 1024: 0.652 vs 0.591 ms/step kernel path, 1.64 vs 1.41
+        # XLA path) — the padded gather expansion costs more than the
+        # scatters it removes. Kept for shapes where scatter dominates.
         self._slot_caps = None
         if segment_slots and collate == "packed" and graphs:
             node_slot_cap = max(g.num_atoms for g in graphs)

@@ -207,7 +207,8 @@ def test_loader_attaches_fixed_shape_slots():
     gs, ge = setup_graphs()
     from mpnn_tpu.graphs.dataloader import GraphLoader
     loader = GraphLoader(gs * 3, batch_size=5, collate="packed",
-                         shuffle=True, use_native=False)
+                         shuffle=True, use_native=False,
+                         segment_slots=True)
     shapes = set()
     for batch in loader:
         assert {"gslots", "gslot_mask", "dslots", "dslot_mask",
