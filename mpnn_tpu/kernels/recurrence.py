@@ -1008,6 +1008,527 @@ def make_recurrence_op_blocked(steps: int, f: int, n: int, *,
     return op
 
 
+# ---------------------------------------------------------------------------
+# MERGED-PASS streaming recurrence: grid (T+2, node-blocks), fwd AND bwd
+# ---------------------------------------------------------------------------
+#
+# The blocked variant above spends 2 passes per step (compute+stats, then
+# normalize) and stores three per-node HBM buffers (gates 3fp, pre-BN htil,
+# post-BN h). This variant folds everything into ONE pass per step by
+# recomputing instead of storing:
+#   * the BN normalize of state t-1 happens INLINE at the top of pass t
+#     (its stats were accumulated during pass t-1 and are finalized at
+#     block 0 of pass t — the grid is sequential);
+#   * the GRU input gates are recomputed per pass from htil slot 0 (the
+#     masked messages) + the ma stats via three tiny (fp,fp)·(fp,blk) MXU
+#     matmuls — MXU time is free at these widths, HBM traffic is not, so
+#     trading a 3fp-wide gates buffer for an fp-wide re-read wins;
+#   * the post-BN state is never materialized at all — only the LAST state
+#     is normalized and written (pass T+1).
+# Per-step HBM traffic drops from ~7fp·N (read state+gates+htil, write
+# htil+h) to 3fp·N (read htil_{t-1}+htil_0, write htil_t); pass count from
+# 2(T+1) to T+2. The BACKWARD applies the same fusion: the reduction pass
+# of step t-1 rides inside the apply pass of step t (whose inline
+# normalize already has x̂_{t-1} in registers), so it is also T+2 passes.
+#
+# Residual layout (forward outputs, consumed by the backward):
+#   htil_hbm ((T+1)·fp, npad)  slot 0 = masked msgs, slot t = pre-BN state
+#   stats    ((T+1)·fp, 2)     slot 0 = ma stats,    slot t = step-t stats
+# Variance is single-pass (E[x²]−μ²), like the blocked variant.
+
+def _merged_kernel(msgs_hbm, h0_hbm, mask_hbm, c_ref,
+                   wir_ref, wiz_ref, win_ref, whr_ref, whz_ref, whn_ref,
+                   bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
+                   mw_ref, mb_ref, sw_ref, sb_ref,
+                   htil_hbm, stats_out, hout_hbm,
+                   xblk, pblk, mblk, acc, mast, stats, sems,
+                   *, steps: int, fp: int, blk: int):
+    t = pl.program_id(0)                 # 0..steps+1
+    b = pl.program_id(1)
+    off = b * blk
+    c = c_ref[0, 0]
+
+    def _load(src, dst, i):
+        cp = pltpu.make_async_copy(src, dst, sems.at[i])
+        cp.start()
+        return cp
+
+    @pl.when(jnp.logical_and(t == 0, b == 0))
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    # finalize stats of htil slot t-1 (accumulated during pass t-1)
+    @pl.when(jnp.logical_and(t > 0, b == 0))
+    def _():
+        mean = acc[:, 0:1] / c
+        var = jnp.maximum(acc[:, 1:2] / c - mean * mean, 0.0)
+
+        @pl.when(t == 1)
+        def _():
+            mast[:, 0:1] = mean
+            mast[:, 1:2] = var
+
+        @pl.when(t > 1)
+        def _():
+            stats[:, 0:1] = mean
+            stats[:, 1:2] = var
+        stats_out[pl.ds((t - 1) * fp, fp), 0:1] = mean
+        stats_out[pl.ds((t - 1) * fp, fp), 1:2] = var
+        acc[:] = jnp.zeros_like(acc)
+
+    cpm = _load(mask_hbm.at[:, pl.ds(off, blk)], mblk, 0)
+
+    @pl.when(t == 0)
+    def _():
+        _load(msgs_hbm.at[:, pl.ds(off, blk)], xblk, 1).wait()
+        cpm.wait()
+        x = xblk[:] * mblk[:]
+        xblk[:] = x
+        wb = pltpu.make_async_copy(
+            xblk, htil_hbm.at[pl.ds(0, fp), pl.ds(off, blk)], sems.at[1])
+        wb.start()
+        acc[:, 0:1] += jnp.sum(x, axis=1, keepdims=True)
+        acc[:, 1:2] += jnp.sum(x * x, axis=1, keepdims=True)
+        wb.wait()
+
+    @pl.when(jnp.logical_and(t >= 1, t <= steps))
+    def _():
+        cpp = _load(htil_hbm.at[pl.ds(0, fp), pl.ds(off, blk)], pblk, 1)
+
+        @pl.when(t == 1)
+        def _():
+            _load(h0_hbm.at[:, pl.ds(off, blk)], xblk, 2).wait()
+
+        @pl.when(t > 1)
+        def _():
+            _load(htil_hbm.at[pl.ds((t - 1) * fp, fp), pl.ds(off, blk)],
+                  xblk, 2).wait()
+        cpp.wait()
+        cpm.wait()
+        m = mblk[:]
+        # mb + input gates recomputed from htil slot 0 (masked msgs)
+        ma_d = jnp.sqrt(jnp.maximum(mast[:, 1:2], VAR_CLAMP)) + BN_EPS
+        xhat0 = (pblk[:] - mast[:, 0:1]) * m / ma_d
+        mbv = (mw_ref[:] * xhat0 + mb_ref[:]) * m
+        gr = _dot(wir_ref[:].T, mbv) + bir_ref[:]
+        gz = _dot(wiz_ref[:].T, mbv) + biz_ref[:]
+        gn = _dot(win_ref[:].T, mbv) + bin_ref[:]
+        # previous state: h0 (pre-masked) for step 1, inline-normalized
+        # htil_{t-1} after
+        @pl.when(t > 1)
+        def _():
+            s = jnp.sqrt(jnp.maximum(stats[:, 1:2], VAR_CLAMP)) + BN_EPS
+            xhat = (xblk[:] - stats[:, 0:1]) * m / s
+            xblk[:] = (sw_ref[:] * xhat + sb_ref[:]) * m
+        h = xblk[:]
+        htil = _gru_fwd_t(h, gr, gz, gn, whr_ref[:], whz_ref[:],
+                          whn_ref[:], bhr_ref[:], bhz_ref[:], bhn_ref[:],
+                          m)
+        xblk[:] = htil
+        wb = pltpu.make_async_copy(
+            xblk, htil_hbm.at[pl.ds(t * fp, fp), pl.ds(off, blk)],
+            sems.at[1])
+        wb.start()
+        acc[:, 0:1] += jnp.sum(htil, axis=1, keepdims=True)
+        acc[:, 1:2] += jnp.sum(htil * htil, axis=1, keepdims=True)
+        wb.wait()
+
+    @pl.when(t == steps + 1)
+    def _():
+        _load(htil_hbm.at[pl.ds(steps * fp, fp), pl.ds(off, blk)],
+              xblk, 1).wait()
+        cpm.wait()
+        m = mblk[:]
+        s = jnp.sqrt(jnp.maximum(stats[:, 1:2], VAR_CLAMP)) + BN_EPS
+        xhat = (xblk[:] - stats[:, 0:1]) * m / s
+        xblk[:] = (sw_ref[:] * xhat + sb_ref[:]) * m
+        wb = pltpu.make_async_copy(
+            xblk, hout_hbm.at[:, pl.ds(off, blk)], sems.at[1])
+        wb.start()
+        wb.wait()
+
+
+def _merged_forward_call(msgs, h0, mask, gru, ma_bn, bn, *, steps, f, n,
+                         blk, interpret):
+    fp = _round_up(f, 16)
+    npad = _round_up(n, blk)
+    nb = npad // blk
+    dt = jnp.float32
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def _any():
+        return pl.BlockSpec(memory_space=pltpu.ANY)
+
+    kernel = functools.partial(_merged_kernel, steps=steps, fp=fp, blk=blk)
+    args, _ = _pack_blocked(msgs, h0, mask, gru, ma_bn, bn,
+                            f=f, fp=fp, n=n, npad=npad)
+    htil, stats, hout = pl.pallas_call(
+        kernel,
+        grid=(steps + 2, nb),
+        in_specs=[_any(), _any(), _any(),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_vm()] * 16,
+        out_specs=(_any(), _vm(), _any()),
+        out_shape=(
+            jax.ShapeDtypeStruct(((steps + 1) * fp, npad), dt),
+            jax.ShapeDtypeStruct(((steps + 1) * fp, 2), dt),
+            jax.ShapeDtypeStruct((fp, npad), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((fp, blk), dt),          # xblk
+            pltpu.VMEM((fp, blk), dt),          # pblk (htil slot 0)
+            pltpu.VMEM((1, blk), dt),           # mblk
+            pltpu.VMEM((fp, 2), dt),            # acc
+            pltpu.VMEM((fp, 2), dt),            # mast (ma stats)
+            pltpu.VMEM((fp, 2), dt),            # stats (current step)
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(*args)
+    odt = msgs.dtype
+    ma_stats = (stats[0:f, 0].astype(odt), stats[0:f, 1].astype(odt))
+    step_stats = [(stats[t * fp:t * fp + f, 0].astype(odt),
+                   stats[t * fp:t * fp + f, 1].astype(odt))
+                  for t in range(1, steps + 1)]
+    return ((hout[:f, :n].T.astype(odt), ma_stats, step_stats),
+            (htil, stats))
+
+
+def _merged_bwd_kernel(h0_hbm, htil_hbm, mask_hbm, c_ref,
+                       wir_ref, wiz_ref, win_ref, whr_ref, whz_ref,
+                       whn_ref, bir_ref, biz_ref, bin_ref,
+                       bhr_ref, bhz_ref, bhn_ref,
+                       mw_ref, mbias_ref, sw_ref, sb_ref, stats_ref, g_in,
+                       gh_hbm, dmb_hbm, dmsgs_hbm,
+                       dwir_out, dwiz_out, dwin_out,
+                       dwhr_out, dwhz_out, dwhn_out,
+                       dbir_out, dbiz_out, dbin_out,
+                       dbhr_out, dbhz_out, dbhn_out,
+                       dmw_out, dmbias_out, dsw_out, dsb_out,
+                       sblk, pblk, mblk, ghblk, hblk, dmbblk,
+                       accC, accN, sems,
+                       *, steps: int, fp: int, blk: int):
+    ts = pl.program_id(0)               # 0..steps+1
+    b = pl.program_id(1)
+    t = steps - ts + 1                  # step applied in passes 1..steps
+    off = b * blk
+    c = c_ref[0, 0]
+
+    def _load(src, dst, i):
+        cp = pltpu.make_async_copy(src, dst, sems.at[i])
+        cp.start()
+        return cp
+
+    @pl.when(jnp.logical_and(ts == 0, b == 0))
+    def _():
+        for o in (dwir_out, dwiz_out, dwin_out, dwhr_out, dwhz_out,
+                  dwhn_out, dbir_out, dbiz_out, dbin_out, dbhr_out,
+                  dbhz_out, dbhn_out, dmw_out, dmbias_out, dsw_out,
+                  dsb_out):
+            o[:] = jnp.zeros_like(o)
+        accN[:] = jnp.zeros_like(accN)
+
+    # S1/S2 for this pass's BN-apply were accumulated during the previous
+    # pass; promote them (sequential grid)
+    @pl.when(jnp.logical_and(ts > 0, b == 0))
+    def _():
+        accC[:] = accN[:]
+        accN[:] = jnp.zeros_like(accN)
+
+    cpm = _load(mask_hbm.at[:, pl.ds(off, blk)], mblk, 0)
+
+    @pl.when(ts == 0)
+    def _():
+        # reduction for step T (the one pass with no apply to fuse into)
+        cph = _load(htil_hbm.at[pl.ds(steps * fp, fp), pl.ds(off, blk)],
+                    hblk, 1)
+        cpg = _load(gh_hbm.at[:, pl.ds(off, blk)], ghblk, 2)
+        cph.wait()
+        cpg.wait()
+        cpm.wait()
+        m = mblk[:]
+        mean = stats_ref[pl.ds(steps * fp, fp), 0:1]
+        var = stats_ref[pl.ds(steps * fp, fp), 1:2]
+        d = jnp.sqrt(jnp.maximum(var, VAR_CLAMP)) + BN_EPS
+        xhat = (hblk[:] - mean) * m / d
+        gym = ghblk[:] * m
+        dsw_out[:] += jnp.sum(gym * xhat, axis=1, keepdims=True)
+        dsb_out[:] += jnp.sum(gym, axis=1, keepdims=True)
+        dxhat = gym * sw_ref[:]
+        accN[:, 0:1] += jnp.sum(dxhat, axis=1, keepdims=True)
+        accN[:, 1:2] += jnp.sum(dxhat * xhat, axis=1, keepdims=True)
+
+    @pl.when(jnp.logical_and(ts >= 1, ts <= steps))
+    def _():
+        # apply of step t (= steps-ts+1), fused with the reduction of step
+        # t-1 (t ≥ 2) or of ma_bn (t == 1)
+        cps = [_load(htil_hbm.at[pl.ds(t * fp, fp), pl.ds(off, blk)],
+                     hblk, 1),
+               _load(htil_hbm.at[pl.ds(0, fp), pl.ds(off, blk)], pblk, 2),
+               _load(gh_hbm.at[:, pl.ds(off, blk)], ghblk, 3)]
+
+        @pl.when(t == 1)
+        def _():
+            _load(h0_hbm.at[:, pl.ds(off, blk)], sblk, 4).wait()
+
+        @pl.when(t > 1)
+        def _():
+            _load(htil_hbm.at[pl.ds((t - 1) * fp, fp), pl.ds(off, blk)],
+                  sblk, 4).wait()
+
+        @pl.when(ts == 1)
+        def _():
+            dmbblk[:] = jnp.zeros_like(dmbblk)
+
+        @pl.when(ts > 1)
+        def _():
+            _load(dmb_hbm.at[:, pl.ds(off, blk)], dmbblk, 5).wait()
+        for cp in cps:
+            cp.wait()
+        cpm.wait()
+        m = mblk[:]
+        # BN backward of step t (closed form, accC = this step's S1/S2)
+        mean = stats_ref[pl.ds(t * fp, fp), 0:1]
+        var = stats_ref[pl.ds(t * fp, fp), 1:2]
+        s = jnp.sqrt(jnp.maximum(var, VAR_CLAMP))
+        d = s + BN_EPS
+        xhat_t = (hblk[:] - mean) * m / d
+        gym = ghblk[:] * m
+        dxhat = gym * sw_ref[:]
+        S1 = accC[:, 0:1]
+        S2 = accC[:, 1:2]
+        dhtil = (dxhat - m * S1 / c) / d - m * xhat_t * S2 / (c * s)
+        dhp = dhtil * m
+        # previous state + its x̂ (inline normalize for t ≥ 2)
+        ma_mean = stats_ref[0:fp, 0:1]
+        ma_var = stats_ref[0:fp, 1:2]
+        ma_d = jnp.sqrt(jnp.maximum(ma_var, VAR_CLAMP)) + BN_EPS
+        xhat0 = (pblk[:] - ma_mean) * m / ma_d
+        mb = (mw_ref[:] * xhat0 + mbias_ref[:]) * m
+
+        @pl.when(t > 1)
+        def _():
+            pmean = stats_ref[pl.ds((t - 1) * fp, fp), 0:1]
+            pvar = stats_ref[pl.ds((t - 1) * fp, fp), 1:2]
+            pd = jnp.sqrt(jnp.maximum(pvar, VAR_CLAMP)) + BN_EPS
+            xh = (sblk[:] - pmean) * m / pd
+            # stash x̂_{t-1} for the fused reduction; sblk becomes s_{t-1}
+            hblk[:] = xh
+            sblk[:] = (sw_ref[:] * xh + sb_ref[:]) * m
+        hprev = sblk[:]
+        # GRU backward (internals recomputed from s_{t-1} + inline gates)
+        gr = _dot(wir_ref[:].T, mb) + bir_ref[:]
+        gz = _dot(wiz_ref[:].T, mb) + biz_ref[:]
+        gn = _dot(win_ref[:].T, mb) + bin_ref[:]
+        whr = whr_ref[:]
+        whz = whz_ref[:]
+        whn = whn_ref[:]
+        rh = _dot(whr.T, hprev) + bhr_ref[:]
+        zh = _dot(whz.T, hprev) + bhz_ref[:]
+        nh = _dot(whn.T, hprev) + bhn_ref[:]
+        sr = jax.nn.sigmoid(gr + rh)
+        sz = jax.nn.sigmoid(gz + zh)
+        z = sz * m
+        tn = jnp.tanh(gn + (sr * m) * nh)
+        n_ = tn * m
+        dz = dhp * (hprev - n_)
+        dn = dhp * (1.0 - z)
+        da_n = dn * m * (1.0 - tn * tn)
+        dr = da_n * nh
+        dnh = da_n * (sr * m)
+        da_r = dr * m * sr * (1.0 - sr)
+        da_z = dz * m * sz * (1.0 - sz)
+        gh_new = dhp * z + _dot(whr, da_r) + _dot(whz, da_z) \
+            + _dot(whn, dnh)
+        dwhr_out[:] += _dot(hprev, da_r.T)
+        dwhz_out[:] += _dot(hprev, da_z.T)
+        dwhn_out[:] += _dot(hprev, dnh.T)
+        dbhr_out[:] += jnp.sum(da_r, axis=1, keepdims=True)
+        dbhz_out[:] += jnp.sum(da_z, axis=1, keepdims=True)
+        dbhn_out[:] += jnp.sum(dnh, axis=1, keepdims=True)
+        dwir_out[:] += _dot(mb, da_r.T)
+        dwiz_out[:] += _dot(mb, da_z.T)
+        dwin_out[:] += _dot(mb, da_n.T)
+        dbir_out[:] += jnp.sum(da_r, axis=1, keepdims=True)
+        dbiz_out[:] += jnp.sum(da_z, axis=1, keepdims=True)
+        dbin_out[:] += jnp.sum(da_n, axis=1, keepdims=True)
+        dmbblk[:] += _dot(wir_ref[:], da_r) + _dot(wiz_ref[:], da_z) \
+            + _dot(win_ref[:], da_n)
+
+        @pl.when(t > 1)
+        def _():
+            # fused reduction for step t-1 (x̂_{t-1} stashed in hblk)
+            gym2 = gh_new * m
+            dsw_out[:] += jnp.sum(gym2 * hblk[:], axis=1, keepdims=True)
+            dsb_out[:] += jnp.sum(gym2, axis=1, keepdims=True)
+            dx2 = gym2 * sw_ref[:]
+            accN[:, 0:1] += jnp.sum(dx2, axis=1, keepdims=True)
+            accN[:, 1:2] += jnp.sum(dx2 * hblk[:], axis=1, keepdims=True)
+            ghblk[:] = gh_new
+
+        @pl.when(t == 1)
+        def _():
+            # walk done: gh becomes dh0; fused reduction for ma_bn (dmb is
+            # complete for this block)
+            ghblk[:] = gh_new * m
+            gym_m = dmbblk[:] * m
+            dmw_out[:] += jnp.sum(gym_m * xhat0, axis=1, keepdims=True)
+            dmbias_out[:] += jnp.sum(gym_m, axis=1, keepdims=True)
+            dxm = gym_m * mw_ref[:]
+            accN[:, 0:1] += jnp.sum(dxm, axis=1, keepdims=True)
+            accN[:, 1:2] += jnp.sum(dxm * xhat0, axis=1, keepdims=True)
+        wb1 = pltpu.make_async_copy(
+            ghblk, gh_hbm.at[:, pl.ds(off, blk)], sems.at[0])
+        wb2 = pltpu.make_async_copy(
+            dmbblk, dmb_hbm.at[:, pl.ds(off, blk)], sems.at[1])
+        wb1.start()
+        wb2.start()
+        wb1.wait()
+        wb2.wait()
+
+    @pl.when(ts == steps + 1)
+    def _():
+        # ma_bn input-gradient apply → dmsgs
+        cps = [_load(htil_hbm.at[pl.ds(0, fp), pl.ds(off, blk)], pblk, 1),
+               _load(dmb_hbm.at[:, pl.ds(off, blk)], dmbblk, 2)]
+        for cp in cps:
+            cp.wait()
+        cpm.wait()
+        m = mblk[:]
+        mean = stats_ref[0:fp, 0:1]
+        var = stats_ref[0:fp, 1:2]
+        s = jnp.sqrt(jnp.maximum(var, VAR_CLAMP))
+        d = s + BN_EPS
+        xhat = (pblk[:] - mean) * m / d
+        gym = dmbblk[:] * m
+        dxhat = gym * mw_ref[:]
+        S1 = accC[:, 0:1]
+        S2 = accC[:, 1:2]
+        pblk[:] = ((dxhat - m * S1 / c) / d
+                   - m * xhat * S2 / (c * s)) * m
+        wb = pltpu.make_async_copy(
+            pblk, dmsgs_hbm.at[:, pl.ds(off, blk)], sems.at[0])
+        wb.start()
+        wb.wait()
+
+
+def _merged_backward_call(res, g_ht, *, steps, f, n, blk, interpret):
+    (msgs, h0, mask, gru, ma_bn, bn, htil, stats) = res
+    fp = _round_up(f, 16)
+    npad = _round_up(n, blk)
+    nb = npad // blk
+    dt = jnp.float32
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def _any():
+        return pl.BlockSpec(memory_space=pltpu.ANY)
+
+    packed, mat_t = _pack_blocked(msgs, h0, mask, gru, ma_bn, bn,
+                                  f=f, fp=fp, n=n, npad=npad)
+    (_msgs_t, h0m, mask_row, c,
+     wir, wiz, win, whr, whz, whn, bir, biz, bin_c, bhr, bhz, bhn,
+     mw, mbias, sw, sb) = packed
+    g_t = mat_t(g_ht)
+
+    kernel = functools.partial(_merged_bwd_kernel, steps=steps, fp=fp,
+                               blk=blk)
+    fpn = jax.ShapeDtypeStruct((fp, npad), dt)
+    fpf = jax.ShapeDtypeStruct((fp, fp), dt)
+    fc = jax.ShapeDtypeStruct((fp, 1), dt)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(steps + 2, nb),
+        in_specs=[_any(), _any(), _any(),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_vm()] * 16 + [_vm(), _any()],
+        out_specs=tuple([_any()] * 3 + [_vm()] * 16),
+        out_shape=(fpn, fpn, fpn,
+                   fpf, fpf, fpf, fpf, fpf, fpf,
+                   fc, fc, fc, fc, fc, fc, fc, fc, fc, fc),
+        input_output_aliases={21: 0},
+        scratch_shapes=[
+            pltpu.VMEM((fp, blk), dt),          # sblk (s_{t-1})
+            pltpu.VMEM((fp, blk), dt),          # pblk (htil slot 0)
+            pltpu.VMEM((1, blk), dt),           # mblk
+            pltpu.VMEM((fp, blk), dt),          # ghblk (cotangent)
+            pltpu.VMEM((fp, blk), dt),          # hblk (htil_t / x̂_{t-1})
+            pltpu.VMEM((fp, blk), dt),          # dmbblk
+            pltpu.VMEM((fp, 2), dt),            # accC (this pass's S1/S2)
+            pltpu.VMEM((fp, 2), dt),            # accN (next pass's)
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(h0m, htil, mask_row, c,
+      wir, wiz, win, whr, whz, whn, bir, biz, bin_c, bhr, bhz, bhn,
+      mw, mbias, sw, sb, stats, g_t)
+    (dh0_t, _dmb, dmsgs_t, dwir, dwiz, dwin, dwhr, dwhz, dwhn,
+     dbir, dbiz, dbin_, dbhr, dbhz, dbhn, dmw, dmbb, dsw, dsb) = outs
+
+    def unblocks(ws):
+        return jnp.stack([w[:f, :f] for w in ws], axis=1).reshape(f, 3 * f)
+
+    def uncol3(cs):
+        return jnp.concatenate([cv[:f, 0] for cv in cs])
+
+    dgru = {
+        "w_ih": unblocks([dwir, dwiz, dwin]).astype(gru["w_ih"].dtype),
+        "w_hh": unblocks([dwhr, dwhz, dwhn]).astype(gru["w_hh"].dtype),
+        "b_ih": uncol3([dbir, dbiz, dbin_]).astype(gru["b_ih"].dtype),
+        "b_hh": uncol3([dbhr, dbhz, dbhn]).astype(gru["b_hh"].dtype),
+    }
+    dma = {"weight": dmw[:f, 0].astype(ma_bn["weight"].dtype),
+           "bias": dmbb[:f, 0].astype(ma_bn["bias"].dtype)}
+    dbn = {"weight": dsw[:f, 0].astype(bn["weight"].dtype),
+           "bias": dsb[:f, 0].astype(bn["bias"].dtype)}
+    return (dmsgs_t[:f, :n].T.astype(msgs.dtype),
+            dh0_t[:f, :n].T.astype(h0.dtype), dgru, dma, dbn)
+
+
+def make_recurrence_op_merged(steps: int, f: int, n: int, *,
+                              blk: int = 8192, interpret: bool = False,
+                              bwd_mode: str = "fused"):
+    """Merged-pass streaming recurrence (see block comment above): T+2
+    grid passes in EACH direction, ~3fp·N traffic per step. Same contract
+    as make_recurrence_op; any node count."""
+
+    @jax.custom_vjp
+    def op(msgs, h0, mask, gru, ma_bn, bn):
+        out, _ = _merged_forward_call(msgs, h0, mask, gru, ma_bn, bn,
+                                      steps=steps, f=f, n=n, blk=blk,
+                                      interpret=interpret)
+        return out
+
+    def fwd(msgs, h0, mask, gru, ma_bn, bn):
+        out, extras = _merged_forward_call(msgs, h0, mask, gru, ma_bn, bn,
+                                           steps=steps, f=f, n=n, blk=blk,
+                                           interpret=interpret)
+        if bwd_mode == "xla":
+            return out, (msgs, h0, mask, gru, ma_bn, bn)
+        htil, stats = extras
+        return out, (msgs, h0, mask, gru, ma_bn, bn, htil, stats)
+
+    def bwd(res, cot):
+        if bwd_mode == "xla":
+            msgs, h0, mask, gru, ma_bn, bn = res
+            _, vjp = jax.vjp(
+                lambda m_, h_, g_, a_, b_: reference_recurrence(
+                    m_, h_, mask, g_, a_, b_, steps=steps),
+                msgs, h0, gru, ma_bn, bn)
+            dm, dh, dg, da_, db_ = vjp(cot)
+            return dm, dh, None, dg, da_, db_
+        g_ht, _, _ = cot          # stats feed running-state EMAs (no grad)
+        dm, dh, dg, da_, db_ = _merged_backward_call(
+            res, g_ht, steps=steps, f=f, n=n, blk=blk, interpret=interpret)
+        return dm, dh, None, dg, da_, db_
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 # the monolithic forward holds ~12 (fp, N) buffers in VMEM; past this node
 # count use the blocked streaming variant
 MONOLITHIC_MAX_NODES = 16384

@@ -403,3 +403,67 @@ class TestRecurrence:
         for a, b in zip(gk, gr_):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-3)
+
+    def test_merged_forward_matches_reference(self):
+        """Merged-pass streaming forward (T+2 passes, gates/normalize
+        recomputed inline) vs the reference — single-pass variance
+        tolerance like the blocked variant."""
+        from mpnn_tpu.kernels.recurrence import (
+            make_recurrence_op_merged, reference_recurrence)
+        msgs, h0, mask, gru, ma_p, bn_p = self._inputs(12)
+        op = make_recurrence_op_merged(self.T, self.F, self.N, blk=128,
+                                       interpret=True)
+        got, gst, gsteps = op(msgs, h0, mask, gru, ma_p, bn_p)
+        want, wst, wsteps = reference_recurrence(
+            msgs, h0, mask, gru, ma_p, bn_p, steps=self.T)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gst[0]), np.asarray(wst[0]),
+                                   rtol=1e-3, atol=1e-4)
+        for (gm, gv), (wm, wv) in zip(gsteps, wsteps):
+            np.testing.assert_allclose(np.asarray(gm), np.asarray(wm),
+                                       rtol=1e-3, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_merged_fused_backward_all_grads(self):
+        """Merged-pass backward (reduction of step t-1 fused into the
+        apply of step t) vs the reference VJP — every gradient leaf."""
+        from mpnn_tpu.kernels.recurrence import (
+            make_recurrence_op_merged, reference_recurrence)
+        msgs, h0, mask, gru, ma_p, bn_p = self._inputs(13)
+        op = make_recurrence_op_merged(self.T, self.F, self.N, blk=128,
+                                       interpret=True, bwd_mode="fused")
+        gt = jnp.asarray(np.random.RandomState(14).randn(
+            self.N, self.F).astype(np.float32))
+
+        def lk(m_, h_, g_, a_, b_):
+            out, _, _ = op(m_, h_, mask, g_, a_, b_)
+            return (out * gt).sum()
+
+        def lr(m_, h_, g_, a_, b_):
+            out, _, _ = reference_recurrence(m_, h_, mask, g_, a_, b_,
+                                             steps=self.T)
+            return (out * gt).sum()
+
+        gk = jax.grad(lk, argnums=(0, 1, 2, 3, 4))(msgs, h0, gru, ma_p,
+                                                   bn_p)
+        gr_ = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(msgs, h0, gru, ma_p,
+                                                    bn_p)
+        for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr_)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+
+    def test_merged_single_block_and_uneven(self):
+        """blk ≥ N (one block) and a non-dividing blk both stay correct."""
+        from mpnn_tpu.kernels.recurrence import (
+            make_recurrence_op_merged, reference_recurrence)
+        msgs, h0, mask, gru, ma_p, bn_p = self._inputs(15)
+        want, _, _ = reference_recurrence(msgs, h0, mask, gru, ma_p, bn_p,
+                                          steps=self.T)
+        for blk in (512, 192):
+            op = make_recurrence_op_merged(self.T, self.F, self.N, blk=blk,
+                                           interpret=True)
+            got, _, _ = op(msgs, h0, mask, gru, ma_p, bn_p)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-3, rtol=1e-3)
