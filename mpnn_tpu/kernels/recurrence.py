@@ -1537,15 +1537,16 @@ MONOLITHIC_MAX_NODES = 16384
 def make_recurrence_op_auto(steps: int, f: int, n: int, *,
                             interpret: bool = False):
     """Monolithic fused op while its BACKWARD's stashed states fit scoped
-    VMEM (everything resident, fastest); otherwise the blocked streaming
-    variant — fused in BOTH directions at any node count. (Measured: the
-    old large-N fallback — blocked fwd + XLA-VJP bwd — left 2.5× on the
-    table at batch 2048: 3.95 → 1.56 ms/step with the streaming bwd.)"""
+    VMEM (everything resident, fastest); otherwise the MERGED-pass
+    streaming variant — fused in BOTH directions at any node count.
+    (Measured at N=13312/T=6 on 1× v5e: merged 141.7 µs vs blocked
+    168.7 µs per fwd+bwd; the old large-N fallback — blocked fwd +
+    XLA-VJP bwd — left 2.5× on the table at batch 2048.)"""
     npad = _round_up(n, 128)
     fp = _round_up(f, 16)
     bwd_est = (steps + 14) * fp * npad * 4
     if n <= MONOLITHIC_MAX_NODES and bwd_est <= 13 * 2 ** 20:
         return make_recurrence_op(steps, f, n, interpret=interpret,
                                   bwd_mode="fused")
-    return make_recurrence_op_blocked(steps, f, n, interpret=interpret,
-                                      bwd_mode="fused")
+    return make_recurrence_op_merged(steps, f, n, interpret=interpret,
+                                     bwd_mode="fused")

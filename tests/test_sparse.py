@@ -443,3 +443,39 @@ def test_ggnn_end_to_end_from_molecules():
                                atol=5e-4)
     # aromatic bonds became type 2, singles type 1
     assert set(np.unique(packed["edge_types"])) >= {0, 1, 2}
+
+
+def test_merged_recurrence_through_full_model():
+    """The merged-pass streaming recurrence (multi-block, interpret) must
+    reproduce the flagship sparse forward: outputs, grads, running stats —
+    looser tolerance than the monolithic kernel (single-pass variance)."""
+    from mpnn_tpu.kernels.recurrence import make_recurrence_op_merged
+    gs, ge = setup_graphs()
+    cfg = mpnn_cfg(ge, msg_norm="bn1d", state_norm="bn1d", message_steps=6)
+    params, state = models.mpnn_init(jax.random.PRNGKey(33), cfg)
+    _, packed = dense_and_packed(gs)
+    pv = G.attach_edge_vocab({k: np.asarray(v) if not np.isscalar(v)
+                              else v for k, v in packed.items()})
+    pv = {k: jnp.asarray(v) if not np.isscalar(v) else v
+          for k, v in pv.items()}
+    n = int(pv["node_feats"].shape[0])
+    op = make_recurrence_op_merged(cfg.message_steps, cfg.node_features, n,
+                                   blk=128, interpret=True)
+
+    def loss(p, fuse):
+        out, ns = sparse_mpnn_apply(p, state, cfg, pv, training=True,
+                                    recurrence_fn=op if fuse else None)
+        return (out ** 2).mean(), (out, ns)
+
+    (l0, (o0, s0)), g0 = jax.value_and_grad(
+        lambda p: loss(p, False), has_aux=True)(params)
+    (l1, (o1, s1)), g1 = jax.value_and_grad(
+        lambda p: loss(p, True), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-3, atol=1e-3)
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
