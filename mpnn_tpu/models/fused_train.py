@@ -1,0 +1,102 @@
+"""Whole-step fused training path for the flagship config.
+
+Glues the edge-MLP vocab chain (XLA, tiny) to the whole-step Pallas kernel
+(kernels/fused_step.py): everything from messages through the masked-MSE
+loss runs in ONE forward and ONE backward kernel launch. The only XLA work
+left per train step is the vocab-table edge MLP, the A-matrix fold, the
+running-stat EMAs, and the optimizer.
+
+Loss semantics (the flagship bench / bare-MPNN regression objective):
+    loss = sum((out - labels[:, None])^2 * graph_mask[:, None]) /
+           sum(graph_mask)
+with out the (G, output_dim) gated graph-level readout.
+
+Use `fused_step_eligible` to decide, `make_fused_step_for_batch` to build
+the op once per (shape, config), and `fused_flagship_loss` inside the
+jitted step. Parity: tests/test_fused_step.py::TestFusedFlagshipLoss.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpnn_tpu.models.config import MPNNConfig
+from mpnn_tpu.models.sparse import _edge_penultimates, recurrence_eligible
+
+
+def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
+    """True when the whole-step fused kernel computes exactly this config's
+    training step: the fused-recurrence constraints plus graph-level
+    readout, no output norm, no input encoders/norm, and a batch that
+    carries the edge vocab and the fused-step window plan."""
+    return (recurrence_eligible(cfg, training=training, axis_name=None)
+            and cfg.readout == "graph_level"
+            and not cfg.output_norm
+            and not cfg.input_norm
+            and cfg.atom_encoder is None
+            and cfg.bond_encoder is None
+            and "edge_vid" in batch and "fs_win" in batch)
+
+
+def make_fused_step_for_batch(cfg: MPNNConfig, batch,
+                              interpret: bool = False):
+    """Build the fused-step op for one packed batch's static shapes."""
+    from mpnn_tpu.kernels.fused_step import make_fused_step_op
+    n = int(np.asarray(batch["node_feats"]).shape[0])
+    g = int(np.asarray(batch["graph_mask"]).shape[0])
+    k = int(np.asarray(batch["edge_vfirst"]).shape[0])
+    return make_fused_step_op(
+        cfg.message_steps, cfg.node_features, n, cfg.output_dim, g, k,
+        block_edges=int(batch["fs_block_edges"]),
+        window=int(batch["fs_window"]),
+        node_block=int(batch["fs_node_block"]),
+        interpret=interpret)
+
+
+def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
+                        fused_op, edge_mlp_fn=None):
+    """Flagship training-step loss through the whole-step fused kernel.
+
+    Returns (loss, out, new_state). Numerically equivalent to
+    sparse_mpnn_apply(... recurrence_fn=...) followed by the masked MSE —
+    same message/A0 decomposition, same BN/GRU math, same readout."""
+    h0 = batch["node_feats"] * batch["node_mask"]
+    edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
+    mp = params["message"][0]
+    pen, pen0, pen_vocab = _edge_penultimates(
+        mp, edge_feats, cfg, batch.get("edge_vid"),
+        batch.get("edge_vfirst"), edge_mlp_fn)
+    nf, mf = cfg.node_features, cfg.message_features
+    pf = pen0.shape[-1]
+    wf = mp["final"]["w"].reshape(pf, mf, nf)
+    bf = mp["final"]["b"].reshape(mf, nf)
+    amat = jnp.einsum("kp,pmf->kmf", pen_vocab - pen0, wf,
+                      preferred_element_type=h0.dtype)
+    a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
+    loss, out, ma_stats, step_stats = fused_op(
+        amat, a0, mp["message_bias"], h0, batch["node_mask"],
+        batch["node_graph"], params["gru"], params["ma_bn"][0],
+        params["bn"][0], params["readout"], labels, batch["graph_mask"],
+        batch["edge_vid"], batch["edge_src"], batch["edge_dst"],
+        batch["fs_win"], batch["fs_g0"])
+
+    new_state = dict(state)
+    mom = 0.1
+    ma_s = dict(state["ma_bn"][0])
+    for _ in range(cfg.message_steps):
+        ma_s = {"running_mean": (1 - mom) * ma_s["running_mean"]
+                + mom * ma_stats[0],
+                "running_var": (1 - mom) * ma_s["running_var"]
+                + mom * ma_stats[1]}
+    bn_s = dict(state["bn"][0])
+    for mean_t, var_t in step_stats:
+        bn_s = {"running_mean": (1 - mom) * bn_s["running_mean"]
+                + mom * mean_t,
+                "running_var": (1 - mom) * bn_s["running_var"]
+                + mom * var_t}
+    new_state["ma_bn"] = [ma_s] + list(state["ma_bn"][1:])
+    new_state["bn"] = [bn_s] + list(state["bn"][1:])
+    return loss, out, new_state
