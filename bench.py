@@ -83,7 +83,7 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                  spmm_block: int = 512, model: str = "flagship",
                  fuse: bool = False, tail: int | None = None,
                  tail_kernel: bool = False, steps_per_call: int = 50,
-                 slots: bool = False):
+                 slots: bool = False, fuse_step: bool = False):
     import functools
     import jax
     import jax.numpy as jnp
@@ -106,6 +106,14 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         # (≤16 here), not per edge — exact (graphs/batching.py)
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
     spmm_vocab_fn = sddmm_fn = None
+    if fuse_step:
+        # whole-step fused kernel (kernels/fused_step.py): messages through
+        # loss in ONE fwd + ONE bwd pallas_call; subsumes --spmm/--fuse
+        from mpnn_tpu.kernels.fused_step import attach_fused_plan
+        assert use_vocab and model == "flagship"
+        packed = attach_fused_plan(packed, block_edges=spmm_block)
+        assert "fs_win" in packed, "fused-step window plan failed"
+        spmm = "xla"                    # no separate SpMM kernel needed
     if spmm == "kernel":
         from mpnn_tpu.kernels.spmm import attach_spmm_plan, make_spmm_op
         assert use_vocab, "--spmm kernel needs the edge vocab"
@@ -131,6 +139,14 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         assert use_vocab, "--tail-kernel needs the edge vocab"
         edge_mlp_fn = make_edge_mlp_op(cfg.edge_mlp_tail_repeats,
                                        block=32, bwd_block=32)
+    fused_op = None
+    if fuse_step:
+        from mpnn_tpu.models.fused_train import (fused_step_eligible,
+                                                 make_fused_step_for_batch)
+        jb_probe = {k: v for k, v in packed.items()}
+        assert fused_step_eligible(cfg, jb_probe, training=True)
+        fused_op = make_fused_step_for_batch(cfg, packed)
+        fuse = False
     recurrence_fn = None
     if fuse:
         from mpnn_tpu.kernels.recurrence import make_recurrence_op_auto
@@ -172,6 +188,13 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                     if dtype == "bfloat16" else p
                 cs = jax.tree.map(lambda x: x.astype(cdtype), s) \
                     if dtype == "bfloat16" else s
+                if fused_op is not None:
+                    from mpnn_tpu.models.fused_train import \
+                        fused_flagship_loss
+                    loss, _, ns = fused_flagship_loss(
+                        cp, cs, cfg, jb, labels, fused_op,
+                        edge_mlp_fn=edge_mlp_fn)
+                    return loss.astype(jnp.float32), ns
                 out, ns = sparse_mpnn_apply(cp, cs, cfg, jb, training=True,
                                             spmm_vocab_fn=spmm_vocab_fn,
                                             sddmm_fn=sddmm_fn,
@@ -284,6 +307,11 @@ def main(argv=None):
                         "over the XLA gather+segment_sum path) or xla")
     p.add_argument("--spmm-block", type=int, default=512,
                    help="edge-block/window size for the Pallas kernel")
+    p.add_argument("--fuse-step", dest="fuse_step", action="store_true",
+                   default=False,
+                   help="whole-step fused kernel (kernels/fused_step.py): "
+                        "messages through loss in ONE fwd + ONE bwd "
+                        "pallas_call (flagship only)")
     p.add_argument("--fuse", dest="fuse", action="store_true",
                    default=None,
                    help="fuse the BN-GRU-BN recurrence into one Pallas "
@@ -319,7 +347,8 @@ def main(argv=None):
             spmm_block=args.spmm_block, model=args.model,
             fuse=(args.model == "flagship") if args.fuse is None
             else args.fuse, tail=args.tail, tail_kernel=args.tail_kernel,
-            steps_per_call=args.steps_per_call, slots=args.slots)
+            steps_per_call=args.steps_per_call, slots=args.slots,
+            fuse_step=args.fuse_step)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"

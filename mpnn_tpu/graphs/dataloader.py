@@ -42,7 +42,8 @@ class GraphLoader:
                  edge_vocab: bool = True,
                  spmm_plan: bool = False,
                  spmm_block_edges: int = 512,
-                 segment_slots: bool = False):
+                 segment_slots: bool = False,
+                 fused_step_plan: bool = False):
         self.graphs = graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -107,6 +108,11 @@ class GraphLoader:
             # consecutive edges spans ≈ E/2 nodes + one graph of slack);
             # batches whose plan misses the window fall back to XLA
             self.spmm_window = spmm_block_edges
+        # Whole-step fused kernel plan (kernels/fused_step.py): coarse
+        # 512-size buckets keep the distinct compiled shapes per run to
+        # ~1-2 (random batch composition concentrates the window spans)
+        self.fused_step_plan = (fused_step_plan and collate == "packed"
+                                and self._vocab_cap is not None)
 
     def __len__(self):
         n = len(self.graphs)
@@ -191,6 +197,9 @@ class GraphLoader:
                         self.spmm_block_edges, window=self.spmm_window)
                     if plan is not None:
                         batch["spmm_win"] = plan.win_start
+                if self.fused_step_plan and "edge_vid" in batch:
+                    from mpnn_tpu.kernels.fused_step import attach_fused_plan
+                    batch = attach_fused_plan(batch, size_bucket=512)
                 yield batch
             else:
                 raise ValueError(self.collate)

@@ -52,7 +52,7 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
         cfg.message_steps, cfg.node_features, n, cfg.output_dim, g, k,
         block_edges=int(batch["fs_block_edges"]),
         window=int(batch["fs_window"]),
-        node_block=int(batch["fs_node_block"]),
+        node_window=int(batch["fs_node_window"]),
         interpret=interpret)
 
 
@@ -81,7 +81,7 @@ def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
         batch["node_graph"], params["gru"], params["ma_bn"][0],
         params["bn"][0], params["readout"], labels, batch["graph_mask"],
         batch["edge_vid"], batch["edge_src"], batch["edge_dst"],
-        batch["fs_win"], batch["fs_g0"])
+        batch["fs_win"], batch["fs_ns"])
 
     new_state = dict(state)
     mom = 0.1

@@ -58,7 +58,7 @@ def build_problem(rng, n=256, g=40, f=8, od=6, k=5, steps=3, be=128,
     gmask = np.ones(g, np.float32)
 
     plan = plan_fused_step(src, dst, edge_mask, node_graph, n, g,
-                           block_edges=be, node_block=128)
+                           block_edges=be)
     assert plan is not None
     args = dict(amat=amat, a0=a0, mbias=mbias, h0=h0, mask=mask,
                 node_graph=node_graph, gru=gru, ma_bn=ma_bn, bn=bn, ro=ro,
@@ -79,12 +79,12 @@ def run_kernel(args, plan, dims):
     op = make_fused_step_op(
         dims["steps"], dims["f"], dims["n"], dims["od"], dims["g"],
         dims["k"], block_edges=plan.block_edges, window=plan.window,
-        node_block=plan.node_block, interpret=True)
+        node_window=plan.node_window, interpret=True)
     a = as_jnp(args)
     return op(a["amat"], a["a0"], a["mbias"], a["h0"], a["mask"],
               a["node_graph"], a["gru"], a["ma_bn"], a["bn"], a["ro"],
               a["labels"], a["gmask"], a["vid"], a["src"], a["dst"],
-              jnp.asarray(plan.win_start), jnp.asarray(plan.g0))
+              jnp.asarray(plan.win_start), jnp.asarray(plan.node_start))
 
 
 def run_reference(args, dims):
@@ -121,7 +121,7 @@ class TestFusedStepBackward:
         op = make_fused_step_op(
             dims["steps"], dims["f"], dims["n"], dims["od"], dims["g"],
             dims["k"], block_edges=plan.block_edges, window=plan.window,
-            node_block=plan.node_block, interpret=True)
+            node_window=plan.node_window, interpret=True)
 
         diff = (a["amat"], a["a0"], a["mbias"], a["h0"], a["gru"],
                 a["ma_bn"], a["bn"], a["ro"])
@@ -130,7 +130,8 @@ class TestFusedStepBackward:
             loss, out, _, _ = op(
                 amat, a0, mbias, h0, a["mask"], a["node_graph"], gru,
                 ma_bn, bn, ro, a["labels"], a["gmask"], a["vid"], a["src"],
-                a["dst"], jnp.asarray(plan.win_start), jnp.asarray(plan.g0))
+                a["dst"], jnp.asarray(plan.win_start),
+                jnp.asarray(plan.node_start))
             return 1.3 * loss + jnp.sum(out * cw)
 
         def obj_ref(amat, a0, mbias, h0, gru, ma_bn, bn, ro):
@@ -163,9 +164,8 @@ class TestFusedPlan:
             "node_feats": np.zeros((dims["n"], dims["f"]), np.float32),
             "graph_mask": np.ones(dims["g"], np.float32),
         }
-        out = attach_fused_plan(batch, block_edges=dims["be"],
-                                node_block=128)
-        assert "fs_win" in out and "fs_g0" in out
+        out = attach_fused_plan(batch, block_edges=dims["be"])
+        assert "fs_win" in out and "fs_ns" in out
         assert out["fs_window"] % 128 == 0
         assert (np.asarray(out["fs_win"]) % 128 == 0).all()
 
@@ -176,7 +176,7 @@ class TestFusedPlan:
         dst = rng.randint(0, n, 512).astype(np.int32)
         ng = np.zeros(n, np.int32)
         plan = plan_fused_step(src, dst, np.ones(512, np.float32), ng,
-                               n, 1, block_edges=128, node_block=128)
+                               n, 1, block_edges=128)
         assert plan is None
 
 
@@ -204,7 +204,7 @@ class TestFusedFlagshipLoss:
         packed = G.collate_packed(gs).as_dict()
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
-        packed = attach_fused_plan(packed, block_edges=128, node_block=128)
+        packed = attach_fused_plan(packed, block_edges=128)
         assert "fs_win" in packed
         packed["node_feats"] = np.concatenate(
             [packed["node_feats"], packed["node_nafm"]], axis=-1)
