@@ -108,12 +108,18 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
     spmm_vocab_fn = sddmm_fn = None
     if fuse_step:
         # whole-step fused kernel (kernels/fused_step.py): messages through
-        # loss in ONE fwd + ONE bwd pallas_call; subsumes --spmm/--fuse
+        # loss in ONE fwd pallas_call + a 3-kernel decomposed bwd; subsumes
+        # --spmm/--fuse. Falls back to the decomposed kernel path when the
+        # node count exceeds the forward's scoped-VMEM cap.
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
+        from mpnn_tpu.models.fused_train import fused_step_eligible
         assert use_vocab and model == "flagship"
         packed = attach_fused_plan(packed, block_edges=spmm_block)
         assert "fs_win" in packed, "fused-step window plan failed"
-        spmm = "xla"                    # no separate SpMM kernel needed
+        if fused_step_eligible(cfg, packed, training=True):
+            spmm = "xla"                # no separate SpMM kernel needed
+        else:
+            fuse_step = False           # past FUSED_STEP_NODE_CAP
     if spmm == "kernel":
         from mpnn_tpu.kernels.spmm import attach_spmm_plan, make_spmm_op
         assert use_vocab, "--spmm kernel needs the edge vocab"
@@ -308,10 +314,12 @@ def main(argv=None):
     p.add_argument("--spmm-block", type=int, default=512,
                    help="edge-block/window size for the Pallas kernel")
     p.add_argument("--fuse-step", dest="fuse_step", action="store_true",
-                   default=False,
+                   default=None,
                    help="whole-step fused kernel (kernels/fused_step.py): "
-                        "messages through loss in ONE fwd + ONE bwd "
-                        "pallas_call (flagship only)")
+                        "messages through loss in ONE forward pallas_call + "
+                        "a 3-kernel decomposed backward (DEFAULT for the "
+                        "flagship — measured 0.434 ms/step vs 0.560)")
+    p.add_argument("--no-fuse-step", dest="fuse_step", action="store_false")
     p.add_argument("--fuse", dest="fuse", action="store_true",
                    default=None,
                    help="fuse the BN-GRU-BN recurrence into one Pallas "
@@ -348,7 +356,8 @@ def main(argv=None):
             fuse=(args.model == "flagship") if args.fuse is None
             else args.fuse, tail=args.tail, tail_kernel=args.tail_kernel,
             steps_per_call=args.steps_per_call, slots=args.slots,
-            fuse_step=args.fuse_step)
+            fuse_step=(args.model == "flagship" and not args.no_vocab)
+            if args.fuse_step is None else args.fuse_step)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"

@@ -230,12 +230,12 @@ def _fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                 bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
                 mw_ref, mb_ref, sw_ref, sb_ref,
                 wi1_ref, wi2_ref, wj1_ref, wj2_ref, bri_ref, brj_ref,
-                odm_ref, y_ref, gm_ref,
-                loss_out, out_t, h_out, ma_mean_out, ma_var_out,
-                bn_mean_out, bn_var_out, msgs_out,
-                msgs, s_ref,
+                odm_ref, y_ref, gm_ref, htil_in_ref,
+                loss_out, out_t, h_out, stats_out, htil_out,
+                msgs, s_ref, sems,
                 *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
-                be: int, window: int, nblk: int, nw: int, gb: int):
+                be: int, window: int, nblk: int, nw: int, gb: int,
+                keep_gates: bool):
     p = pl.program_id(0)
     dt = jnp.float32
     gw = GRAPH_BLOCK
@@ -280,23 +280,46 @@ def _fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
             msgs[:, pl.ds(ns, nw)] += \
                 _dot(s_ref[:, j * gw:(j + 1) * gw], og.T)
 
+        # residuals in the MERGED-recurrence layout (recurrence.py:1034):
+        # htil slot 0 = masked msgs, slot t = pre-BN state; stats rows
+        # carry (mean, var) per slot — so the backward can call the proven
+        # streaming _merged_backward_call with no chain-forward replay.
+        # The msgs accumulator doubles as the DMA staging buffer (its own
+        # content is the first thing stashed), and the GRU input gates are
+        # recomputed per step from mbv instead of kept live — both shave
+        # fp·npad-scale VMEM so larger node counts fit the 16 MB stack.
+        def stash(x, slot):
+            msgs[:] = x
+            cp = pltpu.make_async_copy(
+                msgs, htil_out.at[pl.ds(slot * fp, fp), :], sems.at[0])
+            cp.start()
+            cp.wait()
+
         msgs_m = (msgs[:] + mbias_ref[:]) * mask_l
-        msgs_out[:] = msgs_m        # residual for the decomposed backward
+        stash(msgs_m, 0)
         mbv, ma_mean, ma_var = _bn_fwd_t(msgs_m, mask_l, mw_ref[:],
                                          mb_ref[:], c)
-        ma_mean_out[:] = ma_mean
-        ma_var_out[:] = ma_var
-        gr = _dot(wir_ref[:].T, mbv) + bir_ref[:]
-        gz = _dot(wiz_ref[:].T, mbv) + biz_ref[:]
-        gn = _dot(win2_ref[:].T, mbv) + bin_ref[:]
+        stats_out[0:fp, 0:1] = ma_mean
+        stats_out[0:fp, 1:2] = ma_var
         h = h0_ref[:] * mask_l
-        for t in range(steps):
-            h = _gru_fwd_t(h, gr, gz, gn, whr_ref[:], whz_ref[:],
-                           whn_ref[:], bhr_ref[:], bhz_ref[:], bhn_ref[:],
-                           mask_l)
-            h, mean, var = _bn_fwd_t(h, mask_l, sw_ref[:], sb_ref[:], c)
-            bn_mean_out[t * fp:(t + 1) * fp, :] = mean
-            bn_var_out[t * fp:(t + 1) * fp, :] = var
+
+        def gates():
+            return (_dot(wir_ref[:].T, mbv) + bir_ref[:],
+                    _dot(wiz_ref[:].T, mbv) + biz_ref[:],
+                    _dot(win2_ref[:].T, mbv) + bin_ref[:])
+
+        if keep_gates:      # small N: keep the 3 gate panels live (faster)
+            gr, gz, gn = gates()
+        for t in range(1, steps + 1):
+            if not keep_gates:   # large N: recompute per step (fits VMEM)
+                gr, gz, gn = gates()
+            htl = _gru_fwd_t(h, gr, gz, gn, whr_ref[:], whz_ref[:],
+                             whn_ref[:], bhr_ref[:], bhz_ref[:],
+                             bhn_ref[:], mask_l)
+            stash(htl, t)
+            h, mean, var = _bn_fwd_t(htl, mask_l, sw_ref[:], sb_ref[:], c)
+            stats_out[t * fp:(t + 1) * fp, 0:1] = mean
+            stats_out[t * fp:(t + 1) * fp, 1:2] = var
         h_out[:] = h          # written before the readout so windows of the
         #                       final state can be ref-sliced below
 
@@ -446,7 +469,7 @@ def _msg_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
 def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                        k_vocab: int, *, block_edges: int = 512,
                        window: int = 512, node_window: int = 2048,
-                       interpret: bool = False):
+                       interpret: bool = False, keep_gates=None):
     """Whole-step fused op for the flagship config.
 
     op(amat (K,f,f), a0 (f,f), mbias (f,), h0 (N,f) PRE-MASKED, mask (N,1),
@@ -546,9 +569,6 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         # vocab id maps to the zero matrix)
         return padr(src, -1), padr(dst, -1), padr(vid), nblk
 
-    from mpnn_tpu.kernels.recurrence import make_recurrence_op_auto
-    rec_op = make_recurrence_op_auto(steps, f, n, interpret=interpret)
-
     def run_fwd(amat, a0, mbias, h0, mask, node_graph, gru, ma_bn, bn, ro,
                 labels, gmask, vid, src, dst, win, ns):
         common, _ = pack(amat, a0, mbias, h0, mask, node_graph, gru,
@@ -556,15 +576,28 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         src2, dst2, vid2, nblk = pack_edges(vid, src, dst)
         kernel = functools.partial(
             _fwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
-            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
+            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb,
+            keep_gates=(npad <= 16384 if keep_gates is None
+                        else keep_gates))
+        # the htil residual buffer must live in HBM ((steps+1)·fp·npad is
+        # 23.5 MB at batch 4096 — scoped VMEM is 16 MB): with a mixed
+        # VMEM/ANY output tuple Mosaic stack-allocates the ANY output in
+        # VMEM, so pin it explicitly — alias a pre-zeroed ANY input
+        # (kernels/spmm.py pattern; alias indices count the
+        # scalar-prefetch args) AND tag the out_shape pltpu.HBM, which
+        # routes an explicit memory space to the TPU custom call
+        htil_zeros = jnp.zeros(((steps + 1) * fp, npad), dt)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nblk + 1,),
-            in_specs=[_vm()] * (3 + len(common)),
-            out_specs=tuple([_vm()] * 8),
+            in_specs=[_vm()] * (3 + len(common))
+            + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(_vm(), _vm(), _vm(), _vm(),
+                       pl.BlockSpec(memory_space=pltpu.ANY)),
             scratch_shapes=[
-                pltpu.VMEM((fp, npad), dt),        # msgs accumulator
+                pltpu.VMEM((fp, npad), dt),        # msgs acc + DMA staging
                 pltpu.VMEM((fp, gp), dt),          # per-graph h0 sums
+                pltpu.SemaphoreType.DMA((1,)),
             ],
         )
         return pl.pallas_call(
@@ -574,22 +607,21 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                 jax.ShapeDtypeStruct((1, 1), dt),
                 jax.ShapeDtypeStruct((odp, gp), dt),
                 jax.ShapeDtypeStruct((fp, npad), dt),
-                jax.ShapeDtypeStruct((fp, 1), dt),
-                jax.ShapeDtypeStruct((fp, 1), dt),
-                jax.ShapeDtypeStruct((steps * fp, 1), dt),
-                jax.ShapeDtypeStruct((steps * fp, 1), dt),
-                jax.ShapeDtypeStruct((fp, npad), dt),
+                jax.ShapeDtypeStruct(((steps + 1) * fp, 2), dt),
+                (pltpu.HBM(((steps + 1) * fp, npad), dt) if not interpret
+                 else jax.ShapeDtypeStruct(((steps + 1) * fp, npad), dt)),
             ),
+            input_output_aliases={5 + len(common): 4},
             interpret=interpret,
-        )(win, ns, src2, dst2, vid2, *common)
+        )(win, ns, src2, dst2, vid2, *common, htil_zeros)
 
     def public_out(raw, h0_dtype):
-        loss, out_t, h_t, ma_m, ma_v, bn_m, bn_v, msgs_t = raw
+        loss, out_t, h_t, stats, _htil = raw
         dtt = h0_dtype
-        ma_stats = (ma_m[:f, 0].astype(dtt), ma_v[:f, 0].astype(dtt))
-        step_stats = [(bn_m[t * fp:t * fp + f, 0].astype(dtt),
-                       bn_v[t * fp:t * fp + f, 0].astype(dtt))
-                      for t in range(steps)]
+        ma_stats = (stats[0:f, 0].astype(dtt), stats[0:f, 1].astype(dtt))
+        step_stats = [(stats[t * fp:t * fp + f, 0].astype(dtt),
+                       stats[t * fp:t * fp + f, 1].astype(dtt))
+                      for t in range(1, steps + 1)]
         return (loss[0, 0].astype(dtt), out_t[:od, :n_graphs].T.astype(dtt),
                 ma_stats, step_stats)
 
@@ -604,14 +636,16 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
             labels, gmask, vid, src, dst, win, ns):
         raw = run_fwd(amat, a0, mbias, h0, mask, node_graph, gru, ma_bn,
                       bn, ro, labels, gmask, vid, src, dst, win, ns)
-        _, out_t, h_t, _, _, _, _, msgs_t = raw
+        _, out_t, h_t, stats, htil = raw
         res = (amat, a0, mbias, h0, mask, node_graph, gru, ma_bn, bn, ro,
-               labels, gmask, vid, src, dst, win, ns, out_t, h_t, msgs_t)
+               labels, gmask, vid, src, dst, win, ns, out_t, h_t, htil,
+               stats)
         return public_out(raw, h0.dtype), res
 
     def bwd(res, cot):
         (amat, a0, mbias, h0, mask, node_graph, gru, ma_bn, bn, ro,
-         labels, gmask, vid, src, dst, win, ns, out_t, h_t, msgs_t) = res
+         labels, gmask, vid, src, dst, win, ns, out_t, h_t, htil,
+         stats) = res
         gl, gout, _, _ = cot          # stats feed EMAs only (no grad)
         src2, dst2, vid2, nblk = pack_edges(vid, src, dst)
         gl2 = jnp.asarray(gl, dt).reshape(1, 1)
@@ -671,15 +705,23 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         )(ns, h_t, h0t, mask_row, ng_row, wi1, wi2, wj1, wj2, bri, brj,
           odm, y_row, gm_row, out_t, gl2, gout_t)
 
-        # --- recurrence chain backward (auto-selected streaming VJP) -----
-        msgs_row = msgs_t[:f, :n].T.astype(h0.dtype)
+        # --- recurrence chain backward: the proven streaming merged-pass
+        # kernel (kernels/recurrence.py), fed the residuals the forward
+        # kernel stashed in its layout — no chain-forward replay
+        from mpnn_tpu.kernels.recurrence import _merged_backward_call
         gh_row = gh_t[:f, :n].T.astype(h0.dtype)
-        zf = jnp.zeros((f,), h0.dtype)
-        _, chain_vjp = jax.vjp(
-            lambda m_, h_, g_, a_, b_: rec_op(m_, h_, mask, g_, a_, b_),
-            msgs_row, h0, gru, ma_bn, bn)
-        dmsgs_row, dh0_chain, dgru, dma, dbn = chain_vjp(
-            (gh_row, (zf, zf), [(zf, zf) for _ in range(steps)]))
+        # msgs is only used by _merged_backward_call for its dtype (the
+        # real values ride in htil slot 0) — feed a cheap zeros stand-in
+        msgs_dummy = jnp.zeros((n, f), h0.dtype)
+        # the merged kernel's scoped-VMEM budget caps its node block at
+        # 8192; pad the residual lanes up to its block-rounded width
+        blk = min(8192, npad)
+        npad_m = _round_up(n, blk)
+        htil_m = htil if npad_m == npad else \
+            jnp.pad(htil, ((0, 0), (0, npad_m - npad)))
+        dmsgs_row, dh0_chain, dgru, dma, dbn = _merged_backward_call(
+            (msgs_dummy, h0, mask, gru, ma_bn, bn, htil_m, stats),
+            gh_row, steps=steps, f=f, n=n, blk=blk, interpret=interpret)
 
         # --- message (SpMM + A0 + bias) backward (one kernel) ------------
         common_pack = pack(amat, a0, mbias, h0, mask, node_graph, gru,

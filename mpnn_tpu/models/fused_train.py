@@ -27,18 +27,30 @@ from mpnn_tpu.models.config import MPNNConfig
 from mpnn_tpu.models.sparse import _edge_penultimates, recurrence_eligible
 
 
+# the monolithic forward holds the full (features, N) state in VMEM; its
+# live set scales with the padded node count and blows the 16 MB scoped
+# stack past this cap (measured: 26,240-node batches fit after the
+# gate-recompute/staging-reuse shavings, 52,480 cannot). Beyond it, use
+# the decomposed path (kernels/spmm.py + the auto-selected streaming
+# recurrence), which block-grids over nodes.
+FUSED_STEP_NODE_CAP = 32768
+
+
 def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
     """True when the whole-step fused kernel computes exactly this config's
     training step: the fused-recurrence constraints plus graph-level
-    readout, no output norm, no input encoders/norm, and a batch that
-    carries the edge vocab and the fused-step window plan."""
+    readout, no output norm, no input encoders/norm, a batch that
+    carries the edge vocab and the fused-step window plan, and a node
+    count whose forward live set fits scoped VMEM."""
     return (recurrence_eligible(cfg, training=training, axis_name=None)
             and cfg.readout == "graph_level"
             and not cfg.output_norm
             and not cfg.input_norm
             and cfg.atom_encoder is None
             and cfg.bond_encoder is None
-            and "edge_vid" in batch and "fs_win" in batch)
+            and "edge_vid" in batch and "fs_win" in batch
+            and int(np.asarray(batch["node_feats"]).shape[0])
+            <= FUSED_STEP_NODE_CAP)
 
 
 def make_fused_step_for_batch(cfg: MPNNConfig, batch,

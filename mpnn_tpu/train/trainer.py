@@ -56,6 +56,11 @@ class TrainConfig:
     fuse_recurrence: bool = False    # fuse the BN→GRU→BN step chain into
                                      # one Pallas kernel (flagship-shaped
                                      # configs only; kernels/recurrence.py)
+    fuse_step: bool = False          # whole-step fused kernel (messages →
+                                     # loss in one fwd pallas_call +
+                                     # 3-kernel bwd; kernels/fused_step.py).
+                                     # Bare-MPNN mse configs only; falls
+                                     # back silently when ineligible.
     handle_preemption: bool = True   # SIGTERM → checkpoint + clean exit
                                      # (resume picks the run back up; the
                                      # reference loses preempted runs —
@@ -67,9 +72,21 @@ class TrainConfig:
 # ---------------------------------------------------------------------------
 
 def make_loss_fn(net_cfg: NetworkConfig, kind: str,
-                 spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None):
+                 spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None,
+                 fused_op=None):
     def loss_fn(params, state, batch, training: bool):
         packed = "node_feats" in batch
+        if packed and training and fused_op is not None:
+            # whole-step fused kernel (kernels/fused_step.py): the bare
+            # MPNN + masked MSE in one fwd pallas_call; eligibility is
+            # checked by the caller (train() gates on bare-network shape)
+            from mpnn_tpu.models.fused_train import fused_flagship_loss
+            loss, out, mpnn_state = fused_flagship_loss(
+                params["mpnn"], state["mpnn"], net_cfg.mpnn, batch,
+                batch["labels"], fused_op)
+            new_state = dict(state)
+            new_state["mpnn"] = mpnn_state
+            return loss, (out, new_state)
         if packed:
             from mpnn_tpu.models.network import network_apply_packed
             b = {k: v for k, v in batch.items() if k != "num_graphs"}
@@ -112,10 +129,11 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str,
 
 def make_train_step(net_cfg: NetworkConfig, tx, loss_kind: str,
                     compute_dtype: str = "float32",
-                    spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None):
+                    spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None,
+                    fused_op=None):
     loss_fn = make_loss_fn(net_cfg, loss_kind,
                            spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
-                           recurrence_fn=recurrence_fn)
+                           recurrence_fn=recurrence_fn, fused_op=fused_op)
     mixed = compute_dtype == "bfloat16"
 
     def _cast(tree, dtype):
@@ -229,7 +247,8 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
     train_loader = GraphLoader(train_graphs, cfg.batch_size,
                                shuffle=cfg.shuffle, seed=cfg.seed,
                                collate=collate, with_nafm=with_nafm,
-                               spmm_plan=use_kernel)
+                               spmm_plan=use_kernel,
+                               fused_step_plan=cfg.fuse_step and cfg.packed)
     spmm_vocab_fn = sddmm_fn = None
     if use_kernel and train_loader.spmm_window is not None:
         from mpnn_tpu.kernels.sddmm import make_sddmm_op
@@ -252,10 +271,30 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                 net_cfg.mpnn.message_steps, net_cfg.mpnn.node_features,
                 train_loader._packed_caps[0],
                 interpret=cfg.spmm == "kernel_interpret")
+    fused_op = None
+    if cfg.fuse_step and cfg.packed:
+        # whole-step fused kernel: valid when the network IS the bare MPNN
+        # (no wrapper/head) trained with the masked MSE the kernel computes
+        # (exact for output_dim 1 — the flagship regression shape)
+        from mpnn_tpu.models.fused_train import (fused_step_eligible,
+                                                 make_fused_step_for_batch)
+        probe = next(iter(train_loader), None)
+        if (probe is not None
+                and net_cfg.input_wrapper == "plain"
+                and net_cfg.head == "none" and not net_cfg.head_bn
+                and cfg.loss == "mse"
+                and net_cfg.mpnn.output_dim == 1
+                and cfg.compute_dtype == "float32"
+                and fused_step_eligible(net_cfg.mpnn, probe,
+                                        training=True)):
+            fused_op = make_fused_step_for_batch(
+                net_cfg.mpnn, probe,
+                interpret=cfg.spmm == "kernel_interpret")
     step_fn = make_train_step(net_cfg, tx, cfg.loss, cfg.compute_dtype,
                               spmm_vocab_fn=spmm_vocab_fn,
                               sddmm_fn=sddmm_fn,
-                              recurrence_fn=recurrence_fn)
+                              recurrence_fn=recurrence_fn,
+                              fused_op=fused_op)
     val_loader = (GraphLoader(val_graphs, cfg.batch_size, shuffle=False,
                               collate=collate, with_nafm=with_nafm)
                   if val_graphs is not None else None)

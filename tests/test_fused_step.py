@@ -97,9 +97,22 @@ def run_reference(args, dims):
 
 
 class TestFusedStepForward:
-    def test_loss_out_stats(self, problem):
+    @pytest.mark.parametrize("keep_gates", [None, False])
+    def test_loss_out_stats(self, problem, keep_gates):
+        # keep_gates=False exercises the large-N per-step gate recompute
+        # (auto-selected past 16,384 padded nodes; bit-identical math)
         args, plan, dims = problem
-        loss_k, out_k, ma_k, st_k = run_kernel(args, plan, dims)
+        op = make_fused_step_op(
+            dims["steps"], dims["f"], dims["n"], dims["od"], dims["g"],
+            dims["k"], block_edges=plan.block_edges, window=plan.window,
+            node_window=plan.node_window, interpret=True,
+            keep_gates=keep_gates)
+        a = as_jnp(args)
+        loss_k, out_k, ma_k, st_k = op(
+            a["amat"], a["a0"], a["mbias"], a["h0"], a["mask"],
+            a["node_graph"], a["gru"], a["ma_bn"], a["bn"], a["ro"],
+            a["labels"], a["gmask"], a["vid"], a["src"], a["dst"],
+            jnp.asarray(plan.win_start), jnp.asarray(plan.node_start))
         loss_r, out_r, ma_r, st_r = run_reference(args, dims)
         np.testing.assert_allclose(loss_k, loss_r, rtol=2e-5)
         np.testing.assert_allclose(out_k, out_r, rtol=2e-4, atol=2e-5)
@@ -253,3 +266,25 @@ class TestFusedFlagshipLoss:
                     np.testing.assert_allclose(
                         np.asarray(sf[field]), np.asarray(sr[field]),
                         rtol=2e-4, atol=1e-6, err_msg=f"{kk}.{field}")
+
+
+class TestLoaderIntegration:
+    def test_graphloader_attaches_fused_plan(self):
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.graphs.dataloader import GraphLoader
+        smiles = ["CCO", "c1ccccc1", "CC(=O)O", "C1CCCCC1",
+                  "NC(=O)c1ccccc1"] * 8
+        gs = G.generate_molgraphs(smiles, list(range(len(smiles))))
+        gs, _ = G.encode_molgraphs(gs)
+        loader = GraphLoader(gs, batch_size=16, collate="packed",
+                             fused_step_plan=True)
+        batches = list(loader)
+        assert batches
+        for b in batches:
+            assert "fs_win" in b and "fs_ns" in b
+            assert b["fs_window"] % 128 == 0
+            assert b["fs_node_window"] % 128 == 0
+        # run-fixed caps => every batch shares ONE compiled shape
+        sizes = {(b["fs_window"], b["fs_node_window"],
+                  b["fs_win"].shape, b["fs_ns"].shape) for b in batches}
+        assert len(sizes) == 1

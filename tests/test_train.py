@@ -478,3 +478,45 @@ class TestKernelTrainer:
         np.testing.assert_allclose(losses[True][0], losses[False][0],
                                    rtol=5e-3)
         np.testing.assert_allclose(losses[True], losses[False], rtol=0.25)
+
+    def test_packed_training_with_fused_step_interpret(self):
+        """TrainConfig(fuse_step=True) routes bare-MPNN mse training
+        through the whole-step fused kernel (interpret) — must match the
+        XLA path. The network must be the bare MPNN (plain wrapper, no
+        head): that is the shape the kernel computes end-to-end."""
+        import dataclasses
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu import models
+        from mpnn_tpu.graphs.dataloader import GraphLoader
+        from mpnn_tpu.models.network import NetworkConfig
+        from mpnn_tpu.train import trainer
+        smiles = TestEndToEnd.SMILES
+        gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+            smiles, [0.1 * len(s) for s in smiles]))
+        nf = ge.atom_width()
+        mcfg = models.MPNNConfig(
+            node_features=nf, edge_features=ge.bond_width(),
+            message_features=nf, output_dim=1, message_steps=3,
+            msg_norm="bn1d", state_norm="bn1d", edge_mlp_tail_repeats=2)
+        cfg = NetworkConfig(mpnn=mcfg, input_wrapper="plain", head="none")
+        # the loader must attach the fused window plan for these molecules
+        probe = next(iter(GraphLoader(gs, 4, collate="packed",
+                                      fused_step_plan=True)))
+        assert "fs_win" in probe
+        losses = {}
+        for fuse in (False, True):
+            tcfg = trainer.TrainConfig(
+                epochs=2, batch_size=4, learning_rate=1e-2, loss="mse",
+                packed=True, spmm="kernel_interpret", fuse_step=fuse,
+                seed=317, shuffle=False, log_path=None)
+            _, _, _, h = trainer.train(cfg, tcfg, gs)
+            losses[fuse] = [r["train_loss"] for r in h]
+        # tight per-step loss/grad parity is proven at the op level
+        # (tests/test_fused_step.py::TestFusedFlagshipLoss); across a whole
+        # epoch Adam's ±lr·sign amplification of float-noise gradients
+        # (message_bias under the message BN is mathematically zero — see
+        # CLAUDE.md) makes trajectories drift, so the trainer-wiring test
+        # asserts coarse agreement only
+        np.testing.assert_allclose(losses[True][0], losses[False][0],
+                                   rtol=0.05)
+        np.testing.assert_allclose(losses[True], losses[False], rtol=0.30)
