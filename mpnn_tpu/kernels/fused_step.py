@@ -289,9 +289,13 @@ def _fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         # recomputed per step from mbv instead of kept live — both shave
         # fp·npad-scale VMEM so larger node counts fit the 16 MB stack.
         def stash(x, slot):
+            # htil's lane count is the merged-backward block-rounded width
+            # (≥ npad; extra lanes stay zero from the aliased zeros input)
             msgs[:] = x
             cp = pltpu.make_async_copy(
-                msgs, htil_out.at[pl.ds(slot * fp, fp), :], sems.at[0])
+                msgs,
+                htil_out.at[pl.ds(slot * fp, fp), pl.ds(0, msgs.shape[1])],
+                sems.at[0])
             cp.start()
             cp.wait()
 
@@ -482,6 +486,11 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
     cotangents are ignored, as in kernels/recurrence.py). labels/gmask are
     treated as non-differentiable data."""
     npad = _round_up(n, 128)
+    # the htil residual rides in the merged-recurrence backward's layout:
+    # allocate it at that kernel's block-rounded lane count up front so the
+    # backward consumes it directly (no per-step jnp.pad HBM round-trip)
+    blk_m = min(8192, npad)
+    npad_m = _round_up(n, blk_m)
     fp = _round_up(f, 16)
     odp = _round_up(od, 16)
     gp = _round_up(max(n_graphs, 1), GRAPH_BLOCK)
@@ -586,7 +595,7 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         # (kernels/spmm.py pattern; alias indices count the
         # scalar-prefetch args) AND tag the out_shape pltpu.HBM, which
         # routes an explicit memory space to the TPU custom call
-        htil_zeros = jnp.zeros(((steps + 1) * fp, npad), dt)
+        htil_zeros = jnp.zeros(((steps + 1) * fp, npad_m), dt)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nblk + 1,),
@@ -608,8 +617,10 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                 jax.ShapeDtypeStruct((odp, gp), dt),
                 jax.ShapeDtypeStruct((fp, npad), dt),
                 jax.ShapeDtypeStruct(((steps + 1) * fp, 2), dt),
-                (pltpu.HBM(((steps + 1) * fp, npad), dt) if not interpret
-                 else jax.ShapeDtypeStruct(((steps + 1) * fp, npad), dt)),
+                (pltpu.HBM(((steps + 1) * fp, npad_m), dt)
+                 if not interpret
+                 else jax.ShapeDtypeStruct(((steps + 1) * fp, npad_m),
+                                           dt)),
             ),
             input_output_aliases={5 + len(common): 4},
             interpret=interpret,
@@ -707,28 +718,29 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
 
         # --- recurrence chain backward: the proven streaming merged-pass
         # kernel (kernels/recurrence.py), fed the residuals the forward
-        # kernel stashed in its layout — no chain-forward replay
+        # kernel stashed in its layout — no chain-forward replay. The
+        # transposed-io entry keeps the cotangent and dmsgs/dh0 in the
+        # kernels' shared (fp, lanes) layout: no HBM transpose round-trips
+        # between the three backward kernels. htil was allocated at npad_m
+        # lanes by the forward (extra lanes zero via the aliased zeros
+        # input); dmsgs/dh0 pad lanes come back zero (masked writes).
         from mpnn_tpu.kernels.recurrence import _merged_backward_call
-        gh_row = gh_t[:f, :n].T.astype(h0.dtype)
-        # msgs is only used by _merged_backward_call for its dtype (the
-        # real values ride in htil slot 0) — feed a cheap zeros stand-in
+        # msgs is only used by _merged_backward_call for packing shapes
+        # (the real values ride in htil slot 0) — feed a zeros stand-in
         msgs_dummy = jnp.zeros((n, f), h0.dtype)
-        # the merged kernel's scoped-VMEM budget caps its node block at
-        # 8192; pad the residual lanes up to its block-rounded width
-        blk = min(8192, npad)
-        npad_m = _round_up(n, blk)
-        htil_m = htil if npad_m == npad else \
-            jnp.pad(htil, ((0, 0), (0, npad_m - npad)))
-        dmsgs_row, dh0_chain, dgru, dma, dbn = _merged_backward_call(
-            (msgs_dummy, h0, mask, gru, ma_bn, bn, htil_m, stats),
-            gh_row, steps=steps, f=f, n=n, blk=blk, interpret=interpret)
+        dmsgs_t, dh0_chain_t, dgru, dma, dbn = _merged_backward_call(
+            (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),
+            gh_t, steps=steps, f=f, n=n, blk=blk_m, interpret=interpret,
+            transposed_io=True)
 
         # --- message (SpMM + A0 + bias) backward (one kernel) ------------
         common_pack = pack(amat, a0, mbias, h0, mask, node_graph, gru,
                            ma_bn, bn, ro, labels, gmask)
         a2tt = common_pack[1]
         a0p = common_pack[0][1]
-        dmsgs_tp = mat_t(dmsgs_row)
+        dmsgs_tp = dmsgs_t        # (fp, npad_m): windows stay below npad;
+        #                           the full-array bias sum is exact (pad
+        #                           lanes are zero)
         mb_kernel = functools.partial(
             _msg_bwd_kernel, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
             be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
@@ -755,8 +767,8 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         )(win, ns, src2, dst2, vid2, a2tt, a0p, h0t, ng_row, dmsgs_tp)
 
         damat = da2t[:kmf, :f].reshape(k_vocab, f, f).astype(amat.dtype)
-        dh0 = dh0_chain \
-            + (dh0_ro[:f, :n] + dh0_msg[:f, :n]).T.astype(h0.dtype)
+        dh0 = (dh0_chain_t[:f, :n] + dh0_ro[:f, :n]
+               + dh0_msg[:f, :n]).T.astype(h0.dtype)
         dro = {"i": {"w": jnp.concatenate(
                         [dwi1[:od, :f].T, dwi2[:od, :f].T], axis=0)
                         .astype(ro["i"]["w"].dtype),

@@ -1414,7 +1414,12 @@ def _merged_bwd_kernel(h0_hbm, htil_hbm, mask_hbm, c_ref,
         wb.wait()
 
 
-def _merged_backward_call(res, g_ht, *, steps, f, n, blk, interpret):
+def _merged_backward_call(res, g_ht, *, steps, f, n, blk, interpret,
+                          transposed_io=False):
+    """transposed_io=True: g_ht comes in the kernel's own (fp, lanes)
+    layout (lanes ≤ npad; zero-padded here) and dmsgs/dh0 are returned
+    raw as (fp, npad) — callers that chain into other transposed-layout
+    kernels (kernels/fused_step.py) skip four HBM transpose round-trips."""
     (msgs, h0, mask, gru, ma_bn, bn, htil, stats) = res
     fp = _round_up(f, 16)
     npad = _round_up(n, blk)
@@ -1432,7 +1437,12 @@ def _merged_backward_call(res, g_ht, *, steps, f, n, blk, interpret):
     (_msgs_t, h0m, mask_row, c,
      wir, wiz, win, whr, whz, whn, bir, biz, bin_c, bhr, bhz, bhn,
      mw, mbias, sw, sb) = packed
-    g_t = mat_t(g_ht)
+    if transposed_io:
+        g_t = jnp.pad(g_ht.astype(dt),
+                      ((0, fp - g_ht.shape[0]),
+                       (0, npad - g_ht.shape[1])))
+    else:
+        g_t = mat_t(g_ht)
 
     kernel = functools.partial(_merged_bwd_kernel, steps=steps, fp=fp,
                                blk=blk)
@@ -1484,6 +1494,8 @@ def _merged_backward_call(res, g_ht, *, steps, f, n, blk, interpret):
            "bias": dmbb[:f, 0].astype(ma_bn["bias"].dtype)}
     dbn = {"weight": dsw[:f, 0].astype(bn["weight"].dtype),
            "bias": dsb[:f, 0].astype(bn["bias"].dtype)}
+    if transposed_io:
+        return dmsgs_t, dh0_t, dgru, dma, dbn
     return (dmsgs_t[:f, :n].T.astype(msgs.dtype),
             dh0_t[:f, :n].T.astype(h0.dtype), dgru, dma, dbn)
 
