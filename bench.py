@@ -307,10 +307,12 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-vocab", action="store_true",
                    help="disable the edge-feature vocab dedup")
-    p.add_argument("--spmm", default="kernel", choices=["xla", "kernel"],
+    p.add_argument("--spmm", default=None, choices=["xla", "kernel"],
                    help="message-step SpMM: the Pallas windowed one-hot "
-                        "kernel (kernels/spmm.py, default — measured 2-3x "
-                        "over the XLA gather+segment_sum path) or xla")
+                        "kernel (kernels/spmm.py — measured 2-3x over the "
+                        "XLA gather+segment_sum path; flagship default) "
+                        "or xla (att default: the fused SDDMM kernel "
+                        "measured SLOWER end-to-end at bench shapes)")
     p.add_argument("--spmm-block", type=int, default=512,
                    help="edge-block/window size for the Pallas kernel")
     p.add_argument("--fuse-step", dest="fuse_step", action="store_true",
@@ -351,7 +353,9 @@ def main(argv=None):
     if args.mode == "sparse":
         value, real_edges, last_loss = bench_sparse(
             args.batch, args.iters, args.dtype,
-            use_vocab=not args.no_vocab, spmm=args.spmm,
+            use_vocab=not args.no_vocab,
+            spmm=("xla" if args.model == "att" else "kernel")
+            if args.spmm is None else args.spmm,
             spmm_block=args.spmm_block, model=args.model,
             fuse=(args.model == "flagship") if args.fuse is None
             else args.fuse, tail=args.tail, tail_kernel=args.tail_kernel,

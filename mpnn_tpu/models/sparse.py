@@ -198,7 +198,6 @@ def sparse_att_edge_network(mparams, pen, pen0, h, edge_feats, edge_src,
     pf = pen.shape[-1]
     wf = mparams["final"]["w"].reshape(pf, mf, nf)
     bf = mparams["final"]["b"].reshape(mf, nf)
-
     if sddmm_fn is not None and pen_vocab is not None \
             and spmm_win is not None:
         # fused Pallas SDDMM (kernels/sddmm.py): per-vocab-id matrices
@@ -210,6 +209,15 @@ def sparse_att_edge_network(mparams, pen, pen0, h, edge_feats, edge_src,
                        mparams["attn"]["b"], h, edge_vid, edge_src,
                        edge_dst, spmm_win)
     else:
+        # NEGATIVE RESULT (measured, do not re-try without new evidence):
+        # hoisting the vocab-valued pieces out of edge space — per-vocab
+        # A'_k matrices gathered per edge (aprime[edge_vid]) plus a split
+        # attn (h·W_h per node + e_k·W_e per vocab) — measured 8.81
+        # ms/step vs this path's 5.67 at batch 1024. TPU per-edge matrix
+        # gathers pad each (mf, nf) row to tile granularity and the
+        # batched per-edge matvec can't use the MXU, while XLA FUSES the
+        # two einsums below (the (E, pf, mf) intermediate is never
+        # materialized). Same lesson as ops/segments.py's slot tables.
         use_slots = slots is not None and slots.has_edges
         # per-edge gate: softmax over features of attn([h_dst ‖ e])
         h_dst = slots.gather_nodes(h, "dst") if use_slots else h[edge_dst]
