@@ -341,9 +341,11 @@ def main(argv=None):
                    help="scatter-free segment tables (ops/segments.py; "
                         "measured SLOWER at bench shapes: 0.652 vs 0.591 "
                         "ms/step — kept opt-in for re-evaluation)")
-    p.add_argument("--steps-per-call", type=int, default=50,
+    p.add_argument("--steps-per-call", type=int, default=500,
                    help="training steps batched per device dispatch "
-                        "(lax.scan; amortizes the ~4 ms tunnel dispatch)")
+                        "(lax.scan; amortizes the ~4 ms tunnel dispatch — "
+                        "50 left ~80 us/step of pure dispatch overhead, "
+                        "500 cuts it to ~8: 0.481 -> 0.436 ms/step measured)")
     p.add_argument("--model", default="flagship",
                    choices=["flagship", "att"],
                    help="flagship (lipo EdgeNetwork) or the attention "
