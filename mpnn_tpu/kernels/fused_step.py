@@ -46,6 +46,7 @@ pieces (spmm_reference, reference_recurrence, sparse_graph_level_output).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -488,8 +489,12 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
     npad = _round_up(n, 128)
     # the htil residual rides in the merged-recurrence backward's layout:
     # allocate it at that kernel's block-rounded lane count up front so the
-    # backward consumes it directly (no per-step jnp.pad HBM round-trip)
-    blk_m = min(8192, npad)
+    # backward consumes it directly (no per-step jnp.pad HBM round-trip);
+    # fewest-blocks sizing (pick_stream_blk) — at bench batch 1024 this is
+    # ONE 13184-lane block instead of two 8192 ones (half the serialized
+    # DMA-wait chains, no 16384-rounding pad compute)
+    from mpnn_tpu.kernels.recurrence import pick_stream_blk
+    blk_m = pick_stream_blk(n)
     npad_m = _round_up(n, blk_m)
     fp = _round_up(f, 16)
     odp = _round_up(od, 16)
@@ -657,6 +662,11 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         (amat, a0, mbias, h0, mask, node_graph, gru, ma_bn, bn, ro,
          labels, gmask, vid, src, dst, win, ns, out_t, h_t, htil,
          stats) = res
+        # timing-attribution hook (scripts/ablate_fused.py): replace a named
+        # backward kernel with zero stand-ins of the right shapes so the
+        # wall-clock delta attributes its cost. NEVER set in production.
+        skips = set(filter(None, os.environ.get(
+            "MPNN_FS_BWD_SKIP", "").split(",")))
         gl, gout, _, _ = cot          # stats feed EMAs only (no grad)
         src2, dst2, vid2, nblk = pack_edges(vid, src, dst)
         gl2 = jnp.asarray(gl, dt).reshape(1, 1)
@@ -704,17 +714,23 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
             out_specs=tuple([_vm()] * 8),
             scratch_shapes=[pltpu.VMEM((odp, gp), dt)],
         )
-        (gh_t, dh0_ro, dwi1, dwi2, dwj1, dwj2, dbri, dbrj) = pl.pallas_call(
-            ro_kernel,
-            grid_spec=ro_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((fp, npad), dt),
-                jax.ShapeDtypeStruct((fp, npad), dt),
-                rw, rw, rw, rw, rc, rc,
-            ),
-            interpret=interpret,
-        )(ns, h_t, h0t, mask_row, ng_row, wi1, wi2, wj1, wj2, bri, brj,
-          odm, y_row, gm_row, out_t, gl2, gout_t)
+        if "ro" in skips:
+            gh_t = dh0_ro = jnp.zeros((fp, npad), dt)
+            dwi1 = dwi2 = dwj1 = dwj2 = jnp.zeros((odp, fp), dt)
+            dbri = dbrj = jnp.zeros((odp, 1), dt)
+        else:
+            (gh_t, dh0_ro, dwi1, dwi2, dwj1, dwj2, dbri,
+             dbrj) = pl.pallas_call(
+                ro_kernel,
+                grid_spec=ro_spec,
+                out_shape=(
+                    jax.ShapeDtypeStruct((fp, npad), dt),
+                    jax.ShapeDtypeStruct((fp, npad), dt),
+                    rw, rw, rw, rw, rc, rc,
+                ),
+                interpret=interpret,
+            )(ns, h_t, h0t, mask_row, ng_row, wi1, wi2, wj1, wj2, bri, brj,
+              odm, y_row, gm_row, out_t, gl2, gout_t)
 
         # --- recurrence chain backward: the proven streaming merged-pass
         # kernel (kernels/recurrence.py), fed the residuals the forward
@@ -728,10 +744,16 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         # msgs is only used by _merged_backward_call for packing shapes
         # (the real values ride in htil slot 0) — feed a zeros stand-in
         msgs_dummy = jnp.zeros((n, f), h0.dtype)
-        dmsgs_t, dh0_chain_t, dgru, dma, dbn = _merged_backward_call(
-            (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),
-            gh_t, steps=steps, f=f, n=n, blk=blk_m, interpret=interpret,
-            transposed_io=True)
+        if "rec" in skips:
+            dmsgs_t = dh0_chain_t = jnp.zeros((fp, npad_m), dt)
+            dgru = jax.tree.map(jnp.zeros_like, gru)
+            dma = jax.tree.map(jnp.zeros_like, ma_bn)
+            dbn = jax.tree.map(jnp.zeros_like, bn)
+        else:
+            dmsgs_t, dh0_chain_t, dgru, dma, dbn = _merged_backward_call(
+                (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),
+                gh_t, steps=steps, f=f, n=n, blk=blk_m,
+                interpret=interpret, transposed_io=True)
 
         # --- message (SpMM + A0 + bias) backward (one kernel) ------------
         common_pack = pack(amat, a0, mbias, h0, mask, node_graph, gru,
@@ -754,17 +776,23 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                 pltpu.VMEM((fp, gp), dt),
             ],
         )
-        (dh0_msg, da2t, da0p_out, dmbias) = pl.pallas_call(
-            mb_kernel,
-            grid_spec=mb_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((fp, npad), dt),
-                jax.ShapeDtypeStruct((kmfp, fp), dt),
-                jax.ShapeDtypeStruct((fp, fp), dt),
-                jax.ShapeDtypeStruct((fp, 1), dt),
-            ),
-            interpret=interpret,
-        )(win, ns, src2, dst2, vid2, a2tt, a0p, h0t, ng_row, dmsgs_tp)
+        if "msg" in skips:
+            dh0_msg = jnp.zeros((fp, npad), dt)
+            da2t = jnp.zeros((kmfp, fp), dt)
+            da0p_out = jnp.zeros((fp, fp), dt)
+            dmbias = jnp.zeros((fp, 1), dt)
+        else:
+            (dh0_msg, da2t, da0p_out, dmbias) = pl.pallas_call(
+                mb_kernel,
+                grid_spec=mb_spec,
+                out_shape=(
+                    jax.ShapeDtypeStruct((fp, npad), dt),
+                    jax.ShapeDtypeStruct((kmfp, fp), dt),
+                    jax.ShapeDtypeStruct((fp, fp), dt),
+                    jax.ShapeDtypeStruct((fp, 1), dt),
+                ),
+                interpret=interpret,
+            )(win, ns, src2, dst2, vid2, a2tt, a0p, h0t, ng_row, dmsgs_tp)
 
         damat = da2t[:kmf, :f].reshape(k_vocab, f, f).astype(amat.dtype)
         dh0 = (dh0_chain_t[:f, :n] + dh0_ro[:f, :n]

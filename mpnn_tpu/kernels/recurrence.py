@@ -1201,6 +1201,7 @@ def _merged_bwd_kernel(h0_hbm, htil_hbm, mask_hbm, c_ref,
                        whn_ref, bir_ref, biz_ref, bin_ref,
                        bhr_ref, bhz_ref, bhn_ref,
                        mw_ref, mbias_ref, sw_ref, sb_ref, stats_ref, g_in,
+                       _dmbz_in, _dmsgsz_in,
                        gh_hbm, dmb_hbm, dmsgs_hbm,
                        dwir_out, dwiz_out, dwin_out,
                        dwhr_out, dwhz_out, dwhn_out,
@@ -1449,17 +1450,26 @@ def _merged_backward_call(res, g_ht, *, steps, f, n, blk, interpret,
     fpn = jax.ShapeDtypeStruct((fp, npad), dt)
     fpf = jax.ShapeDtypeStruct((fp, fp), dt)
     fc = jax.ShapeDtypeStruct((fp, 1), dt)
+    # the three (fp, npad) outputs must be pinned to HBM: ANY outputs in a
+    # mixed tuple get STACK-ALLOCATED in VMEM (CLAUDE.md / spmm.py gotcha)
+    # — at blk=13184 that alone blew the 16 MB scoped-VMEM stack. Tag the
+    # out_shape pltpu.HBM AND alias each to an ANY input: dh0 rides the
+    # g_t cotangent buffer (in-place walk), dmb/dmsgs get pre-zeroed
+    # stand-ins.
+    dmb_zeros = jnp.zeros((fp, npad), dt)
+    dmsgs_zeros = jnp.zeros((fp, npad), dt)
+    fpn_hbm = fpn if interpret else pltpu.HBM((fp, npad), dt)
     outs = pl.pallas_call(
         kernel,
         grid=(steps + 2, nb),
         in_specs=[_any(), _any(), _any(),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [_vm()] * 16 + [_vm(), _any()],
+        + [_vm()] * 16 + [_vm(), _any(), _any(), _any()],
         out_specs=tuple([_any()] * 3 + [_vm()] * 16),
-        out_shape=(fpn, fpn, fpn,
+        out_shape=(fpn_hbm, fpn_hbm, fpn_hbm,
                    fpf, fpf, fpf, fpf, fpf, fpf,
                    fc, fc, fc, fc, fc, fc, fc, fc, fc, fc),
-        input_output_aliases={21: 0},
+        input_output_aliases={21: 0, 22: 1, 23: 2},
         scratch_shapes=[
             pltpu.VMEM((fp, blk), dt),          # sblk (s_{t-1})
             pltpu.VMEM((fp, blk), dt),          # pblk (htil slot 0)
@@ -1471,10 +1481,16 @@ def _merged_backward_call(res, g_ht, *, steps, f, n, blk, interpret,
             pltpu.VMEM((fp, 2), dt),            # accN (next pass's)
             pltpu.SemaphoreType.DMA((6,)),
         ],
+        # the ~20 live (fp, blk) GRU-bwd temporaries put the VMEM stack at
+        # ~16.5 MB for a single 13184-lane block — raise the per-kernel
+        # limit (rides with the kernel; no jit-level flag needed) so the
+        # fewest-blocks layout compiles everywhere
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 2 ** 20),
         interpret=interpret,
     )(h0m, htil, mask_row, c,
       wir, wiz, win, whr, whz, whn, bir, biz, bin_c, bhr, bhz, bhn,
-      mw, mbias, sw, sb, stats, g_t)
+      mw, mbias, sw, sb, stats, g_t, dmb_zeros, dmsgs_zeros)
     (dh0_t, _dmb, dmsgs_t, dwir, dwiz, dwin, dwhr, dwhz, dwhn,
      dbir, dbiz, dbin_, dbhr, dbhz, dbhn, dmw, dmbb, dsw, dsb) = outs
 
@@ -1500,12 +1516,28 @@ def _merged_backward_call(res, g_ht, *, steps, f, n, blk, interpret,
             dh0_t[:f, :n].T.astype(h0.dtype), dgru, dma, dbn)
 
 
+def pick_stream_blk(n: int, cap: int = 16384) -> int:
+    """Fewest-blocks 128-aligned node-block size for the streaming kernels.
+    Every (pass, block) grid step costs ~7 serialized DMA waits, so fewer,
+    larger blocks win (measured: blk 8192 -> one 13184 block at batch 1024
+    cut the merged backward's share); minimizing round_up(n, blk) also
+    removes pad-lane compute (blk=8192 at npad=13184 rounded to 16384 —
+    20% of every pass was padding). cap=16384 keeps the ~6 (fp, blk) f32
+    VMEM scratch buffers near 6 MB, inside the 16 MB scoped-VMEM stack."""
+    npad = _round_up(n, 128)
+    nb = -(-npad // cap)
+    return _round_up(-(-npad // nb), 128)
+
+
 def make_recurrence_op_merged(steps: int, f: int, n: int, *,
-                              blk: int = 8192, interpret: bool = False,
+                              blk: int | None = None,
+                              interpret: bool = False,
                               bwd_mode: str = "fused"):
     """Merged-pass streaming recurrence (see block comment above): T+2
     grid passes in EACH direction, ~3fp·N traffic per step. Same contract
     as make_recurrence_op; any node count."""
+    if blk is None:
+        blk = pick_stream_blk(n)
 
     @jax.custom_vjp
     def op(msgs, h0, mask, gru, ma_bn, bn):

@@ -11,6 +11,10 @@ Probes cut at those boundaries; consecutive deltas attribute time:
                + EMA folds), no grad
   kernel_fwd : the fwd pallas_call alone on PRE-BUILT amat/a0 operands
                (excludes the vocab chain and A-fold)
+  skip_ro / skip_rec / skip_msg : the full program with ONE backward
+               kernel replaced by zero stand-ins (MPNN_FS_BWD_SKIP hook in
+               kernels/fused_step.py) — the delta vs `full` attributes
+               that kernel's cost
 
 Usage: python scripts/ablate_fused.py [probe ...]   (default: all)
 """
@@ -18,6 +22,7 @@ Usage: python scripts/ablate_fused.py [probe ...]   (default: all)
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -84,7 +89,13 @@ def main(which):
     opt_state = tx.init(params)
 
     def scan_wrap(body_fn):
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        copts = {}
+        if os.environ.get("MPNN_SCOPED_VMEM_KIB"):
+            copts["xla_tpu_scoped_vmem_limit_kib"] = \
+                os.environ["MPNN_SCOPED_VMEM_KIB"]
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                           compiler_options=copts or None)
         def step(params, state, opt_state, jb, labels0, it):
             def body(carry, k):
                 return body_fn(carry, labels0 + 1e-4 * (it * SPC + k), jb)
@@ -153,14 +164,22 @@ def main(which):
         "no_opt": no_opt_body,
         "fwd_only": fwd_only_body,
         "kernel_fwd": kernel_fwd_body_factory(),
+        "skip_ro": full_body,
+        "skip_rec": full_body,
+        "skip_msg": full_body,
     }
     results = {}
     for name in which:
+        if name.startswith("skip_"):
+            os.environ["MPNN_FS_BWD_SKIP"] = name[5:]
+        else:
+            os.environ.pop("MPNN_FS_BWD_SKIP", None)
         step = scan_wrap(probes[name])
         p = jax.tree.map(jnp.copy, params)
         s = jax.tree.map(jnp.copy, state)
         o = jax.tree.map(jnp.copy, opt_state)
         results[name] = run_probe(name, step, (p, s, o), jb, labels0)
+        os.environ.pop("MPNN_FS_BWD_SKIP", None)
     print("[ablate] RESULTS " + " ".join(
         f"{k}={v:.3f}" for k, v in results.items()), flush=True)
 
