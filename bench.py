@@ -47,10 +47,12 @@ SMILES = [
 ]
 
 
-def build_batch(batch_size: int):
+def build_batch(batch_size: int, edge_types: bool = False):
     from mpnn_tpu import graphs as G
     smiles = (SMILES * (batch_size // len(SMILES) + 1))[:batch_size]
     gs = G.generate_molgraphs(smiles, [0.1 * i for i in range(len(smiles))])
+    if edge_types:
+        G.attach_edge_types(gs)       # needs RAW bond features (pre-encode)
     gs, ge = G.encode_molgraphs(gs)
     return gs, ge
 
@@ -78,6 +80,19 @@ def att_mpnn_cfg(ge):
         message_steps=3, edge_mlp_tail_repeats=50)
 
 
+def ggnn_mpnn_cfg(ge):
+    """GGNN message family (ggnn_msg_pass.py semantics: per-bond-type
+    weight matrices, type 0 pinned to zero) in the flagship lipo shell —
+    natively A-form, so the whole-step fused kernel applies directly."""
+    from mpnn_tpu import models
+    nf = ge.atom_width() + 3
+    return models.MPNNConfig(
+        node_features=nf, edge_features=4, ggnn_num_edge_types=4,
+        message_features=nf, output_dim=2 * ge.atom_width(),
+        message_fn="ggnn", message_steps=6,
+        msg_norm="bn1d", state_norm="bn1d")
+
+
 def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                  use_vocab: bool = True, spmm: str = "kernel",
                  spmm_block: int = 512, model: str = "flagship",
@@ -94,13 +109,19 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
     from mpnn_tpu.models.sparse import sparse_mpnn_apply
     from mpnn_tpu.train.optim import adam
 
-    gs, ge = build_batch(batch_size)
-    cfg = flagship_mpnn_cfg(ge) if model == "flagship" else att_mpnn_cfg(ge)
+    gs, ge = build_batch(batch_size, edge_types=(model == "ggnn"))
+    cfg = {"flagship": flagship_mpnn_cfg, "att": att_mpnn_cfg,
+           "ggnn": ggnn_mpnn_cfg}[model](ge)
     if tail is not None:        # component-isolation probe, not a real config
         import dataclasses
         cfg = dataclasses.replace(cfg, edge_mlp_tail_repeats=tail)
     params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
+    if model == "ggnn":
+        # integer bond-type ids aligned with edge_src/dst (padded edges ->
+        # type 0 = the zero matrix); GGNN has no edge MLP, hence no vocab
+        packed = G.with_edge_types(packed, gs)
+        use_vocab = False
     if use_vocab:
         # edge vocab: run the ×50 edge-MLP per DISTINCT bond-feature row
         # (≤16 here), not per edge — exact (graphs/batching.py)
@@ -113,7 +134,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         # node count exceeds the forward's scoped-VMEM cap.
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
         from mpnn_tpu.models.fused_train import fused_step_eligible
-        assert use_vocab and model == "flagship"
+        assert model in ("flagship", "ggnn")
+        assert use_vocab or model == "ggnn"
         packed = attach_fused_plan(packed, block_edges=spmm_block)
         assert "fs_win" in packed, "fused-step window plan failed"
         if fused_step_eligible(cfg, packed, training=True):
@@ -122,7 +144,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
             fuse_step = False           # past FUSED_STEP_NODE_CAP
     if spmm == "kernel":
         from mpnn_tpu.kernels.spmm import attach_spmm_plan, make_spmm_op
-        assert use_vocab, "--spmm kernel needs the edge vocab"
+        assert use_vocab or model == "ggnn", \
+            "--spmm kernel needs the edge vocab (or GGNN's native A-form)"
         packed = attach_spmm_plan(packed, block_edges=spmm_block)
         assert "spmm_win" in packed, "window plan failed"
         be = packed.pop("spmm_block_edges")
@@ -156,7 +179,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
     recurrence_fn = None
     if fuse:
         from mpnn_tpu.kernels.recurrence import make_recurrence_op_auto
-        assert model == "flagship", "--fuse covers the flagship recurrence"
+        assert model in ("flagship", "ggnn"), \
+            "--fuse covers the step-constant-message families"
         recurrence_fn = make_recurrence_op_auto(
             cfg.message_steps, cfg.node_features,
             int(packed["node_feats"].shape[0]))
@@ -347,11 +371,14 @@ def main(argv=None):
                         "50 left ~80 us/step of pure dispatch overhead, "
                         "500 cuts it to ~8: 0.481 -> 0.436 ms/step measured)")
     p.add_argument("--model", default="flagship",
-                   choices=["flagship", "att"],
-                   help="flagship (lipo EdgeNetwork) or the attention "
-                        "family (AttEdgeNetwork + att agg + set2vec)")
+                   choices=["flagship", "att", "ggnn"],
+                   help="flagship (lipo EdgeNetwork), the attention "
+                        "family (AttEdgeNetwork + att agg + set2vec), or "
+                        "ggnn (per-bond-type matrices; rides the same "
+                        "whole-step fused kernel — natively A-form)")
     args = p.parse_args(argv)
 
+    fusable = args.model in ("flagship", "ggnn")
     if args.mode == "sparse":
         value, real_edges, last_loss = bench_sparse(
             args.batch, args.iters, args.dtype,
@@ -359,10 +386,11 @@ def main(argv=None):
             spmm=("xla" if args.model == "att" else "kernel")
             if args.spmm is None else args.spmm,
             spmm_block=args.spmm_block, model=args.model,
-            fuse=(args.model == "flagship") if args.fuse is None
+            fuse=fusable if args.fuse is None
             else args.fuse, tail=args.tail, tail_kernel=args.tail_kernel,
             steps_per_call=args.steps_per_call, slots=args.slots,
-            fuse_step=(args.model == "flagship" and not args.no_vocab)
+            fuse_step=(fusable and (args.model == "ggnn"
+                                    or not args.no_vocab))
             if args.fuse_step is None else args.fuse_step)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)

@@ -40,15 +40,19 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
     """True when the whole-step fused kernel computes exactly this config's
     training step: the fused-recurrence constraints plus graph-level
     readout, no output norm, no input encoders/norm, a batch that
-    carries the edge vocab and the fused-step window plan, and a node
-    count whose forward live set fits scoped VMEM."""
+    carries the per-edge A-matrix ids (the edge VOCAB for edge_network;
+    the integer bond types for GGNN, which is natively A-form with
+    A_0 = 0) and the fused-step window plan, and a node count whose
+    forward live set fits scoped VMEM."""
+    vid_key = "edge_vid" if cfg.message_fn == "edge_network" \
+        else "edge_types"
     return (recurrence_eligible(cfg, training=training, axis_name=None)
             and cfg.readout == "graph_level"
             and not cfg.output_norm
             and not cfg.input_norm
             and cfg.atom_encoder is None
             and cfg.bond_encoder is None
-            and "edge_vid" in batch and "fs_win" in batch
+            and vid_key in batch and "fs_win" in batch
             and int(np.asarray(batch["node_feats"]).shape[0])
             <= FUSED_STEP_NODE_CAP)
 
@@ -59,7 +63,8 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
     from mpnn_tpu.kernels.fused_step import make_fused_step_op
     n = int(np.asarray(batch["node_feats"]).shape[0])
     g = int(np.asarray(batch["graph_mask"]).shape[0])
-    k = int(np.asarray(batch["edge_vfirst"]).shape[0])
+    k = (cfg.ggnn_num_edge_types + 1 if cfg.message_fn == "ggnn"
+         else int(np.asarray(batch["edge_vfirst"]).shape[0]))
     return make_fused_step_op(
         cfg.message_steps, cfg.node_features, n, cfg.output_dim, g, k,
         block_edges=int(batch["fs_block_edges"]),
@@ -76,23 +81,34 @@ def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
     sparse_mpnn_apply(... recurrence_fn=...) followed by the masked MSE —
     same message/A0 decomposition, same BN/GRU math, same readout."""
     h0 = batch["node_feats"] * batch["node_mask"]
-    edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
-    mp = params["message"][0]
-    pen, pen0, pen_vocab = _edge_penultimates(
-        mp, edge_feats, cfg, batch.get("edge_vid"),
-        batch.get("edge_vfirst"), edge_mlp_fn)
     nf, mf = cfg.node_features, cfg.message_features
-    pf = pen0.shape[-1]
-    wf = mp["final"]["w"].reshape(pf, mf, nf)
-    bf = mp["final"]["b"].reshape(mf, nf)
-    amat = jnp.einsum("kp,pmf->kmf", pen_vocab - pen0, wf,
-                      preferred_element_type=h0.dtype)
-    a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
+    mp = params["message"][0]
+    if cfg.message_fn == "ggnn":
+        # GGNN is natively A-form: per-bond-type matrices with type 0 (no
+        # bond / padded edge) pinned to zero (sparse_ggnn_fused), and no
+        # bias leakage — the A0 rank-1 correction vanishes exactly
+        amat = jnp.concatenate(
+            [jnp.zeros((1, mf, nf), mp["adj_w"].dtype), mp["adj_w"]],
+            axis=0)
+        a0 = jnp.zeros((mf, nf), h0.dtype)
+        vid = batch["edge_types"]
+    else:
+        edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
+        pen, pen0, pen_vocab = _edge_penultimates(
+            mp, edge_feats, cfg, batch.get("edge_vid"),
+            batch.get("edge_vfirst"), edge_mlp_fn)
+        pf = pen0.shape[-1]
+        wf = mp["final"]["w"].reshape(pf, mf, nf)
+        bf = mp["final"]["b"].reshape(mf, nf)
+        amat = jnp.einsum("kp,pmf->kmf", pen_vocab - pen0, wf,
+                          preferred_element_type=h0.dtype)
+        a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
+        vid = batch["edge_vid"]
     loss, out, ma_stats, step_stats = fused_op(
         amat, a0, mp["message_bias"], h0, batch["node_mask"],
         batch["node_graph"], params["gru"], params["ma_bn"][0],
         params["bn"][0], params["readout"], labels, batch["graph_mask"],
-        batch["edge_vid"], batch["edge_src"], batch["edge_dst"],
+        vid, batch["edge_src"], batch["edge_dst"],
         batch["fs_win"], batch["fs_ns"])
 
     new_state = dict(state)

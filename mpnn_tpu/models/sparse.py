@@ -358,9 +358,11 @@ def recurrence_eligible(cfg: MPNNConfig, *, training: bool,
                         axis_name=None) -> bool:
     """True when the fused Pallas recurrence (kernels/recurrence.py) computes
     exactly this config's step loop: messages constant across steps
-    (message_input='initial' + shared weights) and one shared bn1d pair."""
+    (message_input='initial' + shared weights) and one shared bn1d pair.
+    GGNN qualifies too — it is natively in A-form (per-bond-type matrices,
+    A_0 pinned to zero), so its messages are equally step-constant."""
     return (training and axis_name is None
-            and cfg.message_fn == "edge_network"
+            and cfg.message_fn in ("edge_network", "ggnn")
             and cfg.share_message_weights
             and cfg.message_input == "initial"
             and cfg.update_hidden == "state"
@@ -435,13 +437,21 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
         # messages are CONSTANT across steps — compute them once, run the
         # whole BN→GRU→BN chain in the fused kernel, then apply the same
         # running-stat EMAs the sequential loop would have applied
-        pen, pen0, pen_vocab = pens[0]
-        msgs_raw = sparse_edge_network_fused(
-            params["message"][0], pen, pen0, h0,
-            batch["edge_src"], batch["edge_dst"], node_graph,
-            graph_mask, nf=cfg.node_features, mf=cfg.message_features,
-            spmm_fn=spmm_fn, pen_vocab=pen_vocab, edge_vid=vid,
-            spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win, slots=slots)
+        if cfg.message_fn == "ggnn":
+            msgs_raw = sparse_ggnn_fused(
+                params["message"][0], batch["edge_types"], h0,
+                batch["edge_src"], batch["edge_dst"],
+                nf=cfg.node_features, mf=cfg.message_features,
+                spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win,
+                slots=slots)
+        else:
+            pen, pen0, pen_vocab = pens[0]
+            msgs_raw = sparse_edge_network_fused(
+                params["message"][0], pen, pen0, h0,
+                batch["edge_src"], batch["edge_dst"], node_graph,
+                graph_mask, nf=cfg.node_features, mf=cfg.message_features,
+                spmm_fn=spmm_fn, pen_vocab=pen_vocab, edge_vid=vid,
+                spmm_vocab_fn=spmm_vocab_fn, spmm_win=spmm_win, slots=slots)
         h, ma_stats, step_stats = recurrence_fn(
             msgs_raw, h0, mask, params["gru"], params["ma_bn"][0],
             params["bn"][0])

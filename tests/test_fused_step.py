@@ -268,6 +268,98 @@ class TestFusedFlagshipLoss:
                         rtol=2e-4, atol=1e-6, err_msg=f"{kk}.{field}")
 
 
+class TestFusedGGNNLoss:
+    """GGNN through the SAME whole-step kernel: natively A-form (per
+    bond-type matrices, type 0 = zero matrix, a0 = 0). End-to-end parity
+    on real molecules vs sparse_mpnn_apply's GGNN branch."""
+
+    def _setup(self):
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu import models
+        smiles = ["CCO", "c1ccccc1", "CC(=O)O",
+                  "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+                  "CN1C=NC2=C1C(=O)N(C(=O)N2C)C", "C1CCCCC1",
+                  "NC(=O)c1ccccc1", "C#N"] * 4
+        gs = G.generate_molgraphs(smiles, list(range(len(smiles))))
+        G.attach_edge_types(gs)
+        gs, ge = G.encode_molgraphs(gs)
+        nf = ge.atom_width() + 3
+        cfg = models.MPNNConfig(
+            node_features=nf, edge_features=4, ggnn_num_edge_types=4,
+            message_features=nf, output_dim=5, message_steps=3,
+            message_fn="ggnn", msg_norm="bn1d", state_norm="bn1d")
+        params, state = models.mpnn_init(jax.random.PRNGKey(11), cfg)
+        packed = G.collate_packed(gs).as_dict()
+        packed = G.with_edge_types(packed, gs)
+        from mpnn_tpu.kernels.fused_step import attach_fused_plan
+        packed = attach_fused_plan(packed, block_edges=128)
+        assert "fs_win" in packed
+        packed["node_feats"] = np.concatenate(
+            [packed["node_feats"], packed["node_nafm"]], axis=-1)
+        jb = {kk: jnp.asarray(v) if not np.isscalar(v) else v
+              for kk, v in packed.items()}
+        labels = jnp.asarray(np.random.RandomState(5).randn(
+            packed["graph_mask"].shape[0]).astype(np.float32))
+        return cfg, params, state, jb, labels
+
+    def test_loss_and_grads_match_sparse_path(self):
+        from mpnn_tpu.models.fused_train import (fused_flagship_loss,
+                                                 fused_step_eligible,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = self._setup()
+        assert fused_step_eligible(cfg, jb, training=True)
+        op = make_fused_step_for_batch(cfg, jb, interpret=True)
+
+        def loss_fused(p, s):
+            loss, out, ns = fused_flagship_loss(p, s, cfg, jb, labels, op)
+            return loss, (out, ns)
+
+        def loss_ref(p, s):
+            out, ns = sparse_mpnn_apply(p, s, cfg, jb, training=True)
+            gm = jb["graph_mask"][:, None]
+            per = ((out - labels[:, None]) ** 2) * gm
+            return per.sum() / gm.sum(), (out, ns)
+
+        (lf, (of, nsf)), gf = jax.value_and_grad(
+            loss_fused, has_aux=True)(params, state)
+        (lr, (orf, nsr)), gr = jax.value_and_grad(
+            loss_ref, has_aux=True)(params, state)
+        np.testing.assert_allclose(lf, lr, rtol=2e-5)
+        np.testing.assert_allclose(of, orf, rtol=2e-4, atol=1e-5)
+        flat_f, tf = jax.tree.flatten(gf)
+        flat_r, tr = jax.tree.flatten(gr)
+        assert tf == tr
+        for i, (xf, xr) in enumerate(zip(flat_f, flat_r)):
+            np.testing.assert_allclose(
+                np.asarray(xf), np.asarray(xr), rtol=1e-3, atol=1e-5,
+                err_msg=f"param-gradient leaf {i}")
+        for kk in ("ma_bn", "bn"):
+            for sf, sr in zip(nsf[kk], nsr[kk]):
+                for field in ("running_mean", "running_var"):
+                    np.testing.assert_allclose(
+                        np.asarray(sf[field]), np.asarray(sr[field]),
+                        rtol=2e-4, atol=1e-6, err_msg=f"{kk}.{field}")
+
+    def test_recurrence_kernel_ggnn_parity(self):
+        """The fused-recurrence hook in sparse_mpnn_apply now accepts GGNN
+        (step-constant messages): interpret-mode parity vs the step loop."""
+        from mpnn_tpu.kernels.recurrence import make_recurrence_op_auto
+        from mpnn_tpu.models.sparse import (recurrence_eligible,
+                                            sparse_mpnn_apply)
+        cfg, params, state, jb, labels = self._setup()
+        assert recurrence_eligible(cfg, training=True)
+        rec = make_recurrence_op_auto(
+            cfg.message_steps, cfg.node_features,
+            int(jb["node_feats"].shape[0]), interpret=True)
+        out_k, ns_k = sparse_mpnn_apply(params, state, cfg, jb,
+                                        training=True, recurrence_fn=rec)
+        out_r, ns_r = sparse_mpnn_apply(params, state, cfg, jb,
+                                        training=True)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=2e-4, atol=1e-5)
+
+
 class TestLoaderIntegration:
     def test_graphloader_attaches_fused_plan(self):
         from mpnn_tpu import graphs as G
