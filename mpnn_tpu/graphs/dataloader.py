@@ -184,6 +184,12 @@ class GraphLoader:
                                            edge_cap=edge_cap).as_dict()
                 if self._vocab_cap is not None:
                     batch = attach_edge_vocab(batch, self._vocab_cap)
+                if all(hasattr(g, "edge_types") for g in chunk):
+                    # GGNN inputs ride along whenever the graphs carry
+                    # bond-type ids (graphs.attach_edge_types): packed
+                    # 'edge_types' aligned with edge_src/dst, pad edges = 0
+                    from mpnn_tpu.graphs.batching import with_edge_types
+                    batch = with_edge_types(batch, chunk)
                 if self._slot_caps is not None:
                     from mpnn_tpu.ops.segments import attach_segment_slots
                     batch = attach_segment_slots(
@@ -197,7 +203,8 @@ class GraphLoader:
                         self.spmm_block_edges, window=self.spmm_window)
                     if plan is not None:
                         batch["spmm_win"] = plan.win_start
-                if self.fused_step_plan and "edge_vid" in batch:
+                if self.fused_step_plan and ("edge_vid" in batch
+                                             or "edge_types" in batch):
                     from mpnn_tpu.kernels.fused_step import attach_fused_plan
                     batch = attach_fused_plan(batch, size_bucket=512)
                 yield batch
