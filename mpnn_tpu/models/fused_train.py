@@ -73,44 +73,38 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
         interpret=interpret)
 
 
-def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
-                        fused_op, edge_mlp_fn=None):
-    """Flagship training-step loss through the whole-step fused kernel.
+def _build_a_form(params, cfg: MPNNConfig, batch, edge_mlp_fn=None):
+    """Per-edge A-matrix form of the message op: (amat (K,f,f), a0 (f,f),
+    vid (E,)) — the whole-step kernel's operands.
 
-    Returns (loss, out, new_state). Numerically equivalent to
-    sparse_mpnn_apply(... recurrence_fn=...) followed by the masked MSE —
-    same message/A0 decomposition, same BN/GRU math, same readout."""
-    h0 = batch["node_feats"] * batch["node_mask"]
+    edge_network: the edge VOCAB penultimates folded through the final
+    linear layer (A0 = the bias-leakage matrix, models/sparse.py).
+    GGNN: natively A-form — per-bond-type matrices with type 0 (no bond /
+    padded edge) pinned to zero, no bias leakage so a0 = 0 exactly."""
     nf, mf = cfg.node_features, cfg.message_features
     mp = params["message"][0]
     if cfg.message_fn == "ggnn":
-        # GGNN is natively A-form: per-bond-type matrices with type 0 (no
-        # bond / padded edge) pinned to zero (sparse_ggnn_fused), and no
-        # bias leakage — the A0 rank-1 correction vanishes exactly
         amat = jnp.concatenate(
             [jnp.zeros((1, mf, nf), mp["adj_w"].dtype), mp["adj_w"]],
             axis=0)
-        a0 = jnp.zeros((mf, nf), h0.dtype)
-        vid = batch["edge_types"]
-    else:
-        edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
-        pen, pen0, pen_vocab = _edge_penultimates(
-            mp, edge_feats, cfg, batch.get("edge_vid"),
-            batch.get("edge_vfirst"), edge_mlp_fn)
-        pf = pen0.shape[-1]
-        wf = mp["final"]["w"].reshape(pf, mf, nf)
-        bf = mp["final"]["b"].reshape(mf, nf)
-        amat = jnp.einsum("kp,pmf->kmf", pen_vocab - pen0, wf,
-                          preferred_element_type=h0.dtype)
-        a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
-        vid = batch["edge_vid"]
-    loss, out, ma_stats, step_stats = fused_op(
-        amat, a0, mp["message_bias"], h0, batch["node_mask"],
-        batch["node_graph"], params["gru"], params["ma_bn"][0],
-        params["bn"][0], params["readout"], labels, batch["graph_mask"],
-        vid, batch["edge_src"], batch["edge_dst"],
-        batch["fs_win"], batch["fs_ns"])
+        a0 = jnp.zeros((mf, nf), amat.dtype)
+        return amat, a0, batch["edge_types"]
+    edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
+    pen, pen0, pen_vocab = _edge_penultimates(
+        mp, edge_feats, cfg, batch.get("edge_vid"),
+        batch.get("edge_vfirst"), edge_mlp_fn)
+    pf = pen0.shape[-1]
+    wf = mp["final"]["w"].reshape(pf, mf, nf)
+    bf = mp["final"]["b"].reshape(mf, nf)
+    amat = jnp.einsum("kp,pmf->kmf", pen_vocab - pen0, wf,
+                      preferred_element_type=edge_feats.dtype)
+    a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
+    return amat, a0, batch["edge_vid"]
 
+
+def _fold_emas(state, cfg: MPNNConfig, ma_stats, step_stats):
+    """Apply the same running-stat EMA updates the sequential step loop
+    would have applied (momentum 0.1, shared bn pair folded T times)."""
     new_state = dict(state)
     mom = 0.1
     ma_s = dict(state["ma_bn"][0])
@@ -127,4 +121,46 @@ def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
                 + mom * var_t}
     new_state["ma_bn"] = [ma_s] + list(state["ma_bn"][1:])
     new_state["bn"] = [bn_s] + list(state["bn"][1:])
-    return loss, out, new_state
+    return new_state
+
+
+def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
+                        fused_op, edge_mlp_fn=None):
+    """Flagship training-step loss through the whole-step fused kernel.
+
+    Returns (loss, out, new_state). Numerically equivalent to
+    sparse_mpnn_apply(... recurrence_fn=...) followed by the masked MSE —
+    same message/A0 decomposition, same BN/GRU math, same readout."""
+    h0 = batch["node_feats"] * batch["node_mask"]
+    amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn)
+    loss, out, ma_stats, step_stats = fused_op(
+        amat, a0, params["message"][0]["message_bias"], h0,
+        batch["node_mask"], batch["node_graph"], params["gru"],
+        params["ma_bn"][0], params["bn"][0], params["readout"], labels,
+        batch["graph_mask"], vid, batch["edge_src"], batch["edge_dst"],
+        batch["fs_win"], batch["fs_ns"])
+    return loss, out, _fold_emas(state, cfg, ma_stats, step_stats)
+
+
+def fused_mpnn_out(params, state, cfg: MPNNConfig, batch, fused_op,
+                   edge_mlp_fn=None):
+    """The MPNN core through the whole-step fused kernel, loss OUTSIDE.
+
+    Returns (out (G, output_dim), new_state) — a drop-in for
+    sparse_mpnn_apply on eligible configs, so networks with a wrapper,
+    head BN, or dense head (e.g. the REAL lipo driver: graph-norm wrapper
+    + BatchNorm1d + halving head) still run messages→readout as one
+    forward pallas_call. The kernel's in-kernel masked-MSE loss is
+    computed against zero labels and DISCARDED (its cotangent is zero, so
+    the custom VJP's backward is driven purely by the `out` cotangent —
+    exact for any downstream head/loss)."""
+    h0 = batch["node_feats"] * batch["node_mask"]
+    amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn)
+    zero_labels = jnp.zeros_like(batch["graph_mask"])
+    _, out, ma_stats, step_stats = fused_op(
+        amat, a0, params["message"][0]["message_bias"], h0,
+        batch["node_mask"], batch["node_graph"], params["gru"],
+        params["ma_bn"][0], params["bn"][0], params["readout"],
+        zero_labels, batch["graph_mask"], vid, batch["edge_src"],
+        batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
+    return out, _fold_emas(state, cfg, ma_stats, step_stats)

@@ -133,10 +133,14 @@ def network_apply(params, state, cfg: NetworkConfig, batch, *,
 def network_apply_packed(params, state, cfg: NetworkConfig, batch, *,
                          training: bool, axis_name: Optional[str] = None,
                          spmm_fn=None, spmm_vocab_fn=None, sddmm_fn=None,
-                         recurrence_fn=None):
+                         recurrence_fn=None, fused_op=None):
     """Packed-batch network forward: same params as network_init; the MPNN
-    runs on the sparse path (models/sparse.py). batch: PackedBatch dict.
-    Returns (out (num_graphs, classes), new_state)."""
+    runs on the sparse path (models/sparse.py) — or, when `fused_op` is
+    given (training only; whole-step kernel from
+    fused_train.make_fused_step_for_batch), as ONE forward pallas_call via
+    fused_mpnn_out, with the wrapper/head/loss staying in XLA around it.
+    batch: PackedBatch dict. Returns (out (num_graphs, classes),
+    new_state)."""
     from mpnn_tpu.models.sparse import sparse_mpnn_apply
 
     new_state = dict(state)
@@ -157,11 +161,16 @@ def network_apply_packed(params, state, cfg: NetworkConfig, batch, *,
 
     mb = dict(batch)
     mb["node_feats"] = node_feats
-    out, new_state["mpnn"] = sparse_mpnn_apply(
-        params["mpnn"], state["mpnn"], cfg.mpnn, mb,
-        training=training, axis_name=axis_name, spmm_fn=spmm_fn,
-        spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
-        recurrence_fn=recurrence_fn)
+    if fused_op is not None and training and axis_name is None:
+        from mpnn_tpu.models.fused_train import fused_mpnn_out
+        out, new_state["mpnn"] = fused_mpnn_out(
+            params["mpnn"], state["mpnn"], cfg.mpnn, mb, fused_op)
+    else:
+        out, new_state["mpnn"] = sparse_mpnn_apply(
+            params["mpnn"], state["mpnn"], cfg.mpnn, mb,
+            training=training, axis_name=axis_name, spmm_fn=spmm_fn,
+            spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
+            recurrence_fn=recurrence_fn)
 
     if cfg.head_bn:
         # same torch-BatchNorm1d semantics as the dense path; assumes no

@@ -59,8 +59,12 @@ class TrainConfig:
     fuse_step: bool = False          # whole-step fused kernel (messages →
                                      # loss in one fwd pallas_call +
                                      # 3-kernel bwd; kernels/fused_step.py).
-                                     # Bare-MPNN mse configs only; falls
-                                     # back silently when ineligible.
+                                     # Bare-MPNN mse configs run the loss
+                                     # in-kernel; wrapper/head configs
+                                     # (e.g. the real lipo driver) run the
+                                     # MPNN core fused with head+loss in
+                                     # XLA. Falls back silently when the
+                                     # MPNN config/batch is ineligible.
     handle_preemption: bool = True   # SIGTERM → checkpoint + clean exit
                                      # (resume picks the run back up; the
                                      # reference loses preempted runs —
@@ -73,10 +77,11 @@ class TrainConfig:
 
 def make_loss_fn(net_cfg: NetworkConfig, kind: str,
                  spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None,
-                 fused_op=None):
+                 fused_op=None, fused_inkernel_loss: bool = False):
     def loss_fn(params, state, batch, training: bool):
         packed = "node_feats" in batch
-        if packed and training and fused_op is not None:
+        if packed and training and fused_op is not None \
+                and fused_inkernel_loss:
             # whole-step fused kernel (kernels/fused_step.py): the bare
             # MPNN + masked MSE in one fwd pallas_call; eligibility is
             # checked by the caller (train() gates on bare-network shape)
@@ -93,7 +98,8 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str,
             out, new_state = network_apply_packed(
                 params, state, net_cfg, b, training=training,
                 spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
-                recurrence_fn=recurrence_fn if training else None)
+                recurrence_fn=recurrence_fn if training else None,
+                fused_op=fused_op if training else None)
             gm = batch["graph_mask"]
         else:
             out, new_state = network_apply(params, state, net_cfg, batch,
@@ -130,10 +136,11 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str,
 def make_train_step(net_cfg: NetworkConfig, tx, loss_kind: str,
                     compute_dtype: str = "float32",
                     spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None,
-                    fused_op=None):
+                    fused_op=None, fused_inkernel_loss: bool = False):
     loss_fn = make_loss_fn(net_cfg, loss_kind,
                            spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
-                           recurrence_fn=recurrence_fn, fused_op=fused_op)
+                           recurrence_fn=recurrence_fn, fused_op=fused_op,
+                           fused_inkernel_loss=fused_inkernel_loss)
     mixed = compute_dtype == "bfloat16"
 
     def _cast(tree, dtype):
@@ -272,29 +279,36 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                 train_loader._packed_caps[0],
                 interpret=cfg.spmm == "kernel_interpret")
     fused_op = None
-    if cfg.fuse_step and cfg.packed:
-        # whole-step fused kernel: valid when the network IS the bare MPNN
-        # (no wrapper/head) trained with the masked MSE the kernel computes
-        # (exact for output_dim 1 — the flagship regression shape)
+    fused_inkernel = False
+    if cfg.fuse_step and cfg.packed and cfg.compute_dtype == "float32":
+        # whole-step fused kernel for the MPNN core (messages → readout in
+        # one fwd pallas_call + 3-kernel bwd). Two flavors:
+        #   * bare MPNN + masked MSE: the loss rides IN the kernel too
+        #     (fused_flagship_loss);
+        #   * any wrapper / head BN / dense head / loss (e.g. the REAL
+        #     lipo driver): the kernel emits `out`, the rest stays in XLA
+        #     and drives the backward through the out cotangent
+        #     (fused_mpnn_out). ecfp_mse is dense-layout-only, excluded.
         from mpnn_tpu.models.fused_train import (fused_step_eligible,
                                                  make_fused_step_for_batch)
         probe = next(iter(train_loader), None)
-        if (probe is not None
-                and net_cfg.input_wrapper == "plain"
-                and net_cfg.head == "none" and not net_cfg.head_bn
-                and cfg.loss == "mse"
-                and net_cfg.mpnn.output_dim == 1
-                and cfg.compute_dtype == "float32"
+        if (probe is not None and cfg.loss != "ecfp_mse"
                 and fused_step_eligible(net_cfg.mpnn, probe,
                                         training=True)):
             fused_op = make_fused_step_for_batch(
                 net_cfg.mpnn, probe,
                 interpret=cfg.spmm == "kernel_interpret")
+            fused_inkernel = (net_cfg.input_wrapper == "plain"
+                              and net_cfg.head == "none"
+                              and not net_cfg.head_bn
+                              and cfg.loss == "mse"
+                              and net_cfg.mpnn.output_dim == 1)
     step_fn = make_train_step(net_cfg, tx, cfg.loss, cfg.compute_dtype,
                               spmm_vocab_fn=spmm_vocab_fn,
                               sddmm_fn=sddmm_fn,
                               recurrence_fn=recurrence_fn,
-                              fused_op=fused_op)
+                              fused_op=fused_op,
+                              fused_inkernel_loss=fused_inkernel)
     val_loader = (GraphLoader(val_graphs, cfg.batch_size, shuffle=False,
                               collate=collate, with_nafm=with_nafm)
                   if val_graphs is not None else None)

@@ -360,6 +360,78 @@ class TestFusedGGNNLoss:
                                    rtol=2e-4, atol=1e-5)
 
 
+class TestFusedMpnnOutInNetwork:
+    """fused_mpnn_out inside the FULL network: the REAL lipo-driver shape
+    (graph-norm wrapper + MPNN + BatchNorm1d + halving head) with the MPNN
+    core as one fused pallas_call and the wrapper/head/loss in XLA. Tight
+    loss+grad parity vs the all-XLA network path (the out cotangent drives
+    the kernel's custom VJP)."""
+
+    def test_full_network_loss_and_grads(self):
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu import models
+        from mpnn_tpu.kernels.fused_step import attach_fused_plan
+        from mpnn_tpu.models.fused_train import (fused_step_eligible,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.network import (NetworkConfig,
+                                             network_apply_packed,
+                                             network_init)
+        smiles = ["CCO", "c1ccccc1", "CC(=O)O",
+                  "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+                  "CN1C=NC2=C1C(=O)N(C(=O)N2C)C", "C1CCCCC1",
+                  "NC(=O)c1ccccc1", "OC(=O)c1ccccc1O"] * 3
+        gs = G.generate_molgraphs(smiles, list(range(len(smiles))))
+        gs, ge = G.encode_molgraphs(gs)
+        nf = ge.atom_width() + 3          # afm + nafm via the wrapper
+        mcfg = models.MPNNConfig(
+            node_features=nf, edge_features=ge.bond_width(),
+            message_features=nf, output_dim=2 * ge.atom_width(),
+            message_steps=3, msg_norm="bn1d", state_norm="bn1d",
+            edge_mlp_tail_repeats=3)
+        ncfg = NetworkConfig(mpnn=mcfg, input_wrapper="graph_norm",
+                             nafm_features=3, head="halving",
+                             head_output=1, head_bn=True)
+        params, state = network_init(jax.random.PRNGKey(7), ncfg)
+        packed = G.collate_packed(gs).as_dict()
+        packed = G.attach_edge_vocab(packed, vocab_cap=16)
+        packed = attach_fused_plan(packed, block_edges=128)
+        assert "fs_win" in packed
+        jb = {kk: jnp.asarray(v) if not np.isscalar(v) else v
+              for kk, v in packed.items()}
+        labels = jnp.asarray(np.random.RandomState(9).randn(
+            packed["graph_mask"].shape[0]).astype(np.float32))
+        assert fused_step_eligible(mcfg, jb, training=True)
+        op = make_fused_step_for_batch(mcfg, jb, interpret=True)
+
+        def loss_with(p, s, fused_op):
+            out, ns = network_apply_packed(p, s, ncfg, jb, training=True,
+                                           fused_op=fused_op)
+            gm = jb["graph_mask"][:, None]
+            per = ((out - labels[:, None]) ** 2) * gm
+            return per.sum() / gm.sum(), (out, ns)
+
+        (lf, (of, nsf)), gf = jax.value_and_grad(
+            lambda p, s: loss_with(p, s, op), has_aux=True)(params, state)
+        (lr, (orf, nsr)), gr = jax.value_and_grad(
+            lambda p, s: loss_with(p, s, None), has_aux=True)(params, state)
+        np.testing.assert_allclose(lf, lr, rtol=2e-5)
+        np.testing.assert_allclose(of, orf, rtol=2e-4, atol=1e-5)
+        flat_f, tf = jax.tree.flatten(gf)
+        flat_r, tr = jax.tree.flatten(gr)
+        assert tf == tr
+        for i, (xf, xr) in enumerate(zip(flat_f, flat_r)):
+            np.testing.assert_allclose(
+                np.asarray(xf), np.asarray(xr), rtol=2e-3, atol=1e-5,
+                err_msg=f"param-gradient leaf {i}")
+        # MPNN EMA states and the wrapper/head BN states match
+        flat_sf, _ = jax.tree.flatten(nsf)
+        flat_sr, _ = jax.tree.flatten(nsr)
+        for i, (xf, xr) in enumerate(zip(flat_sf, flat_sr)):
+            np.testing.assert_allclose(
+                np.asarray(xf), np.asarray(xr), rtol=2e-4, atol=1e-6,
+                err_msg=f"state leaf {i}")
+
+
 class TestLoaderIntegration:
     def test_graphloader_attaches_fused_plan(self):
         from mpnn_tpu import graphs as G

@@ -520,3 +520,42 @@ class TestKernelTrainer:
         np.testing.assert_allclose(losses[True][0], losses[False][0],
                                    rtol=0.05)
         np.testing.assert_allclose(losses[True], losses[False], rtol=0.30)
+
+    def test_fused_step_full_driver_network_interpret(self):
+        """fuse_step=True on the REAL lipo-driver network shape (graph-norm
+        wrapper + BatchNorm1d + halving head): the MPNN core runs fused
+        (fused_mpnn_out) with head+loss in XLA. Tight per-step parity is
+        op-level (tests/test_fused_step.py::TestFusedMpnnOutInNetwork);
+        this asserts the trainer wiring engages and coarsely tracks."""
+        import dataclasses
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu import models
+        from mpnn_tpu.graphs.dataloader import GraphLoader
+        from mpnn_tpu.models.network import NetworkConfig
+        from mpnn_tpu.train import trainer
+        smiles = TestEndToEnd.SMILES
+        gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+            smiles, [0.1 * len(s) for s in smiles]))
+        nf = ge.atom_width() + 3
+        mcfg = models.MPNNConfig(
+            node_features=nf, edge_features=ge.bond_width(),
+            message_features=nf, output_dim=2 * ge.atom_width(),
+            message_steps=3, msg_norm="bn1d", state_norm="bn1d",
+            edge_mlp_tail_repeats=2)
+        cfg = NetworkConfig(mpnn=mcfg, input_wrapper="graph_norm",
+                            nafm_features=3, head="halving",
+                            head_output=1, head_bn=True)
+        probe = next(iter(GraphLoader(gs, 4, collate="packed",
+                                      fused_step_plan=True)))
+        assert "fs_win" in probe
+        losses = {}
+        for fuse in (False, True):
+            tcfg = trainer.TrainConfig(
+                epochs=2, batch_size=4, learning_rate=1e-2, loss="mse",
+                packed=True, spmm="kernel_interpret", fuse_step=fuse,
+                seed=317, shuffle=False, log_path=None)
+            _, _, _, h = trainer.train(cfg, tcfg, gs)
+            losses[fuse] = [r["train_loss"] for r in h]
+        np.testing.assert_allclose(losses[True][0], losses[False][0],
+                                   rtol=0.05)
+        np.testing.assert_allclose(losses[True], losses[False], rtol=0.30)
