@@ -110,9 +110,14 @@ class GraphLoader:
             self.spmm_window = spmm_block_edges
         # Whole-step fused kernel plan (kernels/fused_step.py): coarse
         # 512-size buckets keep the distinct compiled shapes per run to
-        # ~1-2 (random batch composition concentrates the window spans)
+        # ~1-2 (random batch composition concentrates the window spans).
+        # Needs per-edge A-matrix ids: the edge vocab (edge_network) OR
+        # bond-type ids on the graphs (GGNN — no vocab required).
+        have_types = bool(graphs) and all(
+            hasattr(g, "edge_types") for g in graphs)
         self.fused_step_plan = (fused_step_plan and collate == "packed"
-                                and self._vocab_cap is not None)
+                                and (self._vocab_cap is not None
+                                     or have_types))
 
     def __len__(self):
         n = len(self.graphs)

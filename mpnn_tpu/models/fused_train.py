@@ -46,6 +46,13 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
     forward live set fits scoped VMEM."""
     vid_key = "edge_vid" if cfg.message_fn == "edge_network" \
         else "edge_types"
+    if cfg.message_fn == "ggnn" and "edge_types" in batch:
+        # out-of-range type ids would silently zero the edge in the kernel
+        # (all-zero one-hot row) while the XLA gather clamps — reject here
+        # so the caller falls back to the consistent path
+        if int(np.asarray(batch["edge_types"]).max(initial=0)) \
+                > cfg.ggnn_num_edge_types:
+            return False
     return (recurrence_eligible(cfg, training=training, axis_name=None)
             and cfg.readout == "graph_level"
             and not cfg.output_norm

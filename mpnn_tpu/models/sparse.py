@@ -363,6 +363,7 @@ def recurrence_eligible(cfg: MPNNConfig, *, training: bool,
     A_0 pinned to zero), so its messages are equally step-constant."""
     return (training and axis_name is None
             and cfg.message_fn in ("edge_network", "ggnn")
+            and cfg.message_features == cfg.node_features
             and cfg.share_message_weights
             and cfg.message_input == "initial"
             and cfg.update_hidden == "state"

@@ -278,7 +278,7 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                 net_cfg.mpnn.message_steps, net_cfg.mpnn.node_features,
                 train_loader._packed_caps[0],
                 interpret=cfg.spmm == "kernel_interpret")
-    fused_op = None
+    use_fused_step = False
     fused_inkernel = False
     if cfg.fuse_step and cfg.packed and cfg.compute_dtype == "float32":
         # whole-step fused kernel for the MPNN core (messages → readout in
@@ -289,26 +289,53 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
         #     lipo driver): the kernel emits `out`, the rest stays in XLA
         #     and drives the backward through the out cotangent
         #     (fused_mpnn_out). ecfp_mse is dense-layout-only, excluded.
-        from mpnn_tpu.models.fused_train import (fused_step_eligible,
-                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.fused_train import fused_step_eligible
         probe = next(iter(train_loader), None)
         if (probe is not None and cfg.loss != "ecfp_mse"
                 and fused_step_eligible(net_cfg.mpnn, probe,
                                         training=True)):
-            fused_op = make_fused_step_for_batch(
-                net_cfg.mpnn, probe,
-                interpret=cfg.spmm == "kernel_interpret")
+            use_fused_step = True
             fused_inkernel = (net_cfg.input_wrapper == "plain"
                               and net_cfg.head == "none"
                               and not net_cfg.head_bn
                               and cfg.loss == "mse"
                               and net_cfg.mpnn.output_dim == 1)
-    step_fn = make_train_step(net_cfg, tx, cfg.loss, cfg.compute_dtype,
-                              spmm_vocab_fn=spmm_vocab_fn,
-                              sddmm_fn=sddmm_fn,
-                              recurrence_fn=recurrence_fn,
-                              fused_op=fused_op,
-                              fused_inkernel_loss=fused_inkernel)
+
+    # The fused-step op bakes the plan's static window sizes into the
+    # kernel, but the loader auto-sizes plans PER BATCH (bucketed —
+    # normally 1-2 distinct shapes per run). A single probe-built op fed a
+    # batch planned at a different window would silently drop the edges
+    # beyond its static slices, so the step function is CACHED PER PLAN
+    # SHAPE: each distinct (fs_window, fs_node_window) gets its own fused
+    # op + jitted step, and a batch whose plan declined (no 'fs_win')
+    # falls back to the XLA/spmm-kernel step.
+    _step_fns = {}
+
+    def _make_step(fused_op, inkernel):
+        return make_train_step(net_cfg, tx, cfg.loss, cfg.compute_dtype,
+                               spmm_vocab_fn=spmm_vocab_fn,
+                               sddmm_fn=sddmm_fn,
+                               recurrence_fn=recurrence_fn,
+                               fused_op=fused_op,
+                               fused_inkernel_loss=inkernel)
+
+    def _step_for_batch(batch):
+        key = None
+        if use_fused_step and "fs_win" in batch:
+            key = (int(batch["fs_block_edges"]), int(batch["fs_window"]),
+                   int(batch["fs_node_window"]),
+                   int(np.asarray(batch["fs_win"]).shape[0]))
+        if key not in _step_fns:
+            fop = None
+            if key is not None:
+                from mpnn_tpu.models.fused_train import \
+                    make_fused_step_for_batch
+                fop = make_fused_step_for_batch(
+                    net_cfg.mpnn, batch,
+                    interpret=cfg.spmm == "kernel_interpret")
+            _step_fns[key] = _make_step(fop, fused_inkernel
+                                        and key is not None)
+        return _step_fns[key]
     val_loader = (GraphLoader(val_graphs, cfg.batch_size, shuffle=False,
                               collate=collate, with_nafm=with_nafm)
                   if val_graphs is not None else None)
@@ -347,6 +374,7 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
         for batch in train_loader:
             if preempted["flag"]:
                 break
+            step_fn = _step_for_batch(batch)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             loss, params, state, opt_state = step_fn(
                 params, state, opt_state, jb)
