@@ -73,10 +73,11 @@ class GraphLoader:
         # edge-feature rows bound every batch's vocabulary
         self._vocab_cap = None
         if edge_vocab and collate == "packed" and graphs:
-            all_ef = np.concatenate([g.edge_feats for g in graphs
-                                     if g.num_edges], axis=0)
-            # +1 for the all-zero padding row (absent in real edges)
-            n_distinct = np.unique(all_ef, axis=0).shape[0] + 1
+            efs = [g.edge_feats for g in graphs if g.num_edges]
+            # +1 for the all-zero padding row (absent in real edges);
+            # an edgeless dataset (single-atom molecules) has just that row
+            n_distinct = (np.unique(np.concatenate(efs, axis=0),
+                                    axis=0).shape[0] + 1) if efs else 1
             if n_distinct <= 64:
                 self._vocab_cap = max(8, bucket_for(n_distinct))
         # Scatter-free segment tables (ops/segments.py): slot widths are
@@ -143,10 +144,16 @@ class GraphLoader:
                                           self.buckets) for i in idx])
             idx = idx[np.argsort(keys, kind="stable")]
             bs = self.batch_size
-            starts = np.arange(0, len(idx), bs)
+            # shuffle FULL batch-size groups only and keep the partial
+            # group last: __iter__ re-chunks by fixed batch_size, so a
+            # partial group mid-stream would shift every later chunk
+            # boundary and silently mix buckets within a batch
+            groups = [idx[s:s + bs] for s in range(0, len(idx), bs)]
+            full = [g for g in groups if len(g) == bs]
+            part = [g for g in groups if len(g) < bs]
             if self.shuffle:
-                self.rng.shuffle(starts)
-            idx = np.concatenate([idx[s:s + bs] for s in starts])
+                self.rng.shuffle(full)
+            idx = np.concatenate(full + part) if (full or part) else idx
         return idx
 
     def __iter__(self) -> Iterator[dict]:

@@ -495,6 +495,21 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
     # DMA-wait chains, no 16384-rounding pad compute)
     from mpnn_tpu.kernels.recurrence import pick_stream_blk
     blk_m = pick_stream_blk(n)
+
+    def _vmem_params(n_live_panels: int):
+        """Per-kernel VMEM budget: the fwd/bwd kernels hold whole (fp,
+        npad) panels in VMEM (inputs + outputs + scratch + live
+        temporaries scale with npad, unlike the node-blocked streaming
+        kernels). Leave the default 16 MB scoped limit alone while it
+        fits; raise it (rides with the kernel — v5e VMEM is 128 MB
+        physical) for large node counts so batch-4096-scale steps stay on
+        the fused path instead of falling back."""
+        fp16 = _round_up(f, 16)
+        est = n_live_panels * fp16 * npad * 4 + 2 * 2 ** 20
+        if est <= 15 * 2 ** 20:
+            return None
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=min(110 * 2 ** 20, est))
     npad_m = _round_up(n, blk_m)
     fp = _round_up(f, 16)
     odp = _round_up(od, 16)
@@ -628,6 +643,7 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                                            dt)),
             ),
             input_output_aliases={5 + len(common): 4},
+            compiler_params=_vmem_params(12),
             interpret=interpret,
         )(win, ns, src2, dst2, vid2, *common, htil_zeros)
 
@@ -728,6 +744,7 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                     jax.ShapeDtypeStruct((fp, npad), dt),
                     rw, rw, rw, rw, rc, rc,
                 ),
+                compiler_params=_vmem_params(8),
                 interpret=interpret,
             )(ns, h_t, h0t, mask_row, ng_row, wi1, wi2, wj1, wj2, bri, brj,
               odm, y_row, gm_row, out_t, gl2, gout_t)
@@ -791,6 +808,7 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                     jax.ShapeDtypeStruct((fp, fp), dt),
                     jax.ShapeDtypeStruct((fp, 1), dt),
                 ),
+                compiler_params=_vmem_params(8),
                 interpret=interpret,
             )(win, ns, src2, dst2, vid2, a2tt, a0p, h0t, ng_row, dmsgs_tp)
 

@@ -100,8 +100,12 @@ def _sddmm_fwd(aprime, evocab, wa, ba, h, vid, src, dst, win_start, *,
     a2 = jnp.transpose(aprime, (2, 0, 1)).reshape(nf, k * mf)
     wa_h = wa[:nf]                           # attn rows for h_dst
     wa_e = wa[nf:]                           # attn rows for edge feats
-    src2 = _pad_edges(src, ep).reshape(nblk, block_edges)
-    dst2 = _pad_edges(dst, ep).reshape(nblk, block_edges)
+    # grid-pad edges get src/dst -1 (outside every window's one-hot):
+    # unlike the SpMM kernels, vocab row 0 here (A'_0 = pen(0)-fold + bias)
+    # is NONZERO, so a zero-padded edge would add spurious messages to
+    # real node 0 in forward AND backward
+    src2 = _pad_edges(src, ep, fill=-1).reshape(nblk, block_edges)
+    dst2 = _pad_edges(dst, ep, fill=-1).reshape(nblk, block_edges)
     vid2 = _pad_edges(vid, ep).reshape(nblk, block_edges)
 
     kernel = functools.partial(_sddmm_kernel, window=window, kmats=k, mf=mf)
@@ -257,8 +261,12 @@ def _sddmm_bwd(aprime, evocab, wa, ba, h, vid, src, dst, win_start, gout,
     hp = jnp.pad(h, ((0, 0), (0, lanes - nf)))
     gp = jnp.pad(gout, ((0, 0), (0, lanes - mf)))
     zeros = jnp.zeros((n, lanes), h.dtype)
-    src2 = _pad_edges(src, ep).reshape(nblk, block_edges)
-    dst2 = _pad_edges(dst, ep).reshape(nblk, block_edges)
+    # grid-pad edges get src/dst -1 (outside every window's one-hot):
+    # unlike the SpMM kernels, vocab row 0 here (A'_0 = pen(0)-fold + bias)
+    # is NONZERO, so a zero-padded edge would add spurious messages to
+    # real node 0 in forward AND backward
+    src2 = _pad_edges(src, ep, fill=-1).reshape(nblk, block_edges)
+    dst2 = _pad_edges(dst, ep, fill=-1).reshape(nblk, block_edges)
     vid2 = _pad_edges(vid, ep).reshape(nblk, block_edges)
 
     kernel = functools.partial(_sddmm_bwd_kernel, window=window, kmats=k,

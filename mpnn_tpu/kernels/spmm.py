@@ -124,11 +124,17 @@ def attach_spmm_plan(batch: dict, block_edges: int = 512) -> dict:
     return out
 
 
-def _pad_edges(x, rows):
+def _pad_edges(x, rows, fill=0):
+    """Pad the edge array to `rows`. fill=0 is safe for the SpMM kernels
+    (vocab row 0 / GGNN type 0 is the exact zero matrix, so a grid-pad
+    edge aliasing node 0 contributes nothing); kernels whose vocab row 0
+    is NONZERO (sddmm.py: A'_0 carries the final bias) must pad src/dst
+    with -1 so pad edges fall outside every window's one-hot."""
     if x.shape[0] == rows:
         return x
     return jnp.concatenate(
-        [x, jnp.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)], axis=0)
+        [x, jnp.full((rows - x.shape[0],) + x.shape[1:], fill, x.dtype)],
+        axis=0)
 
 
 # ---------------------------------------------------------------------------

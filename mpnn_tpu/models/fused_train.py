@@ -28,12 +28,13 @@ from mpnn_tpu.models.sparse import _edge_penultimates, recurrence_eligible
 
 
 # the monolithic forward holds the full (features, N) state in VMEM; its
-# live set scales with the padded node count and blows the 16 MB scoped
-# stack past this cap (measured: 26,240-node batches fit after the
-# gate-recompute/staging-reuse shavings, 52,480 cannot). Beyond it, use
-# the decomposed path (kernels/spmm.py + the auto-selected streaming
-# recurrence), which block-grids over nodes.
-FUSED_STEP_NODE_CAP = 32768
+# live set scales with the padded node count. With the per-kernel
+# vmem_limit_bytes raise (kernels/fused_step.py::_vmem_params; v5e VMEM is
+# 128 MB physical, the default scoped limit only 16 MB), batch-4096-scale
+# node counts (~53k) compile and run. Beyond the cap, use the decomposed
+# path (kernels/spmm.py + the auto-selected streaming recurrence), which
+# block-grids over nodes.
+FUSED_STEP_NODE_CAP = 65536
 
 
 def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
@@ -111,21 +112,12 @@ def _build_a_form(params, cfg: MPNNConfig, batch, edge_mlp_fn=None):
 
 def _fold_emas(state, cfg: MPNNConfig, ma_stats, step_stats):
     """Apply the same running-stat EMA updates the sequential step loop
-    would have applied (momentum 0.1, shared bn pair folded T times)."""
+    would have applied (shared helper: models/sparse.py)."""
+    from mpnn_tpu.models.sparse import fold_recurrence_emas
     new_state = dict(state)
-    mom = 0.1
-    ma_s = dict(state["ma_bn"][0])
-    for _ in range(cfg.message_steps):
-        ma_s = {"running_mean": (1 - mom) * ma_s["running_mean"]
-                + mom * ma_stats[0],
-                "running_var": (1 - mom) * ma_s["running_var"]
-                + mom * ma_stats[1]}
-    bn_s = dict(state["bn"][0])
-    for mean_t, var_t in step_stats:
-        bn_s = {"running_mean": (1 - mom) * bn_s["running_mean"]
-                + mom * mean_t,
-                "running_var": (1 - mom) * bn_s["running_var"]
-                + mom * var_t}
+    ma_s, bn_s = fold_recurrence_emas(
+        state["ma_bn"][0], state["bn"][0], cfg.message_steps,
+        ma_stats, step_stats)
     new_state["ma_bn"] = [ma_s] + list(state["ma_bn"][1:])
     new_state["bn"] = [bn_s] + list(state["bn"][1:])
     return new_state

@@ -46,7 +46,8 @@ def _message_init(key, cfg: MPNNConfig):
         return edge_network_init(key, nf, ef, mf, cfg.edge_mlp_tail_repeats,
                                  init=init)
     if cfg.message_fn == "att_edge_network":
-        return att_edge_network_init(key, nf, ef, mf, cfg.edge_mlp_tail_repeats)
+        return att_edge_network_init(key, nf, ef, mf,
+                                     cfg.edge_mlp_tail_repeats, init=init)
     if cfg.message_fn == "ggnn":
         return ggnn_init(key, nf, cfg.ggnn_num_edge_types, mf)
     if cfg.message_fn == "bilinear":

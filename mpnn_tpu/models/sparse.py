@@ -354,6 +354,29 @@ def sparse_graph_level_output(rparams, x, node_mask, node_graph,
                                num_segments=num_graphs + 1)[:-1]
 
 
+def fold_recurrence_emas(ma_state, bn_state, steps, ma_stats, step_stats):
+    """Running-stat EMA updates a fused recurrence kernel skipped: the
+    SHARED ma_bn sees the same (constant-message) stats `steps` times, the
+    shared bn pair sees each step's stats once — exactly what the
+    sequential bn1d_apply loop would have recorded (momentum 0.1). The
+    single source of truth for both the fused-recurrence hook below and
+    the whole-step path (models/fused_train.py)."""
+    mom = 0.1
+    ma_s = dict(ma_state)
+    for _ in range(steps):
+        ma_s = {"running_mean": (1 - mom) * ma_s["running_mean"]
+                + mom * ma_stats[0],
+                "running_var": (1 - mom) * ma_s["running_var"]
+                + mom * ma_stats[1]}
+    bn_s = dict(bn_state)
+    for mean_t, var_t in step_stats:
+        bn_s = {"running_mean": (1 - mom) * bn_s["running_mean"]
+                + mom * mean_t,
+                "running_var": (1 - mom) * bn_s["running_var"]
+                + mom * var_t}
+    return ma_s, bn_s
+
+
 def recurrence_eligible(cfg: MPNNConfig, *, training: bool,
                         axis_name=None) -> bool:
     """True when the fused Pallas recurrence (kernels/recurrence.py) computes
@@ -456,21 +479,9 @@ def sparse_mpnn_apply(params, state, cfg: MPNNConfig, batch, *,
         h, ma_stats, step_stats = recurrence_fn(
             msgs_raw, h0, mask, params["gru"], params["ma_bn"][0],
             params["bn"][0])
-        mom = 0.1
-        ma_s = dict(ma_bn_state[0])
-        for _ in range(cfg.message_steps):
-            ma_s = {"running_mean": (1 - mom) * ma_s["running_mean"]
-                    + mom * ma_stats[0],
-                    "running_var": (1 - mom) * ma_s["running_var"]
-                    + mom * ma_stats[1]}
-        ma_bn_state[0] = ma_s
-        bn_s = dict(bn_state[0])
-        for mean_t, var_t in step_stats:
-            bn_s = {"running_mean": (1 - mom) * bn_s["running_mean"]
-                    + mom * mean_t,
-                    "running_var": (1 - mom) * bn_s["running_var"]
-                    + mom * var_t}
-        bn_state[0] = bn_s
+        ma_bn_state[0], bn_state[0] = fold_recurrence_emas(
+            ma_bn_state[0], bn_state[0], cfg.message_steps,
+            ma_stats, step_stats)
         new_state["ma_bn"] = ma_bn_state
         new_state["bn"] = bn_state
         readout_in = jnp.concatenate([h, h0], axis=-1)

@@ -144,9 +144,12 @@ def edge_network_pairwise_matrices(params, pen, *, nf: int, mf: int):
 # ---------------------------------------------------------------------------
 
 def att_edge_network_init(key, nf: int, ef: int, mf: int, tail_repeats: int = 50,
-                          dtype=jnp.float32):
+                          dtype=jnp.float32, init: str = "torch_default"):
+    """Same edge-MLP stack as edge_network_init (the ×50 weight-shared
+    tail included, so `init` is equally load-bearing here) plus the
+    attention Linear([h ‖ e]) head."""
     k1, k2 = jax.random.split(key)
-    p = edge_network_init(k1, nf, ef, mf, tail_repeats, dtype)
+    p = edge_network_init(k1, nf, ef, mf, tail_repeats, dtype, init=init)
     p["attn"] = linear_init(k2, nf + ef, nf, bias=True, dtype=dtype)
     return p
 

@@ -248,6 +248,50 @@ class TestSddmm:
                                        rtol=1e-4, atol=1e-4)
 
 
+class TestSddmmGridPads:
+    def test_all_pad_final_block_contributes_nothing(self):
+        """Grid-padding edges in an EMPTY final block (win start clipped
+        to 0) must not alias node 0: unlike the SpMM kernels, SDDMM's
+        vocab row 0 (A'_0 = bias fold) is NONZERO, so zero-filled pad
+        src/dst used to add spurious messages to real node 0 (fixed by
+        -1 fill). The batch-level pad edges (src=dst=sink) are shared
+        with the XLA reference and stay."""
+        from mpnn_tpu.kernels.sddmm import (make_sddmm_op,
+                                            sddmm_att_reference)
+        from mpnn_tpu.kernels.spmm import plan_edge_windows
+        t = TestSddmm()
+        a, evocab, wa, ba, h, vid, src, dst, mask, node_cap = t._batch()
+        # production aprime has a NONZERO row 0 (pen(zero-row)·W̃ + bias,
+        # models/sparse.py:205) — the test batch zeroes it, which would
+        # mask exactly the bug this test exists for
+        a = a.copy()
+        a[0] = np.random.RandomState(42).randn(*a[0].shape) * 0.3
+        extra = 500                      # NOT a multiple of 128 → grid pads
+        sink = node_cap - 1
+        src = np.concatenate([src, np.full(extra, sink, np.int32)])
+        dst = np.concatenate([dst, np.full(extra, sink, np.int32)])
+        vid = np.concatenate([vid, np.zeros(extra, np.int32)])
+        mask = np.concatenate([mask, np.zeros(extra, np.float32)])
+        plan = plan_edge_windows(src, dst, mask, node_cap, block_edges=128)
+        op = make_sddmm_op(block_edges=plan.block_edges,
+                           window=plan.window, interpret=True, bwd="kernel")
+        args = tuple(jnp.asarray(x) for x in
+                     (a, evocab, wa, ba, h, vid, src, dst))
+        w = jnp.asarray(plan.win_start)
+        out = op(*args, w)
+        ref = sddmm_att_reference(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+        gt = jnp.asarray(np.random.RandomState(5).randn(
+            *ref.shape).astype(np.float32))
+        gk = jax.grad(lambda h_: (op(*args[:4], h_, *args[5:], w)
+                                  * gt).sum())(args[4])
+        gr = jax.grad(lambda h_: (sddmm_att_reference(
+            *args[:4], h_, *args[5:]) * gt).sum())(args[4])
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestRecurrence:
     """Fused BN→GRU→BN recurrence kernel vs the pure-JAX reference."""
 
