@@ -289,16 +289,24 @@ def _fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         # content is the first thing stashed), and the GRU input gates are
         # recomputed per step from mbv instead of kept live — both shave
         # fp·npad-scale VMEM so larger node counts fit the 16 MB stack.
+        pending = [None]
+
         def stash(x, slot):
             # htil's lane count is the merged-backward block-rounded width
-            # (≥ npad; extra lanes stay zero from the aliased zeros input)
+            # (≥ npad; extra lanes stay zero from the aliased zeros input).
+            # msgs doubles as the DMA staging buffer: wait for the PREVIOUS
+            # copy only when about to overwrite it, so each stash's DMA
+            # rides under the next step's BN/GRU compute (one copy in
+            # flight at a time — the semaphore is safely reused)
+            if pending[0] is not None:
+                pending[0].wait()
             msgs[:] = x
             cp = pltpu.make_async_copy(
                 msgs,
                 htil_out.at[pl.ds(slot * fp, fp), pl.ds(0, msgs.shape[1])],
                 sems.at[0])
             cp.start()
-            cp.wait()
+            pending[0] = cp
 
         msgs_m = (msgs[:] + mbias_ref[:]) * mask_l
         stash(msgs_m, 0)
@@ -325,6 +333,7 @@ def _fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
             h, mean, var = _bn_fwd_t(htl, mask_l, sw_ref[:], sb_ref[:], c)
             stats_out[t * fp:(t + 1) * fp, 0:1] = mean
             stats_out[t * fp:(t + 1) * fp, 1:2] = var
+        pending[0].wait()     # last stash must land before the kernel ends
         h_out[:] = h          # written before the readout so windows of the
         #                       final state can be ref-sliced below
 
