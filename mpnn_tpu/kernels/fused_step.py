@@ -766,8 +766,10 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         # between the three backward kernels. htil was allocated at npad_m
         # lanes by the forward (extra lanes zero via the aliased zeros
         # input); dmsgs/dh0 pad lanes come back zero (masked writes).
-        from mpnn_tpu.kernels.recurrence import _merged_backward_call
-        # msgs is only used by _merged_backward_call for packing shapes
+        from mpnn_tpu.kernels.recurrence import (_merged_backward_call,
+                                                 _vmem_backward_call,
+                                                 _vmem_bwd_fits)
+        # msgs is only used by the backward calls for packing shapes
         # (the real values ride in htil slot 0) — feed a zeros stand-in
         msgs_dummy = jnp.zeros((n, f), h0.dtype)
         if "rec" in skips:
@@ -775,6 +777,12 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
             dgru = jax.tree.map(jnp.zeros_like, gru)
             dma = jax.tree.map(jnp.zeros_like, ma_bn)
             dbn = jax.tree.map(jnp.zeros_like, bn)
+        elif _vmem_bwd_fits(steps, f, npad_m):
+            # whole residual set VMEM-resident: one grid step, no passes
+            dmsgs_t, dh0_chain_t, dgru, dma, dbn = _vmem_backward_call(
+                (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),
+                gh_t, steps=steps, f=f, n=n, npad=npad_m,
+                interpret=interpret, transposed_io=True)
         else:
             dmsgs_t, dh0_chain_t, dgru, dma, dbn = _merged_backward_call(
                 (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),

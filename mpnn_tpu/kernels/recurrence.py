@@ -1415,6 +1415,220 @@ def _merged_bwd_kernel(h0_hbm, htil_hbm, mask_hbm, c_ref,
         wb.wait()
 
 
+# ---------------------------------------------------------------------------
+# VMEM-resident backward: at bench-scale node counts the WHOLE residual set
+# (htil slots + stats + cotangent) fits VMEM once the per-kernel limit is
+# raised, so the reverse walk is ONE grid step with direct reads — no
+# passes, no DMA choreography, no per-pass gh/dmb HBM round-trips, and the
+# step-constant mb + input gates hoisted out of the loop (the streaming
+# variant recomputes them every pass to bound its block VMEM).
+# Same math as _merged_bwd_kernel; consumes the same merged-layout
+# residuals (htil slot 0 = masked msgs, slot t = pre-BN state; stats rows).
+# ---------------------------------------------------------------------------
+
+# live (fp, npad) panels in the unrolled reverse walk (measured headroom
+# multiplier for the VMEM estimate; the htil input adds steps+1 more)
+_VMEM_BWD_LIVE_PANELS = 26
+
+
+def _vmem_bwd_fits(steps: int, f: int, npad: int) -> bool:
+    fp = _round_up(f, 16)
+    est = (steps + 1 + _VMEM_BWD_LIVE_PANELS) * fp * npad * 4
+    return est <= 96 * 2 ** 20
+
+
+def _vmem_bwd_kernel(h0_ref, htil_ref, mask_ref, c_ref,
+                     wir_ref, wiz_ref, win_ref, whr_ref, whz_ref, whn_ref,
+                     bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
+                     mw_ref, mbias_ref, sw_ref, sb_ref, stats_ref, g_ref,
+                     dh0_out, dmsgs_out,
+                     dwir_out, dwiz_out, dwin_out,
+                     dwhr_out, dwhz_out, dwhn_out,
+                     dbir_out, dbiz_out, dbin_out,
+                     dbhr_out, dbhz_out, dbhn_out,
+                     dmw_out, dmbias_out, dsw_out, dsb_out,
+                     *, steps: int, fp: int):
+    m = mask_ref[:]
+    c = c_ref[0, 0]
+
+    def srow(t):
+        return (stats_ref[t * fp:(t + 1) * fp, 0:1],
+                stats_ref[t * fp:(t + 1) * fp, 1:2])
+
+    # hoisted step constants: mb from htil slot 0 + the three input gates
+    ma_mean, ma_var = srow(0)
+    ma_s = jnp.sqrt(jnp.maximum(ma_var, VAR_CLAMP))
+    ma_d = ma_s + BN_EPS
+    xhat0 = (htil_ref[0:fp, :] - ma_mean) * m / ma_d
+    mb = (mw_ref[:] * xhat0 + mbias_ref[:]) * m
+    gr = _dot(wir_ref[:].T, mb) + bir_ref[:]
+    gz = _dot(wiz_ref[:].T, mb) + biz_ref[:]
+    gn = _dot(win_ref[:].T, mb) + bin_ref[:]
+
+    # step-T BN reduction (the final state's normalize)
+    mean_T, var_T = srow(steps)
+    d_T = jnp.sqrt(jnp.maximum(var_T, VAR_CLAMP)) + BN_EPS
+    xhat_t = (htil_ref[steps * fp:(steps + 1) * fp, :] - mean_T) * m / d_T
+    gym = g_ref[:] * m
+    dsw = jnp.sum(gym * xhat_t, axis=1, keepdims=True)
+    dsb = jnp.sum(gym, axis=1, keepdims=True)
+    dxhat = gym * sw_ref[:]
+    S1 = jnp.sum(dxhat, axis=1, keepdims=True)
+    S2 = jnp.sum(dxhat * xhat_t, axis=1, keepdims=True)
+
+    zf = jnp.zeros_like(dwir_out[:])
+    zc = jnp.zeros_like(dbir_out[:])
+    dwir = dwiz = dwin = dwhr = dwhz = dwhn = zf
+    dbr = dbz = dbn_ = dbnh = zc
+    dmb_acc = jnp.zeros_like(mb)
+
+    for t in range(steps, 0, -1):
+        mean_t, var_t = srow(t)
+        s_t = jnp.sqrt(jnp.maximum(var_t, VAR_CLAMP))
+        d_t = s_t + BN_EPS
+        dhtil = (dxhat - m * S1 / c) / d_t - m * xhat_t * S2 / (c * s_t)
+        dhp = dhtil * m
+        if t > 1:
+            pmean, pvar = srow(t - 1)
+            pd = jnp.sqrt(jnp.maximum(pvar, VAR_CLAMP)) + BN_EPS
+            xh_prev = (htil_ref[(t - 1) * fp:t * fp, :] - pmean) * m / pd
+            hprev = (sw_ref[:] * xh_prev + sb_ref[:]) * m
+        else:
+            hprev = h0_ref[:]
+        whr = whr_ref[:]
+        whz = whz_ref[:]
+        whn = whn_ref[:]
+        rh = _dot(whr.T, hprev) + bhr_ref[:]
+        zh = _dot(whz.T, hprev) + bhz_ref[:]
+        nh = _dot(whn.T, hprev) + bhn_ref[:]
+        sr = jax.nn.sigmoid(gr + rh)
+        sz = jax.nn.sigmoid(gz + zh)
+        z = sz * m
+        tn = jnp.tanh(gn + (sr * m) * nh)
+        n_ = tn * m
+        dz = dhp * (hprev - n_)
+        dn = dhp * (1.0 - z)
+        da_n = dn * m * (1.0 - tn * tn)
+        dr = da_n * nh
+        dnh = da_n * (sr * m)
+        da_r = dr * m * sr * (1.0 - sr)
+        da_z = dz * m * sz * (1.0 - sz)
+        gh_new = dhp * z + _dot(whr, da_r) + _dot(whz, da_z) \
+            + _dot(whn, dnh)
+        dwhr += _dot(hprev, da_r.T)
+        dwhz += _dot(hprev, da_z.T)
+        dwhn += _dot(hprev, dnh.T)
+        dwir += _dot(mb, da_r.T)
+        dwiz += _dot(mb, da_z.T)
+        dwin += _dot(mb, da_n.T)
+        dbr += jnp.sum(da_r, axis=1, keepdims=True)
+        dbz += jnp.sum(da_z, axis=1, keepdims=True)
+        dbn_ += jnp.sum(da_n, axis=1, keepdims=True)
+        dbnh += jnp.sum(dnh, axis=1, keepdims=True)
+        dmb_acc += _dot(wir_ref[:], da_r) + _dot(wiz_ref[:], da_z) \
+            + _dot(win_ref[:], da_n)
+        if t > 1:
+            gym2 = gh_new * m
+            dsw += jnp.sum(gym2 * xh_prev, axis=1, keepdims=True)
+            dsb += jnp.sum(gym2, axis=1, keepdims=True)
+            dxhat = gym2 * sw_ref[:]
+            S1 = jnp.sum(dxhat, axis=1, keepdims=True)
+            S2 = jnp.sum(dxhat * xh_prev, axis=1, keepdims=True)
+            xhat_t = xh_prev
+        else:
+            dh0_out[:] = gh_new * m
+            gym_m = dmb_acc * m
+            dmw_out[:] = jnp.sum(gym_m * xhat0, axis=1, keepdims=True)
+            dmbias_out[:] = jnp.sum(gym_m, axis=1, keepdims=True)
+            dxm = gym_m * mw_ref[:]
+            S1m = jnp.sum(dxm, axis=1, keepdims=True)
+            S2m = jnp.sum(dxm * xhat0, axis=1, keepdims=True)
+            dmsgs_out[:] = ((dxm - m * S1m / c) / ma_d
+                            - m * xhat0 * S2m / (c * ma_s)) * m
+    dwir_out[:] = dwir
+    dwiz_out[:] = dwiz
+    dwin_out[:] = dwin
+    dwhr_out[:] = dwhr
+    dwhz_out[:] = dwhz
+    dwhn_out[:] = dwhn
+    # r/z gates: da feeds both bias banks; the n gate differs — b_ih's n
+    # bias sees da_n, b_hh's sees dnh (the reset gate multiplies nh)
+    dbir_out[:] = dbr
+    dbiz_out[:] = dbz
+    dbin_out[:] = dbn_
+    dbhr_out[:] = dbr
+    dbhz_out[:] = dbz
+    dbhn_out[:] = dbnh
+    dsw_out[:] = dsw
+    dsb_out[:] = dsb
+
+
+def _vmem_backward_call(res, g_ht, *, steps, f, n, npad, interpret,
+                        transposed_io):
+    (msgs, h0, mask, gru, ma_bn, bn, htil, stats) = res
+    fp = _round_up(f, 16)
+    dt = jnp.float32
+    packed, mat_t = _pack_blocked(msgs, h0, mask, gru, ma_bn, bn,
+                                  f=f, fp=fp, n=n, npad=npad)
+    (_msgs_t, h0m, mask_row, c,
+     wir, wiz, win, whr, whz, whn, bir, biz, bin_c, bhr, bhz, bhn,
+     mw, mbias, sw, sb) = packed
+    if transposed_io:
+        g_t = jnp.pad(g_ht.astype(dt),
+                      ((0, fp - g_ht.shape[0]),
+                       (0, npad - g_ht.shape[1])))
+    else:
+        g_t = mat_t(g_ht)
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_vmem_bwd_kernel, steps=steps, fp=fp)
+    fpn = jax.ShapeDtypeStruct((fp, npad), dt)
+    fpf = jax.ShapeDtypeStruct((fp, fp), dt)
+    fc = jax.ShapeDtypeStruct((fp, 1), dt)
+    est = (steps + 1 + _VMEM_BWD_LIVE_PANELS) * fp * npad * 4
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[_vm()] * 22,
+        out_specs=tuple([_vm()] * 18),
+        out_shape=(fpn, fpn,
+                   fpf, fpf, fpf, fpf, fpf, fpf,
+                   fc, fc, fc, fc, fc, fc, fc, fc, fc, fc),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(110 * 2 ** 20, est + 8 * 2 ** 20)),
+        interpret=interpret,
+    )(h0m, htil, mask_row, c,
+      wir, wiz, win, whr, whz, whn, bir, biz, bin_c, bhr, bhz, bhn,
+      mw, mbias, sw, sb, stats, g_t)
+    (dh0_t, dmsgs_t, dwir_o, dwiz_o, dwin_o, dwhr_o, dwhz_o, dwhn_o,
+     dbir_o, dbiz_o, dbin_o, dbhr_o, dbhz_o, dbhn_o,
+     dmw_o, dmbb_o, dsw_o, dsb_o) = outs
+
+    def unblocks(ws):
+        return jnp.stack([w[:f, :f] for w in ws], axis=1).reshape(f, 3 * f)
+
+    def uncol3(cs):
+        return jnp.concatenate([cv[:f, 0] for cv in cs])
+
+    dgru = {
+        "w_ih": unblocks([dwir_o, dwiz_o, dwin_o]).astype(
+            gru["w_ih"].dtype),
+        "w_hh": unblocks([dwhr_o, dwhz_o, dwhn_o]).astype(
+            gru["w_hh"].dtype),
+        "b_ih": uncol3([dbir_o, dbiz_o, dbin_o]).astype(gru["b_ih"].dtype),
+        "b_hh": uncol3([dbhr_o, dbhz_o, dbhn_o]).astype(gru["b_hh"].dtype),
+    }
+    dma = {"weight": dmw_o[:f, 0].astype(ma_bn["weight"].dtype),
+           "bias": dmbb_o[:f, 0].astype(ma_bn["bias"].dtype)}
+    dbn = {"weight": dsw_o[:f, 0].astype(bn["weight"].dtype),
+           "bias": dsb_o[:f, 0].astype(bn["bias"].dtype)}
+    if transposed_io:
+        return dmsgs_t, dh0_t, dgru, dma, dbn
+    return (dmsgs_t[:f, :n].T.astype(msgs.dtype),
+            dh0_t[:f, :n].T.astype(h0.dtype), dgru, dma, dbn)
+
+
 def _merged_backward_call(res, g_ht, *, steps, f, n, blk, interpret,
                           transposed_io=False):
     """transposed_io=True: g_ht comes in the kernel's own (fp, lanes)
@@ -1532,10 +1746,16 @@ def pick_stream_blk(n: int, cap: int = 16384) -> int:
 def make_recurrence_op_merged(steps: int, f: int, n: int, *,
                               blk: int | None = None,
                               interpret: bool = False,
-                              bwd_mode: str = "fused"):
+                              bwd_mode: str = "fused",
+                              bwd_impl: str = "auto"):
     """Merged-pass streaming recurrence (see block comment above): T+2
     grid passes in EACH direction, ~3fp·N traffic per step. Same contract
-    as make_recurrence_op; any node count."""
+    as make_recurrence_op; any node count.
+
+    bwd_impl: 'auto' picks the VMEM-resident single-pass backward
+    (_vmem_bwd_kernel) whenever the residual set + live panels fit the
+    raised per-kernel VMEM budget, else the streaming merged reverse;
+    'stream' / 'vmem' force one (tests cover both)."""
     if blk is None:
         blk = pick_stream_blk(n)
 
@@ -1565,8 +1785,16 @@ def make_recurrence_op_merged(steps: int, f: int, n: int, *,
             dm, dh, dg, da_, db_ = vjp(cot)
             return dm, dh, None, dg, da_, db_
         g_ht, _, _ = cot          # stats feed running-state EMAs (no grad)
-        dm, dh, dg, da_, db_ = _merged_backward_call(
-            res, g_ht, steps=steps, f=f, n=n, blk=blk, interpret=interpret)
+        npad_h = res[6].shape[1]  # htil's lane count (blk-rounded)
+        if bwd_impl == "vmem" or (bwd_impl == "auto"
+                                  and _vmem_bwd_fits(steps, f, npad_h)):
+            dm, dh, dg, da_, db_ = _vmem_backward_call(
+                res, g_ht, steps=steps, f=f, n=n, npad=npad_h,
+                interpret=interpret, transposed_io=False)
+        else:
+            dm, dh, dg, da_, db_ = _merged_backward_call(
+                res, g_ht, steps=steps, f=f, n=n, blk=blk,
+                interpret=interpret)
         return dm, dh, None, dg, da_, db_
 
     op.defvjp(fwd, bwd)

@@ -470,14 +470,18 @@ class TestRecurrence:
             np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
                                        rtol=1e-3, atol=1e-4)
 
-    def test_merged_fused_backward_all_grads(self):
-        """Merged-pass backward (reduction of step t-1 fused into the
-        apply of step t) vs the reference VJP — every gradient leaf."""
+    @pytest.mark.parametrize("bwd_impl", ["stream", "vmem"])
+    def test_merged_fused_backward_all_grads(self, bwd_impl):
+        """Merged-pass backward — both implementations: the streaming
+        reverse (reduction of step t-1 fused into the apply of step t)
+        and the VMEM-resident single-pass walk — vs the reference VJP,
+        every gradient leaf."""
         from mpnn_tpu.kernels.recurrence import (
             make_recurrence_op_merged, reference_recurrence)
         msgs, h0, mask, gru, ma_p, bn_p = self._inputs(13)
         op = make_recurrence_op_merged(self.T, self.F, self.N, blk=128,
-                                       interpret=True, bwd_mode="fused")
+                                       interpret=True, bwd_mode="fused",
+                                       bwd_impl=bwd_impl)
         gt = jnp.asarray(np.random.RandomState(14).randn(
             self.N, self.F).astype(np.float32))
 
