@@ -34,7 +34,10 @@ def _read_csv_columns(path: str, columns: Sequence[str]):
 
 
 def generate_molgraphs(mol_strs, labels=None, affinities=None,
-                       parser: Callable = mol_from_smiles) -> List[MolGraph]:
+                       parser: Callable = mol_from_smiles,
+                       edge_types: bool = False) -> List[MolGraph]:
+    """edge_types=True derives GGNN bond-type ids (attach_edge_types) —
+    must happen here, before encode() one-hots the raw bond orders."""
     graphs = []
     n = len(mol_strs)
     labels = labels if labels is not None else [None] * n
@@ -44,6 +47,9 @@ def generate_molgraphs(mol_strs, labels=None, affinities=None,
         if mol is None:
             continue
         graphs.append(from_mol(mol, label=lab, affinity=aff))
+    if edge_types:
+        from mpnn_tpu.graphs.graph import attach_edge_types
+        attach_edge_types(graphs)
     return graphs
 
 
@@ -77,10 +83,12 @@ def encode_molgraphs(graphs: List[MolGraph],
 
 def load_classification_dataset(path: str, mol_col: str, label_col: str,
                                 parser=mol_from_smiles,
-                                ge: Optional[GraphEncoder] = None):
+                                ge: Optional[GraphEncoder] = None,
+                                edge_types: bool = False):
     """→ (graphs, n_classes, encoded_labels, graph_encoder)."""
     mols, labels = _read_csv_columns(path, [mol_col, label_col])
-    graphs = generate_molgraphs(mols, labels, parser=parser)
+    graphs = generate_molgraphs(mols, labels, parser=parser,
+                                edge_types=edge_types)
     graphs, ge = encode_molgraphs(graphs, ge)
     le = LabelEncoder()
     encoded = le.fit_transform([g.label for g in graphs])
@@ -92,10 +100,12 @@ def load_classification_dataset(path: str, mol_col: str, label_col: str,
 
 def load_number_dataset(path: str, mol_col: str, label_col: str,
                         parser=mol_from_smiles,
-                        ge: Optional[GraphEncoder] = None):
+                        ge: Optional[GraphEncoder] = None,
+                        edge_types: bool = False):
     """Regression: labels kept as floats (load_dataset.py:160-167)."""
     mols, labels = _read_csv_columns(path, [mol_col, label_col])
-    graphs = generate_molgraphs(mols, labels, parser=parser)
+    graphs = generate_molgraphs(mols, labels, parser=parser,
+                                edge_types=edge_types)
     graphs, ge = encode_molgraphs(graphs, ge)
     for g in graphs:
         g.label = float(g.label)
@@ -104,12 +114,14 @@ def load_number_dataset(path: str, mol_col: str, label_col: str,
 
 def load_affinity_dataset(path: str, mol_col: str, label_col: str,
                           affinity_col: str, parser=mol_from_smiles,
-                          ge: Optional[GraphEncoder] = None):
+                          ge: Optional[GraphEncoder] = None,
+                          edge_types: bool = False):
     """Classification labels + per-graph affinity value
     (load_dataset.py:135-157)."""
     mols, labels, aff = _read_csv_columns(
         path, [mol_col, label_col, affinity_col])
-    graphs = generate_molgraphs(mols, labels, affinities=aff, parser=parser)
+    graphs = generate_molgraphs(mols, labels, affinities=aff, parser=parser,
+                                edge_types=edge_types)
     graphs, ge = encode_molgraphs(graphs, ge)
     le = LabelEncoder()
     encoded = le.fit_transform([g.label for g in graphs])
@@ -153,6 +165,11 @@ def save_cache(path: str, graphs: List[MolGraph], ge: GraphEncoder,
     arrays["edge_feats"] = np.concatenate([g.edge_feats for g in graphs])
     arrays["edge_src"] = np.concatenate([g.edge_src for g in graphs])
     arrays["edge_dst"] = np.concatenate([g.edge_dst for g in graphs])
+    if all(hasattr(g, "edge_types") for g in graphs):
+        # GGNN bond-type ids (graphs.attach_edge_types) ride the cache so
+        # a cached-featurization run stays GGNN-trainable
+        arrays["edge_types"] = np.concatenate(
+            [g.edge_types for g in graphs])
     arrays["offsets_a"] = np.asarray(offsets_a, np.int64)
     arrays["offsets_e"] = np.asarray(offsets_e, np.int64)
     labels = np.stack([np.asarray(g.label, np.float32) for g in graphs]) \
@@ -193,10 +210,16 @@ def load_cache(path: str) -> Tuple[List[MolGraph], GraphEncoder, dict]:
             bfm[src, dst] = feats
             adj[src, dst] = 1
             aff = float(f["affinities"][i])
-            graphs.append(MolGraph(
+            g = MolGraph(
                 afm=f["afm"][a0:a1], nafm=f["nafm"][a0:a1],
                 bfm=bfm, adj=adj, edge_src=src, edge_dst=dst,
                 edge_feats=feats, label=f["labels"][i],
                 affinity=None if np.isnan(aff) else aff,
-                is_encoded=meta["is_encoded"]))
+                is_encoded=meta["is_encoded"])
+            if "edge_types" in f:
+                g.edge_types = f["edge_types"][e0:e1]
+                mat = np.zeros_like(g.adj, dtype=np.int32)
+                mat[src, dst] = g.edge_types
+                g.bond_type_matrix = mat
+            graphs.append(g)
     return graphs, ge, meta

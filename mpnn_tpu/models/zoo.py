@@ -67,6 +67,24 @@ def lipo(afm: int, bfm: int, nafm: int, n_out: int = 1) -> NetworkConfig:
         head="halving", head_output=n_out, head_bn=True, kaiming_head=True)
 
 
+def lipo_ggnn(afm: int, bfm: int, nafm: int, n_out: int = 1,
+              num_edge_types: int = 4) -> NetworkConfig:
+    """GGNN message family in the lipo shell. The reference imports
+    GGNNMsgPass in its lipo driver but never wires it
+    (lipo_basic_model.py:4); this makes that latent composition trainable
+    — and it rides the whole-step fused kernel (natively A-form)."""
+    nf = afm + nafm
+    return NetworkConfig(
+        mpnn=MPNNConfig(
+            node_features=nf, edge_features=num_edge_types,
+            ggnn_num_edge_types=num_edge_types, message_fn="ggnn",
+            message_features=nf, output_dim=2 * afm, message_steps=6,
+            share_message_weights=True,
+            msg_norm="bn1d", state_norm="bn1d", per_step_norms=False),
+        input_wrapper="graph_norm", nafm_features=nafm,
+        head="halving", head_output=n_out, head_bn=True, kaiming_head=True)
+
+
 def graph_norm(afm: int, bfm: int, nafm: int = 0,
                n_out: int = 4) -> NetworkConfig:
     """normed_basic_model: per-step message fns + stateless masked BN."""
@@ -162,6 +180,7 @@ ZOO: Dict[str, Callable[..., NetworkConfig]] = {
     "basic": basic,
     "adv": adv,
     "lipo": lipo,
+    "lipo_ggnn": lipo_ggnn,
     "graph_norm": graph_norm,
     "encoded": encoded,
     "encoded_ecfp": encoded_ecfp,

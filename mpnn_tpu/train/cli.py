@@ -26,14 +26,17 @@ def _load_for(exp, data_path, cache=None):
     if cache and os.path.exists(cache):
         gs, ge, _meta = G.load_cache(cache)
         return gs, ge
+    et = getattr(exp, "edge_types", False)
     if exp.task == "classification":
         gs, _n, _labels, ge = G.load_classification_dataset(
-            data_path, exp.mol_col, exp.label_col)
+            data_path, exp.mol_col, exp.label_col, edge_types=et)
     elif exp.task == "regression":
-        gs, ge = G.load_number_dataset(data_path, exp.mol_col, exp.label_col)
+        gs, ge = G.load_number_dataset(data_path, exp.mol_col,
+                                       exp.label_col, edge_types=et)
     elif exp.task == "affinity":
         gs, _n, _labels, ge = G.load_affinity_dataset(
-            data_path, exp.mol_col, exp.label_col, exp.affinity_col)
+            data_path, exp.mol_col, exp.label_col, exp.affinity_col,
+            edge_types=et)
     elif exp.task == "ecfp":
         gs, ge = G.load_ecfp_dataset(data_path, exp.mol_col, exp.label_col)
     else:

@@ -31,6 +31,7 @@ class Experiment:
     filter_upper_count: Optional[int] = None
     filter_keep_first: Optional[int] = None       # (test_graph_encode_norm.py:101)
     embed_features: bool = False    # pretrain+apply embedding encoders (test_embed)
+    edge_types: bool = False        # derive GGNN bond-type ids at featurize
     notes: str = ""
 
 
@@ -68,6 +69,18 @@ _register(Experiment(
                       weight_decay=1e-4, loss="mse", plateau=True),
     label_col="exp",
     notes="test_lipo.py: the flagship Lipophilicity config"))
+
+# GGNN in the lipo shell: the reference imports GGNNMsgPass in its lipo
+# driver but never wires it (lipo_basic_model.py:4) — this makes that
+# latent composition trainable end-to-end (and it rides the whole-step
+# fused kernel: natively A-form, fuse_step-eligible)
+_register(Experiment(
+    name="lipo_ggnn", task="regression", model="lipo_ggnn", loss="mse",
+    train=TrainConfig(epochs=1000, batch_size=16, learning_rate=1e-2,
+                      weight_decay=1e-4, loss="mse", plateau=True),
+    label_col="exp", edge_types=True,
+    notes="GGNN messages in the lipo shell (the reference's latent "
+          "lipo_basic_model.py:4 composition)"))
 
 # test_graph_norm.py: normed model classification
 _register(Experiment(

@@ -59,6 +59,29 @@ def test_featurize_then_train_from_cache(csv, tmp_path, capsys):
     assert all("pred" in r for r in lines)
 
 
+def test_lipo_ggnn_train_with_cache_roundtrip(csv, tmp_path, capsys):
+    """The GGNN lipo experiment end-to-end: bond-type ids derived at
+    featurize time, survive the .npz cache round-trip, and the packed
+    trainer runs (fused-step eligible config)."""
+    cache = os.path.join(str(tmp_path), "cache_ggnn.npz")
+    cli.main(["featurize", "--experiment", "lipo_ggnn", "--data", csv,
+              "--out", cache])
+    capsys.readouterr()
+    from mpnn_tpu import graphs as G
+    gs, _, _ = G.load_cache(cache)
+    assert all(hasattr(g, "edge_types") for g in gs)
+    assert all(g.edge_types.shape == g.edge_src.shape for g in gs)
+
+    cli.main(["train", "--experiment", "lipo_ggnn", "--data", csv,
+              "--cache", cache, "--epochs", "2", "--batch-size", "4",
+              "--packed"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["experiment"] == "lipo_ggnn"
+    assert result["epochs"] == 2
+    import math
+    assert math.isfinite(result["test"]["rmse"])
+
+
 def test_filtered_to_empty_errors(csv):
     with pytest.raises(SystemExit, match="no graphs left"):
         cli.main(["train", "--experiment", "encoded_affinity",
