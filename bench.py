@@ -264,6 +264,61 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
     return edge_msgs / dt, real_edges, lv
 
 
+def bench_eval(batch_size: int, iters: int, model: str = "flagship",
+               steps_per_call: int = 500):
+    """Inference/serving throughput: forward-only, eval mode (running-stat
+    BN — the mode a deployed predictor runs), packed sparse path."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mpnn_tpu import graphs as G
+    from mpnn_tpu.models import mpnn_init
+    from mpnn_tpu.models.sparse import sparse_mpnn_apply
+
+    gs, ge = build_batch(batch_size, edge_types=(model == "ggnn"))
+    cfg = {"flagship": flagship_mpnn_cfg, "att": att_mpnn_cfg,
+           "ggnn": ggnn_mpnn_cfg}[model](ge)
+    params, state = mpnn_init(jax.random.PRNGKey(317), cfg)
+    packed = G.collate_packed(gs).as_dict()
+    if model == "ggnn":
+        packed = G.with_edge_types(packed, gs)
+    else:
+        packed = G.attach_edge_vocab(packed, vocab_cap=16)
+    packed["node_feats"] = np.concatenate(
+        [packed["node_feats"], packed["node_nafm"]], axis=-1)
+    real_edges = int(packed["edge_mask"].sum())
+    jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+          for k, v in packed.items()}
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def multi_fwd(params, state, jb, it):
+        def body(acc, k):
+            b = dict(jb)
+            # anti-replay: perturb the inputs per step (module docstring)
+            b["node_feats"] = jb["node_feats"] \
+                + 1e-6 * (it * steps_per_call + k)
+            out, _ = sparse_mpnn_apply(params, state, cfg, b,
+                                       training=False)
+            return acc + out.sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(steps_per_call))
+        return acc
+
+    acc = multi_fwd(params, state, jb, jnp.int32(0))
+    jax.device_get(acc)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        acc = multi_fwd(params, state, jb, jnp.int32(i + 1))
+    av = float(jax.device_get(acc))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(av), f"non-finite output {av}"
+    n_steps = iters * steps_per_call
+    print(f"[bench] eval {dt / n_steps * 1e3:.3f} ms/step over {n_steps} "
+          f"steps", file=sys.stderr)
+    return real_edges * cfg.message_steps * n_steps / dt, real_edges, av
+
+
 def bench_dense(batch_size: int, iters: int):
     import jax
     import jax.numpy as jnp
@@ -324,7 +379,11 @@ def main(argv=None):
     except Exception:
         pass
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", default="sparse", choices=["sparse", "dense"])
+    p.add_argument("--mode", default="sparse",
+                   choices=["sparse", "dense", "eval"],
+                   help="sparse: packed TRAIN step (the headline metric); "
+                        "dense: dense-path train step; eval: forward-only "
+                        "inference (running-stat BN — the serving path)")
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="float32",
@@ -392,6 +451,10 @@ def main(argv=None):
             fuse_step=(fusable and (args.model == "ggnn"
                                     or not args.no_vocab))
             if args.fuse_step is None else args.fuse_step)
+    elif args.mode == "eval":
+        value, real_edges, last_loss = bench_eval(
+            args.batch, args.iters, model=args.model,
+            steps_per_call=args.steps_per_call)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"
