@@ -146,13 +146,17 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         from mpnn_tpu.kernels.spmm import attach_spmm_plan, make_spmm_op
         assert use_vocab or model == "ggnn", \
             "--spmm kernel needs the edge vocab (or GGNN's native A-form)"
-        packed = attach_spmm_plan(packed, block_edges=spmm_block)
+        # att rides the TRANSPOSED sddmm (features in sublanes), which
+        # needs 128-aligned lane windows
+        packed = attach_spmm_plan(packed, block_edges=spmm_block,
+                                  align=128 if model == "att" else 16)
         assert "spmm_win" in packed, "window plan failed"
         be = packed.pop("spmm_block_edges")
         win = packed.pop("spmm_window")
         if model == "att":
             from mpnn_tpu.kernels.sddmm import make_sddmm_op
-            sddmm_fn = make_sddmm_op(block_edges=be, window=win)
+            sddmm_fn = make_sddmm_op(block_edges=be, window=win,
+                                     layout="t")
         else:
             spmm_vocab_fn = make_spmm_op(block_edges=be, window=win)
     if slots:

@@ -42,6 +42,7 @@ class GraphLoader:
                  edge_vocab: bool = True,
                  spmm_plan: bool = False,
                  spmm_block_edges: int = 512,
+                 spmm_align: int = 16,
                  segment_slots: bool = False,
                  fused_step_plan: bool = False):
         self.graphs = graphs
@@ -103,6 +104,7 @@ class GraphLoader:
         # once; per-batch win_start arrays ride in the batch dict
         self.spmm_block_edges = None
         self.spmm_window = None
+        self.spmm_align = spmm_align
         if spmm_plan and collate == "packed" and self._vocab_cap:
             self.spmm_block_edges = spmm_block_edges
             # window = block size covers molecular locality (a block of E
@@ -212,7 +214,8 @@ class GraphLoader:
                     plan = plan_edge_windows(
                         batch["edge_src"], batch["edge_dst"],
                         batch["edge_mask"], batch["node_feats"].shape[0],
-                        self.spmm_block_edges, window=self.spmm_window)
+                        self.spmm_block_edges, window=self.spmm_window,
+                        align=self.spmm_align)
                     if plan is not None:
                         batch["spmm_win"] = plan.win_start
                 if self.fused_step_plan and ("edge_vid" in batch

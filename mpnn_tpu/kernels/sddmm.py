@@ -314,6 +314,228 @@ def _sddmm_bwd(aprime, evocab, wa, ba, h, vid, src, dst, win_start, gout,
     return da, dev_p[:, :ef], dwa, dba_p[0, :nf], dh_p[:, :nf]
 
 
+# ---------------------------------------------------------------------------
+# TRANSPOSED layout (features in sublanes, nodes in lanes) — the economics
+# that made the fused-step edge phase win: the row-layout kernels above pad
+# every per-edge tensor to a 128-lane feature panel (10 real features →
+# 92% wasted MXU work), which is why they measured SLOWER than XLA
+# end-to-end. Here everything is (fp=round16(f), ·): gather/scatter are
+# (fp, W)·(W, BE) one-hot matmuls, the per-edge softmax runs over the
+# SUBLANE axis (padding rows carry −1e30 bias → zero mass), and the whole
+# VMEM footprint is h (fp, npad) ≈ 844 KB at bench sizes.
+# ---------------------------------------------------------------------------
+
+def _sddmm_t_kernel(win_ref, src_ref, dst_ref, vid_ref,
+                    evt_ref, wah_ref, wae_ref, ba_ref, a2t_ref, h_ref,
+                    out_ref,
+                    *, window: int, kmats: int, f: int, fp: int,
+                    kmf: int, kmfp: int, kp: int):
+    i = pl.program_id(0)
+    dt = jnp.float32
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ws = pl.multiple_of(win_ref[i], 128)
+    be = src_ref.shape[1]
+    src = src_ref[i, :] - ws
+    dst = dst_ref[i, :] - ws
+    vid = vid_ref[i, :]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
+    oh_src = (iota_w == src[:, None]).astype(dt)
+    oh_dst = (iota_w == dst[:, None]).astype(dt)
+    ohk = (jax.lax.broadcasted_iota(jnp.int32, (kp, be), 0)
+           == vid[None, :]).astype(dt)                       # (Kp, BE)
+    hw = h_ref[:, pl.ds(ws, window)]                         # (fp, W)
+    hs = jnp.dot(hw, oh_src.T, preferred_element_type=dt)    # (fp, BE)
+    hd = jnp.dot(hw, oh_dst.T, preferred_element_type=dt)
+    ev = jnp.dot(evt_ref[:], ohk, preferred_element_type=dt)  # (efp, BE)
+    logits = (jnp.dot(wah_ref[:], hd, preferred_element_type=dt)
+              + jnp.dot(wae_ref[:], ev, preferred_element_type=dt)
+              + ba_ref[:])                                   # (fp, BE)
+    gate = jax.nn.softmax(logits, axis=0)   # pad rows: −1e30 → zero mass
+    g = gate * hs
+    bulk = jnp.dot(a2t_ref[:], g, preferred_element_type=dt)  # (kmfp, BE)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kmfp, be), 0)
+    ohm = jnp.logical_and(row // f == vid[None, :], row < kmf).astype(dt)
+    sel = jnp.logical_and(
+        jax.lax.broadcasted_iota(jnp.int32, (fp, kmfp), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (fp, kmfp), 1) % f,
+        jnp.logical_and(
+            jax.lax.broadcasted_iota(jnp.int32, (fp, kmfp), 0) < f,
+            jax.lax.broadcasted_iota(jnp.int32, (fp, kmfp), 1) < kmf)
+    ).astype(dt)
+    me = jnp.dot(sel, ohm * bulk, preferred_element_type=dt)  # (fp, BE)
+    out_ref[:, pl.ds(ws, window)] += jnp.dot(
+        me, oh_dst, preferred_element_type=dt)
+
+
+def _sddmm_t_bwd_kernel(win_ref, src_ref, dst_ref, vid_ref,
+                        evt_ref, wah_ref, wae_ref, ba_ref,
+                        a2t_ref, a2tt_ref, h_ref, gout_ref,
+                        dh_out, da2t_out, dwh_out, dwe_out, dba_out,
+                        dev_out,
+                        *, window: int, kmats: int, f: int, fp: int,
+                        efp: int, kmf: int, kmfp: int, kp: int,
+                        nblk: int):
+    i = pl.program_id(0)
+    dt = jnp.float32
+
+    @pl.when(i == 0)
+    def _():
+        dh_out[:] = jnp.zeros_like(dh_out)
+        da2t_out[:] = jnp.zeros_like(da2t_out)
+        dwh_out[:] = jnp.zeros_like(dwh_out)
+        dwe_out[:] = jnp.zeros_like(dwe_out)
+        dba_out[:] = jnp.zeros_like(dba_out)
+        dev_out[:] = jnp.zeros_like(dev_out)
+
+    ws = pl.multiple_of(win_ref[i], 128)
+    be = src_ref.shape[1]
+    src = src_ref[i, :] - ws
+    dst = dst_ref[i, :] - ws
+    vid = vid_ref[i, :]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (be, window), 1)
+    oh_src = (iota_w == src[:, None]).astype(dt)
+    oh_dst = (iota_w == dst[:, None]).astype(dt)
+    ohk = (jax.lax.broadcasted_iota(jnp.int32, (kp, be), 0)
+           == vid[None, :]).astype(dt)
+    hw = h_ref[:, pl.ds(ws, window)]
+    hs = jnp.dot(hw, oh_src.T, preferred_element_type=dt)
+    hd = jnp.dot(hw, oh_dst.T, preferred_element_type=dt)
+    ev = jnp.dot(evt_ref[:], ohk, preferred_element_type=dt)
+    logits = (jnp.dot(wah_ref[:], hd, preferred_element_type=dt)
+              + jnp.dot(wae_ref[:], ev, preferred_element_type=dt)
+              + ba_ref[:])
+    gate = jax.nn.softmax(logits, axis=0)
+    g = gate * hs
+
+    gd = jnp.dot(gout_ref[:, pl.ds(ws, window)], oh_dst.T,
+                 preferred_element_type=dt)                  # (fp, BE)
+    row = jax.lax.broadcasted_iota(jnp.int32, (kmfp, be), 0)
+    ohm = jnp.logical_and(row // f == vid[None, :], row < kmf).astype(dt)
+    sel = jnp.logical_and(
+        jax.lax.broadcasted_iota(jnp.int32, (fp, kmfp), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (fp, kmfp), 1) % f,
+        jnp.logical_and(
+            jax.lax.broadcasted_iota(jnp.int32, (fp, kmfp), 0) < f,
+            jax.lax.broadcasted_iota(jnp.int32, (fp, kmfp), 1) < kmf)
+    ).astype(dt)
+    # dA'_k += Σ_{vid_e=k} dmsg_e ⊗ g_e
+    gdr = jnp.dot(sel.T, gd, preferred_element_type=dt)      # (kmfp, BE)
+    da2t_out[:] += jnp.dot(ohm * gdr, g.T, preferred_element_type=dt)
+    # dg = A'[vid]ᵀ · dmsg
+    bulk2 = jnp.dot(a2tt_ref[:], gd, preferred_element_type=dt)
+    dg = jnp.dot(sel, ohm * bulk2, preferred_element_type=dt)  # (fp, BE)
+    dgate = dg * hs
+    dhs = dg * gate
+    dlog = gate * (dgate - jnp.sum(gate * dgate, axis=0, keepdims=True))
+    dhd = jnp.dot(wah_ref[:].T, dlog, preferred_element_type=dt)
+    devc = jnp.dot(wae_ref[:].T, dlog, preferred_element_type=dt)
+    dwh_out[:] += jnp.dot(dlog, hd.T, preferred_element_type=dt)
+    dwe_out[:] += jnp.dot(dlog, ev.T, preferred_element_type=dt)
+    dba_out[:] += jnp.sum(dlog, axis=1, keepdims=True)
+    dev_out[:] += jnp.dot(devc, ohk.T, preferred_element_type=dt)
+    dh_out[:, pl.ds(ws, window)] += \
+        jnp.dot(dhs, oh_src, preferred_element_type=dt) \
+        + jnp.dot(dhd, oh_dst, preferred_element_type=dt)
+
+
+def _sddmm_t_pack(aprime, evocab, wa, ba, h, vid, src, dst, *,
+                  block_edges):
+    k, mf, nf = aprime.shape
+    assert mf == nf, "transposed SDDMM shares one feature panel (mf==nf)"
+    ef = evocab.shape[1]
+    f = nf
+    fp = _round_up(f, 16)
+    efp = _round_up(ef, 16)
+    kp = _round_up(k, 16)
+    kmf = k * f
+    kmfp = _round_up(kmf, 16)
+    n = h.shape[0]
+    npad = _round_up(n, 128)
+    dt = jnp.float32
+    e = src.shape[0]
+    nblk = _round_up(e, block_edges) // block_edges
+    ep = nblk * block_edges
+    a2t = jnp.pad(aprime.astype(dt).reshape(kmf, f),
+                  ((0, kmfp - kmf), (0, fp - f)))
+    a2tt = jnp.pad(jnp.transpose(aprime.astype(dt), (0, 2, 1))
+                   .reshape(kmf, f), ((0, kmfp - kmf), (0, fp - f)))
+    evt = jnp.pad(evocab.astype(dt).T, ((0, efp - ef), (0, kp - k)))
+    wah = jnp.pad(wa[:f].astype(dt).T, ((0, fp - f), (0, fp - f)))
+    wae = jnp.pad(wa[f:].astype(dt).T, ((0, fp - f), (0, efp - ef)))
+    ba_col = jnp.pad(ba.astype(dt)[:, None], ((0, fp - f), (0, 0)),
+                     constant_values=-1e30)
+    ht = jnp.pad(h.astype(dt).T, ((0, fp - f), (0, npad - n)))
+    src2 = _pad_edges(src, ep, fill=-1).reshape(nblk, block_edges)
+    dst2 = _pad_edges(dst, ep, fill=-1).reshape(nblk, block_edges)
+    vid2 = _pad_edges(vid, ep).reshape(nblk, block_edges)
+    dims = dict(k=k, f=f, fp=fp, efp=efp, kp=kp, kmf=kmf, kmfp=kmfp,
+                n=n, npad=npad, nblk=nblk)
+    return (a2t, a2tt, evt, wah, wae, ba_col, ht, src2, dst2, vid2), dims
+
+
+def _sddmm_t_fwd(aprime, evocab, wa, ba, h, vid, src, dst, win_start, *,
+                 block_edges: int, window: int, interpret: bool = False):
+    (a2t, _a2tt, evt, wah, wae, ba_col, ht, src2, dst2, vid2), d = \
+        _sddmm_t_pack(aprime, evocab, wa, ba, h, vid, src, dst,
+                      block_edges=block_edges)
+    kernel = functools.partial(
+        _sddmm_t_kernel, window=window, kmats=d["k"], f=d["f"],
+        fp=d["fp"], kmf=d["kmf"], kmfp=d["kmfp"], kp=d["kp"])
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(d["nblk"],),
+        in_specs=[vm] * 9, out_specs=vm)
+    out_t = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d["fp"], d["npad"]), jnp.float32),
+        interpret=interpret,
+    )(win_start, src2, dst2, vid2, evt, wah, wae, ba_col, a2t, ht)
+    return out_t[:d["f"], :d["n"]].T.astype(h.dtype)
+
+
+def _sddmm_t_bwd(aprime, evocab, wa, ba, h, vid, src, dst, win_start,
+                 gout, *, block_edges: int, window: int,
+                 interpret: bool = False):
+    (a2t, a2tt, evt, wah, wae, ba_col, ht, src2, dst2, vid2), d = \
+        _sddmm_t_pack(aprime, evocab, wa, ba, h, vid, src, dst,
+                      block_edges=block_edges)
+    f, fp, efp, kp = d["f"], d["fp"], d["efp"], d["kp"]
+    gout_t = jnp.pad(gout.astype(jnp.float32).T,
+                     ((0, fp - f), (0, d["npad"] - d["n"])))
+    kernel = functools.partial(
+        _sddmm_t_bwd_kernel, window=window, kmats=d["k"], f=f, fp=fp,
+        efp=efp, kmf=d["kmf"], kmfp=d["kmfp"], kp=kp, nblk=d["nblk"])
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(d["nblk"],),
+        in_specs=[vm] * 11, out_specs=tuple([vm] * 6))
+    dt = jnp.float32
+    dh_t, da2t, dwh, dwe, dba, devt = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((fp, d["npad"]), dt),
+                   jax.ShapeDtypeStruct((d["kmfp"], fp), dt),
+                   jax.ShapeDtypeStruct((fp, fp), dt),
+                   jax.ShapeDtypeStruct((fp, efp), dt),
+                   jax.ShapeDtypeStruct((fp, 1), dt),
+                   jax.ShapeDtypeStruct((efp, kp), dt)),
+        interpret=interpret,
+    )(win_start, src2, dst2, vid2, evt, wah, wae, ba_col, a2t, a2tt, ht,
+      gout_t)
+    k, mf = d["k"], f
+    da = da2t[:d["kmf"], :f].reshape(k, mf, f).astype(aprime.dtype)
+    # dwh/dwe were accumulated transposed: dwa[i, j] = Σ x_i·dlog_j
+    dwa = jnp.concatenate([dwh[:f, :f].T, dwe[:f, :evocab.shape[1]].T],
+                          axis=0).astype(wa.dtype)
+    dev = devt[:evocab.shape[1], :k].T.astype(evocab.dtype)
+    dba_v = dba[:f, 0].astype(ba.dtype)
+    dh = dh_t[:f, :d["n"]].T.astype(h.dtype)
+    return da, dev, dwa, dba_v, dh
+
+
 def sddmm_att_reference(aprime, evocab, wa, ba, h, vid, src, dst):
     """XLA reference of the same computation (gather form) — also the
     backward path of the public op."""
@@ -328,30 +550,43 @@ def sddmm_att_reference(aprime, evocab, wa, ba, h, vid, src, dst):
 
 
 def make_sddmm_op(block_edges: int = 512, window: int = 512,
-                  interpret: bool = False, bwd: str = "kernel"):
+                  interpret: bool = False, bwd: str = "kernel",
+                  layout: str = "rows"):
     """Returns op(aprime, evocab, wa, ba, h, vid, src, dst, win_start) with
     the fused Pallas forward. bwd='kernel' (default): the fused one-pass
-    Pallas backward (_sddmm_bwd). bwd='xla': VJP of the XLA reference
-    (exact same math, gather-heavy)."""
+    Pallas backward. bwd='xla': VJP of the XLA reference (exact same math,
+    gather-heavy).
+
+    layout='rows': per-edge tensors on a 128-lane feature panel (measured
+    SLOWER than the XLA att path end-to-end at molecular widths — ~92%
+    wasted MXU work at nf=10). layout='t': features in SUBLANES, nodes in
+    lanes (the fused-step economics) — requires a 128-aligned window plan
+    (attach_spmm_plan(align=128)); window must be a multiple of 128."""
+    if layout == "t":
+        assert window % 128 == 0, "transposed layout needs 128-mult window"
+        fwd_fn = functools.partial(_sddmm_t_fwd, block_edges=block_edges,
+                                   window=window, interpret=interpret)
+        bwd_fn = functools.partial(_sddmm_t_bwd, block_edges=block_edges,
+                                   window=window, interpret=interpret)
+    else:
+        fwd_fn = functools.partial(_sddmm_fwd, block_edges=block_edges,
+                                   window=window, interpret=interpret)
+        bwd_fn = functools.partial(_sddmm_bwd, block_edges=block_edges,
+                                   window=window, interpret=interpret)
 
     @jax.custom_vjp
     def op(aprime, evocab, wa, ba, h, vid, src, dst, win_start):
-        return _sddmm_fwd(aprime, evocab, wa, ba, h, vid, src, dst,
-                          win_start, block_edges=block_edges,
-                          window=window, interpret=interpret)
+        return fwd_fn(aprime, evocab, wa, ba, h, vid, src, dst, win_start)
 
     def fwd(aprime, evocab, wa, ba, h, vid, src, dst, win_start):
-        out = _sddmm_fwd(aprime, evocab, wa, ba, h, vid, src, dst,
-                         win_start, block_edges=block_edges,
-                         window=window, interpret=interpret)
+        out = fwd_fn(aprime, evocab, wa, ba, h, vid, src, dst, win_start)
         return out, (aprime, evocab, wa, ba, h, vid, src, dst, win_start)
 
     def bwd(res, gout):
         aprime, evocab, wa, ba, h, vid, src, dst, win_start = res
         if bwd == "kernel":
-            da, dev, dwa, dba, dh = _sddmm_bwd(
-                aprime, evocab, wa, ba, h, vid, src, dst, win_start, gout,
-                block_edges=block_edges, window=window, interpret=interpret)
+            da, dev, dwa, dba, dh = bwd_fn(
+                aprime, evocab, wa, ba, h, vid, src, dst, win_start, gout)
             return da, dev, dwa, dba, dh, None, None, None, None
         _, vjp = jax.vjp(
             lambda a, ev, w, b, hh: sddmm_att_reference(

@@ -67,12 +67,17 @@ class EdgeWindowPlan(NamedTuple):
 def plan_edge_windows(src: np.ndarray, dst: np.ndarray,
                       edge_mask: np.ndarray, node_cap: int,
                       block_edges: int = 512,
-                      window: Optional[int] = None
+                      window: Optional[int] = None,
+                      align: int = 16
                       ) -> Optional[EdgeWindowPlan]:
     """Pick a window start per block of `block_edges` consecutive edges such
     that every REAL edge's src and dst fall inside [ws, ws+window). Returns
     None when no bucketed window fits (caller falls back to XLA). Purely
-    host-side numpy — run once per batch at collation time."""
+    host-side numpy — run once per batch at collation time.
+
+    align: window-start/size alignment. 16 suits the row-layout kernels
+    (node windows slice the SUBLANE axis); the transposed kernels slice
+    the LANE axis and need align=128."""
     e = src.shape[0]
     nblk = _round_up(e, block_edges) // block_edges
     pad = nblk * block_edges - e
@@ -87,34 +92,40 @@ def plan_edge_windows(src: np.ndarray, dst: np.ndarray,
     empty = hi < 0
     lo = np.where(empty, 0, lo)
     hi = np.where(empty, 0, hi)
-    ws = (lo // 16) * 16          # sublane alignment (16 covers bf16)
+    ws = (lo // align) * align
     span = hi - ws + 1
     need = int(span.max()) if len(span) else 1
+    gran = max(2 * align, 32)
+    # the row-layout kernels index h arrays of EXACTLY node_cap rows, so
+    # the window may not exceed it; the transposed kernels index
+    # 128-lane-padded arrays, so the padded cap is the bound
+    limit = _round_up(node_cap, align) if align >= 128 else node_cap
     if window is None:
-        # exact fit rounded to 32 sublanes (any ×16 is legal; a coarse
-        # bucket ladder wasted ~2× one-hot compute — BE=512 blocks of
+        # exact fit rounded up (any multiple of `align` is legal; a coarse
+        # bucket ladder wasted ~2x one-hot compute — BE=512 blocks of
         # molecular batches only span ~270 nodes). If a block needs more
-        # than 4× the edge-block size, the locality premise failed (edges
+        # than 4x the edge-block size, the locality premise failed (edges
         # not packed graph-contiguously) — decline and let XLA handle it.
-        max_window = min(max(4 * block_edges, 256), node_cap)
-        window = min(max(_round_up(need, 32), 64), node_cap)
+        max_window = min(max(4 * block_edges, gran), limit)
+        window = min(max(_round_up(need, gran), 2 * align), limit)
         if need > max_window:
             return None
-    elif need > window or window > node_cap:
+    elif need > window or window > limit:
         return None
     ws = np.minimum(ws, node_cap - window).astype(np.int32)
     ws = np.maximum(ws, 0)
     return EdgeWindowPlan(ws, block_edges, window, nblk)
 
 
-def attach_spmm_plan(batch: dict, block_edges: int = 512) -> dict:
+def attach_spmm_plan(batch: dict, block_edges: int = 512,
+                     align: int = 16) -> dict:
     """Append 'spmm_win' (nblk,) to a packed batch (host-side). No-op when
     no window bucket fits (continuous fallback to the XLA path)."""
     plan = plan_edge_windows(np.asarray(batch["edge_src"]),
                              np.asarray(batch["edge_dst"]),
                              np.asarray(batch["edge_mask"]),
                              int(np.asarray(batch["node_feats"]).shape[0]),
-                             block_edges)
+                             block_edges, align=align)
     if plan is None:
         return batch
     out = dict(batch)

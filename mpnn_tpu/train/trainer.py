@@ -251,20 +251,24 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
     logger = MetricLogger(cfg.log_path)
     use_kernel = cfg.packed and cfg.spmm.startswith("kernel")
     collate = "packed" if cfg.packed else "dense"
+    is_att = net_cfg.mpnn.message_fn == "att_edge_network"
     train_loader = GraphLoader(train_graphs, cfg.batch_size,
                                shuffle=cfg.shuffle, seed=cfg.seed,
                                collate=collate, with_nafm=with_nafm,
                                spmm_plan=use_kernel,
+                               # transposed sddmm needs 128-aligned windows
+                               spmm_align=128 if is_att else 16,
                                fused_step_plan=cfg.fuse_step and cfg.packed)
     spmm_vocab_fn = sddmm_fn = None
     if use_kernel and train_loader.spmm_window is not None:
         from mpnn_tpu.kernels.sddmm import make_sddmm_op
         from mpnn_tpu.kernels.spmm import make_spmm_op
         interp = cfg.spmm == "kernel_interpret"
-        if net_cfg.mpnn.message_fn == "att_edge_network":
+        if is_att:
             sddmm_fn = make_sddmm_op(
                 block_edges=train_loader.spmm_block_edges,
-                window=train_loader.spmm_window, interpret=interp)
+                window=train_loader.spmm_window, interpret=interp,
+                layout="t")
         else:
             spmm_vocab_fn = make_spmm_op(
                 block_edges=train_loader.spmm_block_edges,

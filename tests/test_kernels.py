@@ -215,14 +215,22 @@ class TestSddmm:
         vs the XLA reference VJP."""
         self._run_parity(bwd="kernel")
 
-    def _run_parity(self, bwd):
+    def test_transposed_layout_parity(self):
+        """The (features-in-sublanes) layout — fwd and the fused bwd —
+        with its 128-aligned window plan."""
+        self._run_parity(bwd="kernel", layout="t")
+
+    def _run_parity(self, bwd, layout="rows"):
         from mpnn_tpu.kernels.sddmm import (make_sddmm_op,
                                             sddmm_att_reference)
         from mpnn_tpu.kernels.spmm import plan_edge_windows
         a, evocab, wa, ba, h, vid, src, dst, mask, node_cap = self._batch()
-        plan = plan_edge_windows(src, dst, mask, node_cap, block_edges=128)
+        align = 128 if layout == "t" else 16
+        plan = plan_edge_windows(src, dst, mask, node_cap,
+                                 block_edges=128, align=align)
         op = make_sddmm_op(block_edges=plan.block_edges,
-                           window=plan.window, interpret=True, bwd=bwd)
+                           window=plan.window, interpret=True, bwd=bwd,
+                           layout=layout)
         args = tuple(jnp.asarray(x) for x in
                      (a, evocab, wa, ba, h, vid, src, dst))
         w = jnp.asarray(plan.win_start)
