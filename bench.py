@@ -456,14 +456,18 @@ def main(argv=None):
                                     or not args.no_vocab))
             if args.fuse_step is None else args.fuse_step)
     elif args.mode == "eval":
+        if args.dtype != "float32" or args.no_vocab:
+            p.error("--mode eval supports neither --dtype nor --no-vocab")
         value, real_edges, last_loss = bench_eval(
             args.batch, args.iters, model=args.model,
             steps_per_call=args.steps_per_call)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"
+    kind = ("eval_fwd" if args.mode == "eval"
+            else f"train_step_{args.mode}")
     print(json.dumps({
-        "metric": f"edge_messages_per_s_train_step_{args.mode}{suffix}",
+        "metric": f"edge_messages_per_s_{kind}{suffix}",
         "value": round(value, 1),
         "unit": "edge-messages/s",
         "vs_baseline": round(value / BASELINE_EDGE_MSGS_PER_S, 3),

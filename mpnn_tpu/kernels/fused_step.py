@@ -777,8 +777,11 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
             dgru = jax.tree.map(jnp.zeros_like, gru)
             dma = jax.tree.map(jnp.zeros_like, ma_bn)
             dbn = jax.tree.map(jnp.zeros_like, bn)
-        elif _vmem_bwd_fits(steps, f, npad_m):
+        elif _vmem_bwd_fits(steps, f, npad_m) and os.environ.get(
+                "MPNN_FS_REC_BWD", "auto") != "stream":
             # whole residual set VMEM-resident: one grid step, no passes
+            # (MPNN_FS_REC_BWD=stream forces the streaming branch — the
+            # one batch-4096-scale runs take — for tests/probes)
             dmsgs_t, dh0_chain_t, dgru, dma, dbn = _vmem_backward_call(
                 (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),
                 gh_t, steps=steps, f=f, n=n, npad=npad_m,

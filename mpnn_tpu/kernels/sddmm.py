@@ -377,8 +377,7 @@ def _sddmm_t_bwd_kernel(win_ref, src_ref, dst_ref, vid_ref,
                         dh_out, da2t_out, dwh_out, dwe_out, dba_out,
                         dev_out,
                         *, window: int, kmats: int, f: int, fp: int,
-                        efp: int, kmf: int, kmfp: int, kp: int,
-                        nblk: int):
+                        efp: int, kmf: int, kmfp: int, kp: int):
     i = pl.program_id(0)
     dt = jnp.float32
 
@@ -508,7 +507,7 @@ def _sddmm_t_bwd(aprime, evocab, wa, ba, h, vid, src, dst, win_start,
                      ((0, fp - f), (0, d["npad"] - d["n"])))
     kernel = functools.partial(
         _sddmm_t_bwd_kernel, window=window, kmats=d["k"], f=f, fp=fp,
-        efp=efp, kmf=d["kmf"], kmfp=d["kmfp"], kp=kp, nblk=d["nblk"])
+        efp=efp, kmf=d["kmf"], kmfp=d["kmfp"], kp=kp)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(d["nblk"],),

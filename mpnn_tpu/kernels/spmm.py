@@ -112,8 +112,18 @@ def plan_edge_windows(src: np.ndarray, dst: np.ndarray,
             return None
     elif need > window or window > limit:
         return None
-    ws = np.minimum(ws, node_cap - window).astype(np.int32)
+    # Clamp starts so every slice stays inside the arrays the kernels
+    # index (limit rows/lanes) WITHOUT breaking the alignment promised
+    # via pl.multiple_of — a misaligned start is a silent miscompile on
+    # TPU. The clamp bound is floored to `align`; if that floor costs a
+    # block its coverage (possible only when limit is not a multiple of
+    # align, i.e. row layouts with odd node caps), decline and let the
+    # caller fall back.
+    bound = max(((limit - window) // align) * align, 0)
+    ws = np.minimum(ws, bound).astype(np.int32)
     ws = np.maximum(ws, 0)
+    if len(hi) and int((hi - ws).max()) >= window:
+        return None
     return EdgeWindowPlan(ws, block_edges, window, nblk)
 
 

@@ -25,6 +25,12 @@ def _load_for(exp, data_path, cache=None):
     from mpnn_tpu import graphs as G
     if cache and os.path.exists(cache):
         gs, ge, _meta = G.load_cache(cache)
+        if getattr(exp, "edge_types", False) \
+                and not all(hasattr(g, "edge_types") for g in gs):
+            raise SystemExit(
+                f"cache {cache!r} was featurized without the GGNN "
+                f"bond-type ids experiment {exp.name!r} needs — "
+                f"re-run `featurize --experiment {exp.name}`")
         return gs, ge
     et = getattr(exp, "edge_types", False)
     if exp.task == "classification":

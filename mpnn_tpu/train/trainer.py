@@ -265,10 +265,14 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
         from mpnn_tpu.kernels.spmm import make_spmm_op
         interp = cfg.spmm == "kernel_interpret"
         if is_att:
+            # transposed layout shares one feature panel (mf==nf); the
+            # rectangular case keeps the row layout
+            lay = "t" if net_cfg.mpnn.message_features \
+                == net_cfg.mpnn.node_features else "rows"
             sddmm_fn = make_sddmm_op(
                 block_edges=train_loader.spmm_block_edges,
                 window=train_loader.spmm_window, interpret=interp,
-                layout="t")
+                layout=lay)
         else:
             spmm_vocab_fn = make_spmm_op(
                 block_edges=train_loader.spmm_block_edges,

@@ -124,6 +124,13 @@ class TestFusedStepForward:
 
 
 class TestFusedStepBackward:
+    @pytest.fixture(autouse=True, params=["auto", "stream"])
+    def _rec_bwd_impl(self, request, monkeypatch):
+        # 'stream' forces the streaming merged backward + transposed_io
+        # pairing (what batch-4096-scale runs take — the VMEM-resident
+        # branch otherwise always wins at test sizes)
+        monkeypatch.setenv("MPNN_FS_REC_BWD", request.param)
+
     def test_all_gradient_leaves(self, problem):
         args, plan, dims = problem
         a = as_jnp(args)
