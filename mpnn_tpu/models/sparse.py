@@ -71,6 +71,9 @@ def _edge_penultimates(mparams, edge_feats, cfg: MPNNConfig,
     zero = jnp.zeros((1, edge_feats.shape[-1]), edge_feats.dtype)
     pen_vocab = None
     if edge_vid is not None:
+        # Gather AFTER any upstream edge transforms (encoders/input BN) so
+        # the vocab sees transformed rows. Ids with no edge in this batch
+        # (dataset-wide vocab) gather row 0 — their A matrix is unused.
         vocab = edge_feats[edge_vfirst]                 # (K, ef)
         pen_both = run(jnp.concatenate([vocab, zero], axis=0))
         pen_vocab = pen_both[:-1]

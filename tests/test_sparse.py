@@ -124,6 +124,45 @@ def test_edge_vocab_exactness():
                                        atol=2e-4)
 
 
+def test_loader_cached_vocab_matches_per_batch_attach():
+    """GraphLoader's dataset-wide cached vocab (per-batch concatenation +
+    first-occurrence scan) must reproduce attach_edge_vocab's per-batch
+    np.unique path exactly — outputs AND gradients — even though the id
+    ASSIGNMENT differs (zero row pinned at 0 vs lexicographic)."""
+    from mpnn_tpu.graphs.dataloader import GraphLoader
+    gs, ge = setup_graphs()
+    cfg = mpnn_cfg(ge, msg_norm="bn1d", state_norm="bn1d", message_steps=3)
+    params, state = models.mpnn_init(jax.random.PRNGKey(3), cfg)
+    loader = GraphLoader(gs, len(gs), collate="packed")
+    assert loader._vocab_vids is not None
+    lb = next(iter(loader))
+    assert "edge_vid" in lb and "edge_vfirst" in lb
+    # id 0 must be the zero (padding) row: pad edges carry vid 0 and the
+    # gathered row at vfirst[0] is all-zero
+    pad = np.asarray(lb["edge_mask"]) == 0
+    if pad.any():
+        assert (np.asarray(lb["edge_vid"])[pad] == 0).all()
+    np.testing.assert_array_equal(
+        np.asarray(lb["edge_feats"])[int(lb["edge_vfirst"][0])], 0)
+    ref = G.attach_edge_vocab(
+        {k: np.asarray(v) if not np.isscalar(v) else v
+         for k, v in lb.items() if k not in ("edge_vid", "edge_vfirst")})
+    lbj = {k: jnp.asarray(v) if not np.isscalar(v) else v
+           for k, v in lb.items()}
+    refj = {k: jnp.asarray(v) if not np.isscalar(v) else v
+            for k, v in ref.items()}
+
+    def loss(p, b):
+        out, _ = sparse_mpnn_apply(p, state, cfg, b, training=True)
+        return (out ** 2).mean(), out
+
+    (l0, o0), g0 = jax.value_and_grad(loss, has_aux=True)(params, lbj)
+    (l1, o1), g1 = jax.value_and_grad(loss, has_aux=True)(params, refj)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_spmm_kernel_through_full_model():
     """Flagship + GGNN forward/grad with the Pallas windowed SpMM wired in
     (interpret mode) must match the XLA sparse path."""
