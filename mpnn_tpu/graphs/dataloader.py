@@ -167,110 +167,152 @@ class GraphLoader:
             idx = np.concatenate(full + part) if (full or part) else idx
         return idx
 
-    def __iter__(self) -> Iterator[dict]:
+    def _epoch_chunks(self):
+        """Per-epoch list of index chunks (order logic applied once)."""
         idx = self._order()
         bs = self.batch_size
+        out = []
         for s in range(0, len(idx), bs):
             idx_chunk = idx[s:s + bs]
-            chunk = [self.graphs[i] for i in idx_chunk]
-            if self.drop_last and len(chunk) < bs:
+            if self.drop_last and len(idx_chunk) < bs:
                 break
-            if self.collate == "dense":
-                # shapes ALWAYS bucket (bounded compile count) — `bucketed`
-                # only controls whether the ORDERING groups sizes
-                cap = max(bucket_for(g.num_atoms, self.buckets)
-                          for g in chunk)
-                if self.use_native:
-                    from mpnn_tpu import native
-                    batch = native.pack_dense_native(chunk, n_cap=cap)
-                    if not self.with_nafm:
-                        batch.pop("nafm")
-                    yield batch
-                else:
-                    yield collate_dense(chunk, num_nodes=cap,
-                                        with_nafm=self.with_nafm)
-            elif self.collate == "packed":
-                if self._packed_caps is not None:
-                    node_cap, edge_cap = self._packed_caps
-                else:
-                    node_cap = bucket_for(
-                        sum(g.num_atoms for g in chunk) + 1)
-                    edge_cap = bucket_for(
-                        sum(g.num_edges for g in chunk))
-                # graph-slot count stays the true chunk size (only the
-                # final partial batch adds a second compiled shape)
-                if self.use_native:
-                    from mpnn_tpu import native
-                    batch = native.pack_batch_native(
-                        chunk, node_cap=node_cap, edge_cap=edge_cap)
-                else:
-                    batch = collate_packed(chunk, node_cap=node_cap,
-                                           edge_cap=edge_cap).as_dict()
-                if self._vocab_vids is not None:
-                    # cached dataset-wide vocab: per batch this is pure
-                    # concatenation + an int-array first-occurrence scan
-                    # (the old per-batch row-wise np.unique argsort was
-                    # ~29 ms — the dominant host collation cost)
-                    vid = np.zeros(batch["edge_src"].shape[0], np.int32)
-                    off = 0
-                    for i in idx_chunk:
-                        v = self._vocab_vids[i]
-                        vid[off:off + v.shape[0]] = v
-                        off += v.shape[0]
-                    vfirst = np.zeros((self._vocab_cap,), np.int32)
-                    present, first = np.unique(vid, return_index=True)
-                    # ids absent from this batch keep index 0: they gather
-                    # the zero row, and no edge carries them — unused
-                    vfirst[present] = first
-                    batch = dict(batch)
-                    batch["edge_vid"] = vid
-                    batch["edge_vfirst"] = vfirst
-                elif self._vocab_cap is not None:
-                    batch = attach_edge_vocab(batch, self._vocab_cap)
-                if all(hasattr(g, "edge_types") for g in chunk):
-                    # GGNN inputs ride along whenever the graphs carry
-                    # bond-type ids (graphs.attach_edge_types): packed
-                    # 'edge_types' aligned with edge_src/dst, pad edges = 0
-                    from mpnn_tpu.graphs.batching import with_edge_types
-                    batch = with_edge_types(batch, chunk)
-                if self._slot_caps is not None:
-                    from mpnn_tpu.ops.segments import attach_segment_slots
-                    batch = attach_segment_slots(
-                        batch, node_slot_cap=self._slot_caps[0],
-                        edge_slot_cap=self._slot_caps[1])
-                if self.spmm_window is not None and "edge_vid" in batch:
-                    from mpnn_tpu.kernels.spmm import plan_edge_windows
-                    plan = plan_edge_windows(
-                        batch["edge_src"], batch["edge_dst"],
-                        batch["edge_mask"], batch["node_feats"].shape[0],
-                        self.spmm_block_edges, window=self.spmm_window,
-                        align=self.spmm_align)
-                    if plan is not None:
-                        batch["spmm_win"] = plan.win_start
-                if self.fused_step_plan and ("edge_vid" in batch
-                                             or "edge_types" in batch):
-                    from mpnn_tpu.kernels.fused_step import attach_fused_plan
-                    batch = attach_fused_plan(batch, size_bucket=512)
-                yield batch
+            out.append(idx_chunk)
+        return out
+
+    def __iter__(self) -> Iterator[dict]:
+        for idx_chunk in self._epoch_chunks():
+            yield self._collate_chunk(idx_chunk)
+
+    def _collate_chunk(self, idx_chunk) -> dict:
+        """Collate one chunk of graph indices into a batch dict — pure
+        (no loader state mutation), so PrefetchLoader workers may run it
+        concurrently."""
+        chunk = [self.graphs[i] for i in idx_chunk]
+        if self.collate == "dense":
+            # shapes ALWAYS bucket (bounded compile count) — `bucketed`
+            # only controls whether the ORDERING groups sizes
+            cap = max(bucket_for(g.num_atoms, self.buckets)
+                      for g in chunk)
+            if self.use_native:
+                from mpnn_tpu import native
+                batch = native.pack_dense_native(chunk, n_cap=cap)
+                if not self.with_nafm:
+                    batch.pop("nafm")
+                return batch
+            return collate_dense(chunk, num_nodes=cap,
+                                 with_nafm=self.with_nafm)
+        elif self.collate == "packed":
+            if self._packed_caps is not None:
+                node_cap, edge_cap = self._packed_caps
             else:
-                raise ValueError(self.collate)
+                node_cap = bucket_for(
+                    sum(g.num_atoms for g in chunk) + 1)
+                edge_cap = bucket_for(
+                    sum(g.num_edges for g in chunk))
+            # graph-slot count stays the true chunk size (only the
+            # final partial batch adds a second compiled shape)
+            if self.use_native:
+                from mpnn_tpu import native
+                batch = native.pack_batch_native(
+                    chunk, node_cap=node_cap, edge_cap=edge_cap)
+            else:
+                batch = collate_packed(chunk, node_cap=node_cap,
+                                       edge_cap=edge_cap).as_dict()
+            if self._vocab_vids is not None:
+                # cached dataset-wide vocab: per batch this is pure
+                # concatenation + an int-array first-occurrence scan
+                # (the old per-batch row-wise np.unique argsort was
+                # ~29 ms — the dominant host collation cost)
+                vid = np.zeros(batch["edge_src"].shape[0], np.int32)
+                off = 0
+                for i in idx_chunk:
+                    v = self._vocab_vids[i]
+                    vid[off:off + v.shape[0]] = v
+                    off += v.shape[0]
+                vfirst = np.zeros((self._vocab_cap,), np.int32)
+                present, first = np.unique(vid, return_index=True)
+                # ids absent from this batch keep index 0: they gather
+                # the zero row, and no edge carries them — unused
+                vfirst[present] = first
+                batch = dict(batch)
+                batch["edge_vid"] = vid
+                batch["edge_vfirst"] = vfirst
+            elif self._vocab_cap is not None:
+                batch = attach_edge_vocab(batch, self._vocab_cap)
+            if all(hasattr(g, "edge_types") for g in chunk):
+                # GGNN inputs ride along whenever the graphs carry
+                # bond-type ids (graphs.attach_edge_types): packed
+                # 'edge_types' aligned with edge_src/dst, pad edges = 0
+                from mpnn_tpu.graphs.batching import with_edge_types
+                batch = with_edge_types(batch, chunk)
+            if self._slot_caps is not None:
+                from mpnn_tpu.ops.segments import attach_segment_slots
+                batch = attach_segment_slots(
+                    batch, node_slot_cap=self._slot_caps[0],
+                    edge_slot_cap=self._slot_caps[1])
+            if self.spmm_window is not None and "edge_vid" in batch:
+                from mpnn_tpu.kernels.spmm import plan_edge_windows
+                plan = plan_edge_windows(
+                    batch["edge_src"], batch["edge_dst"],
+                    batch["edge_mask"], batch["node_feats"].shape[0],
+                    self.spmm_block_edges, window=self.spmm_window,
+                    align=self.spmm_align)
+                if plan is not None:
+                    batch["spmm_win"] = plan.win_start
+            if self.fused_step_plan and ("edge_vid" in batch
+                                         or "edge_types" in batch):
+                from mpnn_tpu.kernels.fused_step import attach_fused_plan
+                batch = attach_fused_plan(batch, size_bucket=512)
+            return batch
+        raise ValueError(self.collate)
 
 
 class PrefetchLoader:
-    """Wraps a GraphLoader with a background-thread prefetch queue so host
-    collation overlaps device compute (the input-pipeline overlap the
-    reference's synchronous DataLoader lacks)."""
+    """Wraps a GraphLoader with background prefetch so host collation
+    overlaps device compute (the input-pipeline overlap the reference's
+    synchronous DataLoader lacks).
+
+    workers=1 (default): one producer thread running the loader as-is.
+    workers>1: a thread pool collates chunks CONCURRENTLY with order
+    preserved (epoch order/shuffle semantics identical — chunk index
+    lists come from the loader's own _epoch_chunks()). Measured honest:
+    at batch-1024 molecular shapes the pool is a WASH (~6.5 ms/batch
+    either way) — the python/numpy collation glue holds the GIL; only
+    the ctypes native packer releases it. Useful when `to_device` or
+    custom per-batch transforms dominate (those do release the GIL)."""
 
     def __init__(self, loader: GraphLoader, prefetch: int = 2,
-                 to_device=None):
+                 to_device=None, workers: int = 1):
         self.loader = loader
         self.prefetch = prefetch
         self.to_device = to_device      # optional fn(batch) → device batch
+        self.workers = workers
 
     def __len__(self):
         return len(self.loader)
 
+    def _iter_pool(self):
+        from concurrent.futures import ThreadPoolExecutor
+        import collections
+        depth = max(self.prefetch, self.workers)
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            chunks = self.loader._epoch_chunks()
+            pending = collections.deque()
+            ci = 0
+            while ci < len(chunks) or pending:
+                while ci < len(chunks) and len(pending) < depth:
+                    pending.append(
+                        pool.submit(self.loader._collate_chunk, chunks[ci]))
+                    ci += 1
+                batch = pending.popleft().result()   # ordered
+                if self.to_device is not None:
+                    batch = self.to_device(batch)
+                yield batch
+
     def __iter__(self):
+        if self.workers > 1:
+            yield from self._iter_pool()
+            return
         import queue
         import threading
 

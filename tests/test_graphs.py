@@ -212,3 +212,25 @@ class TestPrefetchLoader:
         pre = PrefetchLoader(graphs.GraphLoader(gs, 4), to_device=boom)
         with pytest.raises(RuntimeError, match="collate exploded"):
             list(pre)
+
+
+def test_prefetch_pool_matches_sequential():
+    """PrefetchLoader(workers>1) must yield the SAME batches in the SAME
+    order as the sequential loader (ordered futures window)."""
+    import numpy as np
+    from mpnn_tpu import graphs as G
+    from mpnn_tpu.graphs.dataloader import GraphLoader, PrefetchLoader
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "C1CCCCC1",
+              "NC(=O)c1ccccc1"] * 6
+    gs, _ = G.encode_molgraphs(G.generate_molgraphs(
+        smiles, list(range(len(smiles)))))
+    ref = list(GraphLoader(gs, 8, collate="packed", fused_step_plan=True))
+    pool = list(PrefetchLoader(
+        GraphLoader(gs, 8, collate="packed", fused_step_plan=True),
+        workers=4))
+    assert len(pool) == len(ref)
+    for a, b in zip(pool, ref):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
