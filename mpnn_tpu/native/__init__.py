@@ -64,6 +64,12 @@ def _load():
                                ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                ctypes.c_int, ctypes.c_int,
                                f32, f32, f32, f32, f32]
+    lib.pack_batch_gather.restype = ctypes.c_int
+    lib.pack_batch_gather.argtypes = [
+        f32, f32, f32, i32, i32, i32, i32, i64, i64, i32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32, f32, f32, i32, i32, i32, f32, f32, f32, i32, i32]
     _LIB = lib
     return _LIB
 
@@ -184,3 +190,110 @@ def _collect_labels(graphs, n_cap):
             labels[i, :g.num_atoms] = g.label
         return labels
     return np.asarray([g.label for g in graphs])
+
+
+class FlatStore:
+    """Dataset-wide flat arrays, built ONCE per run, consumed by
+    pack_batch_gather_native: the per-batch host cost becomes pure C++
+    memcpy (GIL released) instead of per-call Python flattening."""
+
+    def __init__(self, graphs, vids=None):
+        (self.afm, self.nafm, self.feats, self.src, self.dst,
+         self.oa, self.oe) = _flatten_graphs(graphs)
+        self.vids = None
+        if vids is not None:
+            self.vids = np.ascontiguousarray(
+                np.concatenate([np.asarray(v, np.int32) for v in vids])
+                if vids else np.zeros((0,), np.int32))
+            assert self.vids.shape[0] == self.oe[-1]
+        self.types = None
+        if graphs and all(hasattr(g, "edge_types") for g in graphs):
+            self.types = np.ascontiguousarray(np.concatenate(
+                [np.asarray(g.edge_types, np.int32) for g in graphs])
+                if graphs else np.zeros((0,), np.int32))
+        # labels must stack (ragged per-graph labels → caller falls back)
+        self.labels = None
+        if graphs and graphs[0].label is not None:
+            self.labels = np.stack([np.asarray(g.label) for g in graphs])
+
+
+def build_flat_store(graphs, vids=None):
+    """FlatStore or None (native lib unavailable / ragged labels)."""
+    if _load() is None or not graphs:
+        return None
+    try:
+        return FlatStore(graphs, vids=vids)
+    except (ValueError, TypeError):  # ragged labels (per-atom matrices)
+        return None
+
+
+def pack_batch_gather_native(store: FlatStore, sel, node_cap: int,
+                             edge_cap: int,
+                             num_graphs: Optional[int] = None) -> dict:
+    """Native gather-collate from a FlatStore — same output dict as
+    collate_packed(...).as_dict() (+ 'edge_vid'/'edge_types' when the
+    store carries them)."""
+    lib = _load()
+    assert lib is not None, "native packer unavailable"
+    sel = np.ascontiguousarray(np.asarray(sel, np.int32))
+    n_sel = int(sel.shape[0])
+    ng = num_graphs or n_sel
+    assert ng >= n_sel
+    fa, fn, fe = (store.afm.shape[1], store.nafm.shape[1],
+                  store.feats.shape[1])
+    node_feats = np.empty((node_cap, fa), np.float32)
+    node_nafm = np.empty((node_cap, fn), np.float32)
+    node_mask = np.empty((node_cap, 1), np.float32)
+    node_graph = np.empty((node_cap,), np.int32)
+    out_src = np.empty((edge_cap,), np.int32)
+    out_dst = np.empty((edge_cap,), np.int32)
+    out_efeats = np.empty((edge_cap, fe), np.float32)
+    out_emask = np.empty((edge_cap,), np.float32)
+    graph_mask = np.empty((ng,), np.float32)
+    out_vid = np.empty((edge_cap,), np.int32) \
+        if store.vids is not None else None
+    out_types = np.empty((edge_cap,), np.int32) \
+        if store.types is not None else None
+    null_i32 = ctypes.POINTER(ctypes.c_int32)()
+    rc = lib.pack_batch_gather(
+        _ptr(store.afm, ctypes.c_float), _ptr(store.nafm, ctypes.c_float),
+        _ptr(store.feats, ctypes.c_float), _ptr(store.src, ctypes.c_int32),
+        _ptr(store.dst, ctypes.c_int32),
+        _ptr(store.vids, ctypes.c_int32) if out_vid is not None
+        else null_i32,
+        _ptr(store.types, ctypes.c_int32) if out_types is not None
+        else null_i32,
+        _ptr(store.oa, ctypes.c_int64), _ptr(store.oe, ctypes.c_int64),
+        _ptr(sel, ctypes.c_int32), n_sel, fa, fn, fe,
+        node_cap, edge_cap, ng,
+        _ptr(node_feats, ctypes.c_float), _ptr(node_nafm, ctypes.c_float),
+        _ptr(node_mask, ctypes.c_float), _ptr(node_graph, ctypes.c_int32),
+        _ptr(out_src, ctypes.c_int32), _ptr(out_dst, ctypes.c_int32),
+        _ptr(out_efeats, ctypes.c_float), _ptr(out_emask, ctypes.c_float),
+        _ptr(graph_mask, ctypes.c_float),
+        _ptr(out_vid, ctypes.c_int32) if out_vid is not None else null_i32,
+        _ptr(out_types, ctypes.c_int32) if out_types is not None
+        else null_i32)
+    if rc != 0:
+        raise ValueError("batch exceeds packed capacity")
+    if store.labels is not None:
+        labels = store.labels[sel]
+        if labels.shape[0] < ng:
+            labels = np.concatenate(
+                [labels,
+                 np.zeros((ng - labels.shape[0],) + labels.shape[1:],
+                          labels.dtype)])
+    else:
+        labels = np.zeros((ng,))
+    out = {
+        "node_feats": node_feats, "node_nafm": node_nafm,
+        "node_mask": node_mask, "node_graph": node_graph,
+        "edge_src": out_src, "edge_dst": out_dst,
+        "edge_feats": out_efeats, "edge_mask": out_emask,
+        "labels": labels, "graph_mask": graph_mask, "num_graphs": ng,
+    }
+    if out_vid is not None:
+        out["edge_vid"] = out_vid
+    if out_types is not None:
+        out["edge_types"] = out_types
+    return out

@@ -61,3 +61,33 @@ class TestNativePacker:
         t_nat = time.perf_counter() - t0
         # don't be flaky: just require the native path is not slower
         assert t_nat < t_np * 1.2, (t_nat, t_np)
+
+
+def test_flat_store_gather_matches_numpy_loader():
+    """The native gather-packer (dataset-wide FlatStore, one C++ memcpy
+    pass per batch incl. vocab ids and GGNN types) must reproduce the
+    numpy loader bit-for-bit, including the derived plan keys."""
+    import numpy as np
+    from mpnn_tpu import graphs as G
+    from mpnn_tpu import native
+    from mpnn_tpu.graphs.dataloader import GraphLoader
+    if not native.available():
+        import pytest
+        pytest.skip("native packer unavailable")
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "C1CCCCC1",
+              "NC(=O)c1ccccc1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O"] * 5
+    gs = G.generate_molgraphs(smiles, [0.1 * i for i in range(len(smiles))])
+    G.attach_edge_types(gs)
+    gs, _ = G.encode_molgraphs(gs)
+    l_flat = GraphLoader(gs, 8, collate="packed", fused_step_plan=True)
+    l_np = GraphLoader(gs, 8, collate="packed", use_native=False,
+                       fused_step_plan=True)
+    assert l_flat._flat_store is not None
+    a_all, b_all = list(l_flat), list(l_np)
+    assert len(a_all) == len(b_all)
+    for a, b in zip(a_all, b_all):
+        assert set(a) == set(b)
+        assert "edge_vid" in a and "edge_types" in a
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
