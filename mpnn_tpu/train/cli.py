@@ -134,6 +134,8 @@ def cmd_train(args):
         overrides["packed"] = True
     if getattr(args, "spmm", None):
         overrides["spmm"] = args.spmm
+    if getattr(args, "fuse_step", False):
+        overrides["fuse_step"] = True
     if overrides:
         tcfg = dataclasses.replace(tcfg, **overrides)
     init_params = init_state = None
@@ -292,6 +294,10 @@ def main(argv=None):
     t.add_argument("--resume", action="store_true")
     t.add_argument("--packed", action="store_true",
                    help="train on the sparse packed-COO path")
+    t.add_argument("--fuse-step", dest="fuse_step", action="store_true",
+                   help="whole-step fused Pallas kernel for eligible "
+                        "packed configs (messages through readout in one "
+                        "fwd pallas_call; silent fallback when ineligible)")
     t.add_argument("--spmm", choices=["xla", "kernel", "kernel_interpret"],
                    help="packed message-step SpMM backend (kernel = the "
                         "Pallas windowed one-hot kernel, TPU)")
