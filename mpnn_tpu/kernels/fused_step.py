@@ -56,7 +56,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpnn_tpu.kernels.recurrence import (_bn_bwd_t, _bn_fwd_t, _dot,
-                                         _gru_fwd_t, reference_recurrence)
+                                         _gru_fwd_t, reference_recurrence,
+                                         vmem_reverse_walk)
 from mpnn_tpu.kernels.spmm import spmm_reference
 
 _BIG_NEG = -1e9
@@ -418,6 +419,95 @@ def _ro_bwd_kernel(ns_ref, ht_ref, h0_ref, mask_ref, ng_ref,
         dbrj_out[:] += jnp.sum(djv, axis=1, keepdims=True)
 
 
+def _ro_rec_bwd_kernel(ns_ref, h0_ref, mask_ref, ng_ref, ht_ref,
+                       wi1_ref, wi2_ref, wj1_ref, wj2_ref, bri_ref,
+                       brj_ref, odm_ref, y_ref, gm_ref, out_ref, gl_ref,
+                       gout_ref,
+                       htil_ref, stats_ref, c_ref,
+                       wir_ref, wiz_ref, win_ref, whr_ref, whz_ref,
+                       whn_ref, bir_ref, biz_ref, bin_ref, bhr_ref,
+                       bhz_ref, bhn_ref, mw_ref, mbias_ref, sw_ref, sb_ref,
+                       dh0_out, dmsgs_out,
+                       dwir_out, dwiz_out, dwin_out,
+                       dwhr_out, dwhz_out, dwhn_out,
+                       dbir_out, dbiz_out, dbin_out,
+                       dbhr_out, dbhz_out, dbhn_out,
+                       dmw_out, dmbias_out, dsw_out, dsb_out,
+                       dwi1_out, dwi2_out, dwj1_out, dwj2_out,
+                       dbri_out, dbrj_out,
+                       gh_s, dh0s, dout_s,
+                       *, steps: int, f: int, fp: int, nw: int, gb: int):
+    """Readout+loss backward FUSED with the VMEM-resident recurrence
+    reverse walk: the gh cotangent never round-trips HBM, dh0's readout
+    term rides the same output, and one kernel launch replaces two."""
+    dt = jnp.float32
+    gw = GRAPH_BLOCK
+    m = mask_ref[:]
+    c = c_ref[0, 0]
+    odm = odm_ref[:]
+    neg = (1.0 - odm) * _BIG_NEG
+    gl = gl_ref[0, 0]
+    dout_s[:] = gl * 2.0 * (out_ref[:] - y_ref[:]) * gm_ref[:] * odm \
+        / jnp.sum(gm_ref[:]) + gout_ref[:]
+    gh_s[:] = jnp.zeros_like(gh_s)
+    dh0s[:] = jnp.zeros_like(dh0s)
+    dwi1 = dwi2 = dwj1 = dwj2 = jnp.zeros_like(dwi1_out[:])
+    dbri = dbrj = jnp.zeros_like(dbri_out[:])
+    for j in range(gb):
+        ns = pl.multiple_of(ns_ref[j], 128)
+        og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+        mblk = mask_ref[:, pl.ds(ns, nw)]
+        hb = ht_ref[:, pl.ds(ns, nw)]
+        h0b = h0_ref[:, pl.ds(ns, nw)] * mblk
+        pi = _dot(wi1_ref[:], hb) + _dot(wi2_ref[:], h0b) \
+            + bri_ref[:] + neg
+        pj = _dot(wj1_ref[:], hb) + _dot(wj2_ref[:], h0b) + brj_ref[:]
+        ex = jnp.exp(pi - jnp.max(pi, axis=0, keepdims=True)) * odm
+        sm = ex / jnp.sum(ex, axis=0, keepdims=True)
+        dgated = _dot(dout_s[:, j * gw:(j + 1) * gw], og.T)
+        djv = dgated * sm * mblk
+        dsm = dgated * pj * mblk
+        dpi = sm * (dsm - jnp.sum(dsm * sm, axis=0, keepdims=True))
+        gh_s[:, pl.ds(ns, nw)] += \
+            _dot(wi1_ref[:].T, dpi) + _dot(wj1_ref[:].T, djv)
+        dh0s[:, pl.ds(ns, nw)] += \
+            (_dot(wi2_ref[:].T, dpi) + _dot(wj2_ref[:].T, djv)) * mblk
+        dwi1 += _dot(dpi, hb.T)
+        dwi2 += _dot(dpi, h0b.T)
+        dwj1 += _dot(djv, hb.T)
+        dwj2 += _dot(djv, h0b.T)
+        dbri += jnp.sum(dpi, axis=1, keepdims=True)
+        dbrj += jnp.sum(djv, axis=1, keepdims=True)
+    dwi1_out[:] = dwi1
+    dwi2_out[:] = dwi2
+    dwj1_out[:] = dwj1
+    dwj2_out[:] = dwj2
+    dbri_out[:] = dbri
+    dbrj_out[:] = dbrj
+
+    # h0 arrives pre-masked (fused_flagship_loss masks node_feats)
+    dh0, dmsgs, dws, dbs, dns = vmem_reverse_walk(
+        h0_ref[:], htil_ref, stats_ref, m, c,
+        wir_ref[:], wiz_ref[:], win_ref[:],
+        whr_ref[:], whz_ref[:], whn_ref[:],
+        bir_ref[:], biz_ref[:], bin_ref[:],
+        bhr_ref[:], bhz_ref[:], bhn_ref[:],
+        mw_ref[:], mbias_ref[:], sw_ref[:], sb_ref[:], gh_s[:],
+        steps=steps, fp=fp)
+    dh0_out[:] = dh0 + dh0s[:]
+    dmsgs_out[:] = dmsgs
+    (dwir_out[:], dwiz_out[:], dwin_out[:],
+     dwhr_out[:], dwhz_out[:], dwhn_out[:]) = dws
+    dbr, dbz, dbn_, dbnh = dbs
+    dbir_out[:] = dbr
+    dbiz_out[:] = dbz
+    dbin_out[:] = dbn_
+    dbhr_out[:] = dbr
+    dbhz_out[:] = dbz
+    dbhn_out[:] = dbnh
+    dmw_out[:], dmbias_out[:], dsw_out[:], dsb_out[:] = dns
+
+
 def _msg_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                     a2tt_ref, a0_ref, h0_ref, ng_ref, dmsgs_ref,
                     dh0_out, da2t_out, da0_out, dmbias_out,
@@ -727,70 +817,151 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         gm_row = jnp.pad(gmask.astype(dt).reshape(1, n_graphs),
                          ((0, 0), (0, gp - n_graphs)))
 
-        # --- readout + loss backward (one small kernel) ------------------
-        ro_kernel = functools.partial(_ro_bwd_kernel, f=f, fp=fp, nw=nw,
-                                      gb=gb)
-        rw = jax.ShapeDtypeStruct((odp, fp), dt)
-        rc = jax.ShapeDtypeStruct((odp, 1), dt)
-        ro_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(1,),
-            in_specs=[_vm()] * 16,
-            out_specs=tuple([_vm()] * 8),
-            scratch_shapes=[pltpu.VMEM((odp, gp), dt)],
-        )
-        if "ro" in skips:
-            gh_t = dh0_ro = jnp.zeros((fp, npad), dt)
-            dwi1 = dwi2 = dwj1 = dwj2 = jnp.zeros((odp, fp), dt)
-            dbri = dbrj = jnp.zeros((odp, 1), dt)
-        else:
-            (gh_t, dh0_ro, dwi1, dwi2, dwj1, dwj2, dbri,
-             dbrj) = pl.pallas_call(
-                ro_kernel,
-                grid_spec=ro_spec,
-                out_shape=(
-                    jax.ShapeDtypeStruct((fp, npad), dt),
-                    jax.ShapeDtypeStruct((fp, npad), dt),
-                    rw, rw, rw, rw, rc, rc,
-                ),
-                compiler_params=_vmem_params(8),
-                interpret=interpret,
-            )(ns, h_t, h0t, mask_row, ng_row, wi1, wi2, wj1, wj2, bri, brj,
-              odm, y_row, gm_row, out_t, gl2, gout_t)
-
-        # --- recurrence chain backward: the proven streaming merged-pass
-        # kernel (kernels/recurrence.py), fed the residuals the forward
-        # kernel stashed in its layout — no chain-forward replay. The
-        # transposed-io entry keeps the cotangent and dmsgs/dh0 in the
-        # kernels' shared (fp, lanes) layout: no HBM transpose round-trips
-        # between the three backward kernels. htil was allocated at npad_m
-        # lanes by the forward (extra lanes zero via the aliased zeros
-        # input); dmsgs/dh0 pad lanes come back zero (masked writes).
-        from mpnn_tpu.kernels.recurrence import (_merged_backward_call,
+        from mpnn_tpu.kernels.recurrence import (_VMEM_BWD_LIVE_PANELS,
+                                                 _merged_backward_call,
+                                                 _pack_blocked,
                                                  _vmem_backward_call,
                                                  _vmem_bwd_fits)
         # msgs is only used by the backward calls for packing shapes
         # (the real values ride in htil slot 0) — feed a zeros stand-in
         msgs_dummy = jnp.zeros((n, f), h0.dtype)
-        if "rec" in skips:
-            dmsgs_t = dh0_chain_t = jnp.zeros((fp, npad_m), dt)
-            dgru = jax.tree.map(jnp.zeros_like, gru)
-            dma = jax.tree.map(jnp.zeros_like, ma_bn)
-            dbn = jax.tree.map(jnp.zeros_like, bn)
-        elif _vmem_bwd_fits(steps, f, npad_m) and os.environ.get(
-                "MPNN_FS_REC_BWD", "auto") != "stream":
-            # whole residual set VMEM-resident: one grid step, no passes
-            # (MPNN_FS_REC_BWD=stream forces the streaming branch — the
-            # one batch-4096-scale runs take — for tests/probes)
-            dmsgs_t, dh0_chain_t, dgru, dma, dbn = _vmem_backward_call(
-                (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),
-                gh_t, steps=steps, f=f, n=n, npad=npad_m,
-                interpret=interpret, transposed_io=True)
+        rw = jax.ShapeDtypeStruct((odp, fp), dt)
+        rc = jax.ShapeDtypeStruct((odp, 1), dt)
+        combined = (not skips
+                    and _vmem_bwd_fits(steps, f, npad_m)
+                    and os.environ.get("MPNN_FS_REC_BWD", "auto")
+                    != "stream")
+        if combined:
+            # --- readout+loss bwd FUSED with the VMEM-resident reverse
+            # walk: one launch, gh never leaves VMEM, dh0's readout term
+            # rides the walk's output
+            packed_rec, _mt = _pack_blocked(
+                msgs_dummy, h0, mask, gru, ma_bn, bn,
+                f=f, fp=fp, n=n, npad=npad_m)
+            (_msgs_t, h0m, mask_row_m, c_s,
+             wir, wiz, win2, whr, whz, whn, bir, biz, bin_c,
+             bhr, bhz, bhn, mwp, mbp, swp, sbp) = packed_rec
+            padm = ((0, 0), (0, npad_m - npad))
+            ht_m = jnp.pad(h_t.astype(dt), padm)
+            ng_row_m = jnp.pad(ng_row, padm, constant_values=n_graphs)
+            est = ((steps + 1 + _VMEM_BWD_LIVE_PANELS + 8)
+                   * fp * npad_m * 4)
+            comb_kernel = functools.partial(
+                _ro_rec_bwd_kernel, steps=steps, f=f, fp=fp, nw=nw, gb=gb)
+            comb_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1,),
+                in_specs=[_vm()] * 35,
+                out_specs=tuple([_vm()] * 24),
+                scratch_shapes=[
+                    pltpu.VMEM((fp, npad_m), dt),    # gh_s
+                    pltpu.VMEM((fp, npad_m), dt),    # dh0s (readout term)
+                    pltpu.VMEM((odp, gp), dt),       # dout_s
+                ],
+            )
+            fpn_m = jax.ShapeDtypeStruct((fp, npad_m), dt)
+            fpf = jax.ShapeDtypeStruct((fp, fp), dt)
+            fc = jax.ShapeDtypeStruct((fp, 1), dt)
+            outs = pl.pallas_call(
+                comb_kernel,
+                grid_spec=comb_spec,
+                out_shape=(fpn_m, fpn_m,
+                           fpf, fpf, fpf, fpf, fpf, fpf,
+                           fc, fc, fc, fc, fc, fc, fc, fc, fc, fc,
+                           rw, rw, rw, rw, rc, rc),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=min(110 * 2 ** 20,
+                                         est + 8 * 2 ** 20)),
+                interpret=interpret,
+            )(ns, h0m, mask_row_m, ng_row_m, ht_m,
+              wi1, wi2, wj1, wj2, bri, brj, odm, y_row, gm_row, out_t,
+              gl2, gout_t,
+              htil, stats, c_s,
+              wir, wiz, win2, whr, whz, whn, bir, biz, bin_c,
+              bhr, bhz, bhn, mwp, mbp, swp, sbp)
+            (dh0_chain_t, dmsgs_t,
+             dwir_o, dwiz_o, dwin_o, dwhr_o, dwhz_o, dwhn_o,
+             dbir_o, dbiz_o, dbin_o, dbhr_o, dbhz_o, dbhn_o,
+             dmw_o, dmbb_o, dsw_o, dsb_o,
+             dwi1, dwi2, dwj1, dwj2, dbri, dbrj) = outs
+            dh0_ro = jnp.zeros((fp, npad), dt)       # folded into the walk
+
+            def _unblocks(ws_):
+                return jnp.stack([w[:f, :f] for w in ws_],
+                                 axis=1).reshape(f, 3 * f)
+
+            def _uncol3(cs_):
+                return jnp.concatenate([cv[:f, 0] for cv in cs_])
+
+            dgru = {
+                "w_ih": _unblocks([dwir_o, dwiz_o, dwin_o]).astype(
+                    gru["w_ih"].dtype),
+                "w_hh": _unblocks([dwhr_o, dwhz_o, dwhn_o]).astype(
+                    gru["w_hh"].dtype),
+                "b_ih": _uncol3([dbir_o, dbiz_o, dbin_o]).astype(
+                    gru["b_ih"].dtype),
+                "b_hh": _uncol3([dbhr_o, dbhz_o, dbhn_o]).astype(
+                    gru["b_hh"].dtype),
+            }
+            dma = {"weight": dmw_o[:f, 0].astype(ma_bn["weight"].dtype),
+                   "bias": dmbb_o[:f, 0].astype(ma_bn["bias"].dtype)}
+            dbn = {"weight": dsw_o[:f, 0].astype(bn["weight"].dtype),
+                   "bias": dsb_o[:f, 0].astype(bn["bias"].dtype)}
         else:
-            dmsgs_t, dh0_chain_t, dgru, dma, dbn = _merged_backward_call(
-                (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),
-                gh_t, steps=steps, f=f, n=n, blk=blk_m,
-                interpret=interpret, transposed_io=True)
+            # --- readout + loss backward (one small kernel) --------------
+            ro_kernel = functools.partial(_ro_bwd_kernel, f=f, fp=fp,
+                                          nw=nw, gb=gb)
+            ro_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1,),
+                in_specs=[_vm()] * 16,
+                out_specs=tuple([_vm()] * 8),
+                scratch_shapes=[pltpu.VMEM((odp, gp), dt)],
+            )
+            if "ro" in skips:
+                gh_t = dh0_ro = jnp.zeros((fp, npad), dt)
+                dwi1 = dwi2 = dwj1 = dwj2 = jnp.zeros((odp, fp), dt)
+                dbri = dbrj = jnp.zeros((odp, 1), dt)
+            else:
+                (gh_t, dh0_ro, dwi1, dwi2, dwj1, dwj2, dbri,
+                 dbrj) = pl.pallas_call(
+                    ro_kernel,
+                    grid_spec=ro_spec,
+                    out_shape=(
+                        jax.ShapeDtypeStruct((fp, npad), dt),
+                        jax.ShapeDtypeStruct((fp, npad), dt),
+                        rw, rw, rw, rw, rc, rc,
+                    ),
+                    compiler_params=_vmem_params(8),
+                    interpret=interpret,
+                )(ns, h_t, h0t, mask_row, ng_row, wi1, wi2, wj1, wj2,
+                  bri, brj, odm, y_row, gm_row, out_t, gl2, gout_t)
+
+            # --- recurrence chain backward: the streaming merged-pass
+            # kernel or the VMEM-resident walk (kernels/recurrence.py),
+            # fed the residuals the forward kernel stashed in its layout
+            # — no chain-forward replay. transposed_io keeps the
+            # cotangent and dmsgs/dh0 in the kernels' shared (fp, lanes)
+            # layout. htil was allocated at npad_m lanes by the forward
+            # (extra lanes zero via the aliased zeros input).
+            if "rec" in skips:
+                dmsgs_t = dh0_chain_t = jnp.zeros((fp, npad_m), dt)
+                dgru = jax.tree.map(jnp.zeros_like, gru)
+                dma = jax.tree.map(jnp.zeros_like, ma_bn)
+                dbn = jax.tree.map(jnp.zeros_like, bn)
+            elif _vmem_bwd_fits(steps, f, npad_m) and os.environ.get(
+                    "MPNN_FS_REC_BWD", "auto") != "stream":
+                dmsgs_t, dh0_chain_t, dgru, dma, dbn = _vmem_backward_call(
+                    (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),
+                    gh_t, steps=steps, f=f, n=n, npad=npad_m,
+                    interpret=interpret, transposed_io=True)
+            else:
+                dmsgs_t, dh0_chain_t, dgru, dma, dbn = \
+                    _merged_backward_call(
+                        (msgs_dummy, h0, mask, gru, ma_bn, bn, htil,
+                         stats),
+                        gh_t, steps=steps, f=f, n=n, blk=blk_m,
+                        interpret=interpret, transposed_io=True)
 
         # --- message (SpMM + A0 + bias) backward (one kernel) ------------
         common_pack = pack(amat, a0, mbias, h0, mask, node_graph, gru,

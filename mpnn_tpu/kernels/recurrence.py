@@ -1437,19 +1437,16 @@ def _vmem_bwd_fits(steps: int, f: int, npad: int) -> bool:
     return est <= 96 * 2 ** 20
 
 
-def _vmem_bwd_kernel(h0_ref, htil_ref, mask_ref, c_ref,
-                     wir_ref, wiz_ref, win_ref, whr_ref, whz_ref, whn_ref,
-                     bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
-                     mw_ref, mbias_ref, sw_ref, sb_ref, stats_ref, g_ref,
-                     dh0_out, dmsgs_out,
-                     dwir_out, dwiz_out, dwin_out,
-                     dwhr_out, dwhz_out, dwhn_out,
-                     dbir_out, dbiz_out, dbin_out,
-                     dbhr_out, dbhz_out, dbhn_out,
-                     dmw_out, dmbias_out, dsw_out, dsb_out,
-                     *, steps: int, fp: int):
-    m = mask_ref[:]
-    c = c_ref[0, 0]
+def vmem_reverse_walk(h0, htil_ref, stats_ref, m, c,
+                      wir, wiz, win, whr, whz, whn,
+                      bir, biz, bin_c, bhr, bhz, bhn,
+                      mw, mbias, sw, sb, gh0, *, steps: int, fp: int):
+    """The VMEM-resident reverse walk as a VALUE-level function (refs only
+    for the sliced htil/stats residuals), shared by _vmem_bwd_kernel and
+    the fused-step combined readout+recurrence backward
+    (kernels/fused_step.py). Returns
+    (dh0, dmsgs, (dwir, dwiz, dwin, dwhr, dwhz, dwhn),
+     (dbr, dbz, dbn, dbnh), (dmw, dmbias, dsw, dsb))."""
 
     def srow(t):
         return (stats_ref[t * fp:(t + 1) * fp, 0:1],
@@ -1460,27 +1457,29 @@ def _vmem_bwd_kernel(h0_ref, htil_ref, mask_ref, c_ref,
     ma_s = jnp.sqrt(jnp.maximum(ma_var, VAR_CLAMP))
     ma_d = ma_s + BN_EPS
     xhat0 = (htil_ref[0:fp, :] - ma_mean) * m / ma_d
-    mb = (mw_ref[:] * xhat0 + mbias_ref[:]) * m
-    gr = _dot(wir_ref[:].T, mb) + bir_ref[:]
-    gz = _dot(wiz_ref[:].T, mb) + biz_ref[:]
-    gn = _dot(win_ref[:].T, mb) + bin_ref[:]
+    mb = (mw * xhat0 + mbias) * m
+    gr = _dot(wir.T, mb) + bir
+    gz = _dot(wiz.T, mb) + biz
+    gn = _dot(win.T, mb) + bin_c
 
     # step-T BN reduction (the final state's normalize)
     mean_T, var_T = srow(steps)
     d_T = jnp.sqrt(jnp.maximum(var_T, VAR_CLAMP)) + BN_EPS
     xhat_t = (htil_ref[steps * fp:(steps + 1) * fp, :] - mean_T) * m / d_T
-    gym = g_ref[:] * m
+    gym = gh0 * m
     dsw = jnp.sum(gym * xhat_t, axis=1, keepdims=True)
     dsb = jnp.sum(gym, axis=1, keepdims=True)
-    dxhat = gym * sw_ref[:]
+    dxhat = gym * sw
     S1 = jnp.sum(dxhat, axis=1, keepdims=True)
     S2 = jnp.sum(dxhat * xhat_t, axis=1, keepdims=True)
 
-    zf = jnp.zeros_like(dwir_out[:])
-    zc = jnp.zeros_like(dbir_out[:])
-    dwir = dwiz = dwin = dwhr = dwhz = dwhn = zf
+    zf = jnp.zeros((fp, fp), mb.dtype)
+    zc = jnp.zeros((fp, 1), mb.dtype)
+    dwir_a = dwiz_a = dwin_a = dwhr_a = dwhz_a = dwhn_a = zf
     dbr = dbz = dbn_ = dbnh = zc
     dmb_acc = jnp.zeros_like(mb)
+    dh0 = dmsgs = None
+    dmw_o = dmbias_o = None
 
     for t in range(steps, 0, -1):
         mean_t, var_t = srow(t)
@@ -1492,15 +1491,12 @@ def _vmem_bwd_kernel(h0_ref, htil_ref, mask_ref, c_ref,
             pmean, pvar = srow(t - 1)
             pd = jnp.sqrt(jnp.maximum(pvar, VAR_CLAMP)) + BN_EPS
             xh_prev = (htil_ref[(t - 1) * fp:t * fp, :] - pmean) * m / pd
-            hprev = (sw_ref[:] * xh_prev + sb_ref[:]) * m
+            hprev = (sw * xh_prev + sb) * m
         else:
-            hprev = h0_ref[:]
-        whr = whr_ref[:]
-        whz = whz_ref[:]
-        whn = whn_ref[:]
-        rh = _dot(whr.T, hprev) + bhr_ref[:]
-        zh = _dot(whz.T, hprev) + bhz_ref[:]
-        nh = _dot(whn.T, hprev) + bhn_ref[:]
+            hprev = h0
+        rh = _dot(whr.T, hprev) + bhr
+        zh = _dot(whz.T, hprev) + bhz
+        nh = _dot(whn.T, hprev) + bhn
         sr = jax.nn.sigmoid(gr + rh)
         sz = jax.nn.sigmoid(gz + zh)
         z = sz * m
@@ -1515,52 +1511,76 @@ def _vmem_bwd_kernel(h0_ref, htil_ref, mask_ref, c_ref,
         da_z = dz * m * sz * (1.0 - sz)
         gh_new = dhp * z + _dot(whr, da_r) + _dot(whz, da_z) \
             + _dot(whn, dnh)
-        dwhr += _dot(hprev, da_r.T)
-        dwhz += _dot(hprev, da_z.T)
-        dwhn += _dot(hprev, dnh.T)
-        dwir += _dot(mb, da_r.T)
-        dwiz += _dot(mb, da_z.T)
-        dwin += _dot(mb, da_n.T)
+        dwhr_a += _dot(hprev, da_r.T)
+        dwhz_a += _dot(hprev, da_z.T)
+        dwhn_a += _dot(hprev, dnh.T)
+        dwir_a += _dot(mb, da_r.T)
+        dwiz_a += _dot(mb, da_z.T)
+        dwin_a += _dot(mb, da_n.T)
         dbr += jnp.sum(da_r, axis=1, keepdims=True)
         dbz += jnp.sum(da_z, axis=1, keepdims=True)
         dbn_ += jnp.sum(da_n, axis=1, keepdims=True)
         dbnh += jnp.sum(dnh, axis=1, keepdims=True)
-        dmb_acc += _dot(wir_ref[:], da_r) + _dot(wiz_ref[:], da_z) \
-            + _dot(win_ref[:], da_n)
+        dmb_acc += _dot(wir, da_r) + _dot(wiz, da_z) + _dot(win, da_n)
         if t > 1:
             gym2 = gh_new * m
             dsw += jnp.sum(gym2 * xh_prev, axis=1, keepdims=True)
             dsb += jnp.sum(gym2, axis=1, keepdims=True)
-            dxhat = gym2 * sw_ref[:]
+            dxhat = gym2 * sw
             S1 = jnp.sum(dxhat, axis=1, keepdims=True)
             S2 = jnp.sum(dxhat * xh_prev, axis=1, keepdims=True)
             xhat_t = xh_prev
         else:
-            dh0_out[:] = gh_new * m
+            dh0 = gh_new * m
             gym_m = dmb_acc * m
-            dmw_out[:] = jnp.sum(gym_m * xhat0, axis=1, keepdims=True)
-            dmbias_out[:] = jnp.sum(gym_m, axis=1, keepdims=True)
-            dxm = gym_m * mw_ref[:]
+            dmw_o = jnp.sum(gym_m * xhat0, axis=1, keepdims=True)
+            dmbias_o = jnp.sum(gym_m, axis=1, keepdims=True)
+            dxm = gym_m * mw
             S1m = jnp.sum(dxm, axis=1, keepdims=True)
             S2m = jnp.sum(dxm * xhat0, axis=1, keepdims=True)
-            dmsgs_out[:] = ((dxm - m * S1m / c) / ma_d
-                            - m * xhat0 * S2m / (c * ma_s)) * m
-    dwir_out[:] = dwir
-    dwiz_out[:] = dwiz
-    dwin_out[:] = dwin
-    dwhr_out[:] = dwhr
-    dwhz_out[:] = dwhz
-    dwhn_out[:] = dwhn
+            dmsgs = ((dxm - m * S1m / c) / ma_d
+                     - m * xhat0 * S2m / (c * ma_s)) * m
     # r/z gates: da feeds both bias banks; the n gate differs — b_ih's n
     # bias sees da_n, b_hh's sees dnh (the reset gate multiplies nh)
+    return (dh0, dmsgs,
+            (dwir_a, dwiz_a, dwin_a, dwhr_a, dwhz_a, dwhn_a),
+            (dbr, dbz, dbn_, dbnh),
+            (dmw_o, dmbias_o, dsw, dsb))
+
+
+def _vmem_bwd_kernel(h0_ref, htil_ref, mask_ref, c_ref,
+                     wir_ref, wiz_ref, win_ref, whr_ref, whz_ref, whn_ref,
+                     bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
+                     mw_ref, mbias_ref, sw_ref, sb_ref, stats_ref, g_ref,
+                     dh0_out, dmsgs_out,
+                     dwir_out, dwiz_out, dwin_out,
+                     dwhr_out, dwhz_out, dwhn_out,
+                     dbir_out, dbiz_out, dbin_out,
+                     dbhr_out, dbhz_out, dbhn_out,
+                     dmw_out, dmbias_out, dsw_out, dsb_out,
+                     *, steps: int, fp: int):
+    m = mask_ref[:]
+    c = c_ref[0, 0]
+    dh0, dmsgs, dws, dbs, dns = vmem_reverse_walk(
+        h0_ref[:], htil_ref, stats_ref, m, c,
+        wir_ref[:], wiz_ref[:], win_ref[:],
+        whr_ref[:], whz_ref[:], whn_ref[:],
+        bir_ref[:], biz_ref[:], bin_ref[:],
+        bhr_ref[:], bhz_ref[:], bhn_ref[:],
+        mw_ref[:], mbias_ref[:], sw_ref[:], sb_ref[:], g_ref[:],
+        steps=steps, fp=fp)
+    dh0_out[:] = dh0
+    dmsgs_out[:] = dmsgs
+    (dwir_out[:], dwiz_out[:], dwin_out[:],
+     dwhr_out[:], dwhz_out[:], dwhn_out[:]) = dws
+    dbr, dbz, dbn_, dbnh = dbs
     dbir_out[:] = dbr
     dbiz_out[:] = dbz
     dbin_out[:] = dbn_
     dbhr_out[:] = dbr
     dbhz_out[:] = dbz
     dbhn_out[:] = dbnh
-    dsw_out[:] = dsw
-    dsb_out[:] = dsb
+    dmw_out[:], dmbias_out[:], dsw_out[:], dsb_out[:] = dns
 
 
 def _vmem_backward_call(res, g_ht, *, steps, f, n, npad, interpret,
