@@ -55,7 +55,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpnn_tpu.kernels.recurrence import (_bn_bwd_t, _bn_fwd_t, _dot,
+from mpnn_tpu.kernels.recurrence import (_bn_fwd_t, _dot,
                                          _gru_fwd_t, reference_recurrence,
                                          vmem_reverse_walk)
 from mpnn_tpu.kernels.spmm import spmm_reference

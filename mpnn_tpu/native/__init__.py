@@ -11,7 +11,7 @@ import ctypes
 import os
 import subprocess
 import tempfile
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
