@@ -269,7 +269,7 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
 
 
 def bench_eval(batch_size: int, iters: int, model: str = "flagship",
-               steps_per_call: int = 500):
+               steps_per_call: int = 500, fuse: bool = True):
     """Inference/serving throughput: forward-only, eval mode (running-stat
     BN — the mode a deployed predictor runs), packed sparse path."""
     import functools
@@ -289,6 +289,17 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
         packed = G.with_edge_types(packed, gs)
     else:
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
+    eval_op = None
+    if fuse and model in ("flagship", "ggnn"):
+        # whole-step INFERENCE kernel (running-stat BN folded to affines):
+        # messages -> recurrence -> readout in ONE launch
+        from mpnn_tpu.kernels.fused_step import attach_fused_plan
+        from mpnn_tpu.models.fused_train import (fused_step_eligible,
+                                                 make_fused_eval_for_batch)
+        packed = attach_fused_plan(packed)
+        if "fs_win" in packed and fused_step_eligible(cfg, packed,
+                                                      training=True):
+            eval_op = make_fused_eval_for_batch(cfg, packed)
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
     real_edges = int(packed["edge_mask"].sum())
@@ -302,8 +313,12 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
             # anti-replay: perturb the inputs per step (module docstring)
             b["node_feats"] = jb["node_feats"] \
                 + 1e-6 * (it * steps_per_call + k)
-            out, _ = sparse_mpnn_apply(params, state, cfg, b,
-                                       training=False)
+            if eval_op is not None:
+                from mpnn_tpu.models.fused_train import fused_mpnn_eval
+                out = fused_mpnn_eval(params, state, cfg, b, eval_op)
+            else:
+                out, _ = sparse_mpnn_apply(params, state, cfg, b,
+                                           training=False)
             return acc + out.sum(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0),
                               jnp.arange(steps_per_call))
@@ -460,7 +475,8 @@ def main(argv=None):
             p.error("--mode eval supports neither --dtype nor --no-vocab")
         value, real_edges, last_loss = bench_eval(
             args.batch, args.iters, model=args.model,
-            steps_per_call=args.steps_per_call)
+            steps_per_call=args.steps_per_call,
+            fuse=True if args.fuse_step is None else args.fuse_step)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"

@@ -142,6 +142,38 @@ def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
     return loss, out, _fold_emas(state, cfg, ma_stats, step_stats)
 
 
+def make_fused_eval_for_batch(cfg: MPNNConfig, batch,
+                              interpret: bool = False):
+    """Build the whole-step INFERENCE op for one packed batch's shapes."""
+    from mpnn_tpu.kernels.fused_step import make_fused_eval_op
+    n = int(np.asarray(batch["node_feats"]).shape[0])
+    g = int(np.asarray(batch["graph_mask"]).shape[0])
+    k = (cfg.ggnn_num_edge_types + 1 if cfg.message_fn == "ggnn"
+         else int(np.asarray(batch["edge_vfirst"]).shape[0]))
+    return make_fused_eval_op(
+        cfg.message_steps, cfg.node_features, n, cfg.output_dim, g, k,
+        block_edges=int(batch["fs_block_edges"]),
+        window=int(batch["fs_window"]),
+        node_window=int(batch["fs_node_window"]),
+        interpret=interpret)
+
+
+def fused_mpnn_eval(params, state, cfg: MPNNConfig, batch, eval_op,
+                    edge_mlp_fn=None):
+    """Inference (eval-mode BN) through the whole-step eval kernel —
+    the serving path. Returns out (G, output_dim); state unchanged.
+    Numerically equivalent to sparse_mpnn_apply(..., training=False) on
+    eligible configs."""
+    h0 = batch["node_feats"] * batch["node_mask"]
+    amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn)
+    return eval_op(
+        amat, a0, params["message"][0]["message_bias"], h0,
+        batch["node_mask"], batch["node_graph"], params["gru"],
+        params["ma_bn"][0], state["ma_bn"][0], params["bn"][0],
+        state["bn"][0], params["readout"], vid, batch["edge_src"],
+        batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
+
+
 def fused_mpnn_out(params, state, cfg: MPNNConfig, batch, fused_op,
                    edge_mlp_fn=None):
     """The MPNN core through the whole-step fused kernel, loss OUTSIDE.

@@ -439,6 +439,45 @@ class TestFusedMpnnOutInNetwork:
                 err_msg=f"state leaf {i}")
 
 
+class TestFusedEval:
+    def test_eval_kernel_matches_sparse_eval(self):
+        """The whole-step INFERENCE kernel (running-stat BN folded to
+        affines) vs sparse_mpnn_apply(training=False) on real molecules,
+        after a training step so the running stats are non-trivial."""
+        from mpnn_tpu.models.fused_train import (fused_flagship_loss,
+                                                 fused_mpnn_eval,
+                                                 fused_step_eligible,
+                                                 make_fused_eval_for_batch,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = \
+            TestFusedFlagshipLoss._setup(TestFusedFlagshipLoss())
+        assert fused_step_eligible(cfg, jb, training=True)
+        # one training step to move the EMAs off their init
+        op = make_fused_step_for_batch(cfg, jb, interpret=True)
+        _, _, state = fused_flagship_loss(params, state, cfg, jb,
+                                          labels, op)
+        ev = make_fused_eval_for_batch(cfg, jb, interpret=True)
+        out_k = fused_mpnn_eval(params, state, cfg, jb, ev)
+        out_r, _ = sparse_mpnn_apply(params, state, cfg, jb,
+                                     training=False)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_eval_kernel_ggnn(self):
+        from mpnn_tpu.models.fused_train import (fused_mpnn_eval,
+                                                 make_fused_eval_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = \
+            TestFusedGGNNLoss._setup(TestFusedGGNNLoss())
+        ev = make_fused_eval_for_batch(cfg, jb, interpret=True)
+        out_k = fused_mpnn_eval(params, state, cfg, jb, ev)
+        out_r, _ = sparse_mpnn_apply(params, state, cfg, jb,
+                                     training=False)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=2e-4, atol=1e-5)
+
+
 class TestLoaderIntegration:
     def test_graphloader_attaches_fused_plan(self):
         from mpnn_tpu import graphs as G
