@@ -8,12 +8,13 @@ run() {
     echo "=== $* $(date -u +%H:%M:%S)" >> "$log"
     timeout 1500 python bench.py "$@" >> "$log" 2>&1
 }
-run --iters 6                                   # default (re-confirm)
-run --iters 4 --batch 2048                      # new vmem bwd at nb=2? (fits)
-run --iters 2 --batch 4096                      # fused-step cap raise check
+run --iters 6                                   # default (combined bwd)
+run --iters 4 --batch 2048                      # combined bwd at 26k nodes
 run --iters 6 --model ggnn                      # ggnn via fused step
 run --iters 3 --model att                       # att XLA default (re-warm)
-run --iters 3 --model att --spmm kernel         # transposed sddmm
-run --iters 4 --mode eval                       # serving fwd-only
-run --iters 4 --mode eval --model att
+run --iters 3 --model att --spmm kernel         # TRANSPOSED sddmm
+run --iters 4 --mode eval                       # serving: fused eval kernel
+run --iters 4 --mode eval --no-fuse-step        # serving: XLA eval
+run --iters 4 --mode eval --model ggnn
+run --iters 2 --batch 4096                      # decomposed fallback check
 echo "=== done $(date -u +%H:%M:%S)" >> "$log"
