@@ -637,93 +637,151 @@ def _ro_bwd_kernel(ns_ref, ht_ref, h0_ref, mask_ref, ng_ref,
         dbrj_out[:] += jnp.sum(djv, axis=1, keepdims=True)
 
 
-def _ro_rec_bwd_kernel(ns_ref, h0_ref, mask_ref, ng_ref, ht_ref,
-                       wi1_ref, wi2_ref, wj1_ref, wj2_ref, bri_ref,
-                       brj_ref, odm_ref, y_ref, gm_ref, out_ref, gl_ref,
-                       gout_ref,
-                       htil_ref, stats_ref, c_ref,
-                       wir_ref, wiz_ref, win_ref, whr_ref, whz_ref,
-                       whn_ref, bir_ref, biz_ref, bin_ref, bhr_ref,
-                       bhz_ref, bhn_ref, mw_ref, mbias_ref, sw_ref, sb_ref,
-                       dh0_out, dmsgs_out,
-                       dwir_out, dwiz_out, dwin_out,
-                       dwhr_out, dwhz_out, dwhn_out,
-                       dbir_out, dbiz_out, dbin_out,
-                       dbhr_out, dbhz_out, dbhn_out,
-                       dmw_out, dmbias_out, dsw_out, dsb_out,
-                       dwi1_out, dwi2_out, dwj1_out, dwj2_out,
-                       dbri_out, dbrj_out,
-                       gh_s, dh0s, dout_s,
-                       *, steps: int, f: int, fp: int, nw: int, gb: int):
-    """Readout+loss backward FUSED with the VMEM-resident recurrence
-    reverse walk: the gh cotangent never round-trips HBM, dh0's readout
-    term rides the same output, and one kernel launch replaces two."""
+def _full_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
+                     h0_ref, mask_ref, ng_ref, ht_ref,
+                     wi1_ref, wi2_ref, wj1_ref, wj2_ref, bri_ref,
+                     brj_ref, odm_ref, y_ref, gm_ref, out_ref, gl_ref,
+                     gout_ref,
+                     htil_ref, stats_ref, c_ref,
+                     wir_ref, wiz_ref, win_g_ref, whr_ref, whz_ref,
+                     whn_ref, bir_ref, biz_ref, bin_ref, bhr_ref,
+                     bhz_ref, bhn_ref, mw_ref, mbias_ref, sw_ref, sb_ref,
+                     a2tt_ref, a0_ref,
+                     dh0_out,
+                     dwir_out, dwiz_out, dwin_out,
+                     dwhr_out, dwhz_out, dwhn_out,
+                     dbir_out, dbiz_out, dbin_out,
+                     dbhr_out, dbhz_out, dbhn_out,
+                     dmw_out, dmbias_bn_out, dsw_out, dsb_out,
+                     dwi1_out, dwi2_out, dwj1_out, dwj2_out,
+                     dbri_out, dbrj_out,
+                     da2t_out, da0_out, dmbias_out,
+                     gh_s, dh0s, dout_s, dmsgs_s, s_ref, das_ref,
+                     *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
+                     be: int, window: int, nblk: int, nw: int, gb: int):
+    """The ENTIRE backward in one pallas_call, grid (nblk + 2):
+      program 0        readout+loss bwd fused with the VMEM-resident
+                       recurrence reverse walk (gh and dmsgs never leave
+                       VMEM);
+      programs 1..nblk message (SpMM) backward per edge block, reading
+                       dmsgs from scratch, accumulating dh0/dA in place;
+      program nblk+1   the A0 rank-1 correction backward + message bias.
+    Together with the fused forward: 1 forward + 1 backward launch per
+    training step."""
+    p = pl.program_id(0)
     dt = jnp.float32
     gw = GRAPH_BLOCK
-    m = mask_ref[:]
-    c = c_ref[0, 0]
-    odm = odm_ref[:]
-    neg = (1.0 - odm) * _BIG_NEG
-    gl = gl_ref[0, 0]
-    dout_s[:] = gl * 2.0 * (out_ref[:] - y_ref[:]) * gm_ref[:] * odm \
-        / jnp.sum(gm_ref[:]) + gout_ref[:]
-    gh_s[:] = jnp.zeros_like(gh_s)
-    dh0s[:] = jnp.zeros_like(dh0s)
-    dwi1 = dwi2 = dwj1 = dwj2 = jnp.zeros_like(dwi1_out[:])
-    dbri = dbrj = jnp.zeros_like(dbri_out[:])
-    for j in range(gb):
-        ns = pl.multiple_of(ns_ref[j], 128)
-        og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-        mblk = mask_ref[:, pl.ds(ns, nw)]
-        hb = ht_ref[:, pl.ds(ns, nw)]
-        h0b = h0_ref[:, pl.ds(ns, nw)] * mblk
-        pi = _dot(wi1_ref[:], hb) + _dot(wi2_ref[:], h0b) \
-            + bri_ref[:] + neg
-        pj = _dot(wj1_ref[:], hb) + _dot(wj2_ref[:], h0b) + brj_ref[:]
-        ex = jnp.exp(pi - jnp.max(pi, axis=0, keepdims=True)) * odm
-        sm = ex / jnp.sum(ex, axis=0, keepdims=True)
-        dgated = _dot(dout_s[:, j * gw:(j + 1) * gw], og.T)
-        djv = dgated * sm * mblk
-        dsm = dgated * pj * mblk
-        dpi = sm * (dsm - jnp.sum(dsm * sm, axis=0, keepdims=True))
-        gh_s[:, pl.ds(ns, nw)] += \
-            _dot(wi1_ref[:].T, dpi) + _dot(wj1_ref[:].T, djv)
-        dh0s[:, pl.ds(ns, nw)] += \
-            (_dot(wi2_ref[:].T, dpi) + _dot(wj2_ref[:].T, djv)) * mblk
-        dwi1 += _dot(dpi, hb.T)
-        dwi2 += _dot(dpi, h0b.T)
-        dwj1 += _dot(djv, hb.T)
-        dwj2 += _dot(djv, h0b.T)
-        dbri += jnp.sum(dpi, axis=1, keepdims=True)
-        dbrj += jnp.sum(djv, axis=1, keepdims=True)
-    dwi1_out[:] = dwi1
-    dwi2_out[:] = dwi2
-    dwj1_out[:] = dwj1
-    dwj2_out[:] = dwj2
-    dbri_out[:] = dbri
-    dbrj_out[:] = dbrj
 
-    # h0 arrives pre-masked (fused_flagship_loss masks node_feats)
-    dh0, dmsgs, dws, dbs, dns = vmem_reverse_walk(
-        h0_ref[:], htil_ref, stats_ref, m, c,
-        wir_ref[:], wiz_ref[:], win_ref[:],
-        whr_ref[:], whz_ref[:], whn_ref[:],
-        bir_ref[:], biz_ref[:], bin_ref[:],
-        bhr_ref[:], bhz_ref[:], bhn_ref[:],
-        mw_ref[:], mbias_ref[:], sw_ref[:], sb_ref[:], gh_s[:],
-        steps=steps, fp=fp)
-    dh0_out[:] = dh0 + dh0s[:]
-    dmsgs_out[:] = dmsgs
-    (dwir_out[:], dwiz_out[:], dwin_out[:],
-     dwhr_out[:], dwhz_out[:], dwhn_out[:]) = dws
-    dbr, dbz, dbn_, dbnh = dbs
-    dbir_out[:] = dbr
-    dbiz_out[:] = dbz
-    dbin_out[:] = dbn_
-    dbhr_out[:] = dbr
-    dbhz_out[:] = dbz
-    dbhn_out[:] = dbnh
-    dmw_out[:], dmbias_out[:], dsw_out[:], dsb_out[:] = dns
+    @pl.when(p == 0)
+    def _():
+        m = mask_ref[:]
+        c = c_ref[0, 0]
+        odm = odm_ref[:]
+        neg = (1.0 - odm) * _BIG_NEG
+        gl = gl_ref[0, 0]
+        dout_s[:] = gl * 2.0 * (out_ref[:] - y_ref[:]) * gm_ref[:] * odm \
+            / jnp.sum(gm_ref[:]) + gout_ref[:]
+        gh_s[:] = jnp.zeros_like(gh_s)
+        dh0s[:] = jnp.zeros_like(dh0s)
+        da2t_out[:] = jnp.zeros_like(da2t_out)
+        da0_out[:] = jnp.zeros_like(da0_out)
+        dmbias_out[:] = jnp.zeros_like(dmbias_out)
+        dwi1 = dwi2 = dwj1 = dwj2 = jnp.zeros_like(dwi1_out[:])
+        dbri = dbrj = jnp.zeros_like(dbri_out[:])
+        for j in range(gb):
+            ns = pl.multiple_of(ns_ref[j], 128)
+            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+            mblk = mask_ref[:, pl.ds(ns, nw)]
+            hb = ht_ref[:, pl.ds(ns, nw)]
+            h0b = h0_ref[:, pl.ds(ns, nw)] * mblk
+            pi = _dot(wi1_ref[:], hb) + _dot(wi2_ref[:], h0b) \
+                + bri_ref[:] + neg
+            pj = _dot(wj1_ref[:], hb) + _dot(wj2_ref[:], h0b) + brj_ref[:]
+            ex = jnp.exp(pi - jnp.max(pi, axis=0, keepdims=True)) * odm
+            sm = ex / jnp.sum(ex, axis=0, keepdims=True)
+            dgated = _dot(dout_s[:, j * gw:(j + 1) * gw], og.T)
+            djv = dgated * sm * mblk
+            dsm = dgated * pj * mblk
+            dpi = sm * (dsm - jnp.sum(dsm * sm, axis=0, keepdims=True))
+            gh_s[:, pl.ds(ns, nw)] += \
+                _dot(wi1_ref[:].T, dpi) + _dot(wj1_ref[:].T, djv)
+            dh0s[:, pl.ds(ns, nw)] += \
+                (_dot(wi2_ref[:].T, dpi) + _dot(wj2_ref[:].T, djv)) * mblk
+            dwi1 += _dot(dpi, hb.T)
+            dwi2 += _dot(dpi, h0b.T)
+            dwj1 += _dot(djv, hb.T)
+            dwj2 += _dot(djv, h0b.T)
+            dbri += jnp.sum(dpi, axis=1, keepdims=True)
+            dbrj += jnp.sum(djv, axis=1, keepdims=True)
+        dwi1_out[:] = dwi1
+        dwi2_out[:] = dwi2
+        dwj1_out[:] = dwj1
+        dwj2_out[:] = dwj2
+        dbri_out[:] = dbri
+        dbrj_out[:] = dbrj
+
+        # h0 arrives pre-masked (fused_flagship_loss masks node_feats)
+        dh0, dmsgs, dws, dbs, dns = vmem_reverse_walk(
+            h0_ref[:], htil_ref, stats_ref, m, c,
+            wir_ref[:], wiz_ref[:], win_g_ref[:],
+            whr_ref[:], whz_ref[:], whn_ref[:],
+            bir_ref[:], biz_ref[:], bin_ref[:],
+            bhr_ref[:], bhz_ref[:], bhn_ref[:],
+            mw_ref[:], mbias_ref[:], sw_ref[:], sb_ref[:], gh_s[:],
+            steps=steps, fp=fp)
+        dmsgs_s[:] = dmsgs
+        dh0_out[:] = dh0 + dh0s[:]
+        (dwir_out[:], dwiz_out[:], dwin_out[:],
+         dwhr_out[:], dwhz_out[:], dwhn_out[:]) = dws
+        dbr, dbz, dbn_, dbnh = dbs
+        dbir_out[:] = dbr
+        dbiz_out[:] = dbz
+        dbin_out[:] = dbn_
+        dbhr_out[:] = dbr
+        dbhz_out[:] = dbz
+        dbhn_out[:] = dbnh
+        (dmw_out[:], dmbias_bn_out[:], dsw_out[:], dsb_out[:]) = dns
+
+    @pl.when(jnp.logical_and(p >= 1, p <= nblk))
+    def _():
+        i = p - 1
+        ws = pl.multiple_of(win_ref[i], 128)
+        src = src_ref[i, :] - ws
+        dst = dst_ref[i, :] - ws
+        vid = vid_ref[i, :]
+        oh_src, oh_dst, ohm = _edge_onehots(
+            src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
+            dtype=dt)
+        sel = _sel_t(f, fp, kmf, kmfp, dt)
+        gwn = dmsgs_s[:, pl.ds(ws, window)]
+        gd = _dot(gwn, oh_dst.T)
+        bulk2 = _dot(a2tt_ref[:], gd)
+        dhe = _dot(sel, ohm * bulk2)
+        dh0_out[:, pl.ds(ws, window)] += _dot(dhe, oh_src)
+        hw = h0_ref[:, pl.ds(ws, window)]
+        hse = _dot(hw, oh_src.T)
+        gdr = _dot(sel.T, gd)
+        da2t_out[:] += _dot(ohm * gdr, hse.T)
+
+    @pl.when(p == nblk + 1)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        das_ref[:] = jnp.zeros_like(das_ref)
+        for j in range(gb):
+            ns = pl.multiple_of(ns_ref[j], 128)
+            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+            s_ref[:, j * gw:(j + 1) * gw] += \
+                _dot(h0_ref[:, pl.ds(ns, nw)], og)
+            das_ref[:, j * gw:(j + 1) * gw] += \
+                _dot(dmsgs_s[:, pl.ds(ns, nw)], og)
+        da0_out[:] += _dot(das_ref[:], s_ref[:].T)
+        das_ref[:] = _dot(a0_ref[:].T, das_ref[:])
+        for j in range(gb):
+            ns = pl.multiple_of(ns_ref[j], 128)
+            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+            dh0_out[:, pl.ds(ns, nw)] += \
+                _dot(das_ref[:, j * gw:(j + 1) * gw], og.T)
+        dmbias_out[:] += jnp.sum(dmsgs_s[:], axis=1, keepdims=True)
 
 
 def _msg_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
@@ -1050,9 +1108,10 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                     and os.environ.get("MPNN_FS_REC_BWD", "auto")
                     != "stream")
         if combined:
-            # --- readout+loss bwd FUSED with the VMEM-resident reverse
-            # walk: one launch, gh never leaves VMEM, dh0's readout term
-            # rides the walk's output
+            # --- the WHOLE backward in one pallas_call: readout+loss bwd
+            # fused with the VMEM-resident reverse walk (program 0; gh and
+            # dmsgs never leave VMEM), the message bwd per edge block
+            # (programs 1..nblk), and the A0+bias bwd (program nblk+1)
             packed_rec, _mt = _pack_blocked(
                 msgs_dummy, h0, mask, gru, ma_bn, bn,
                 f=f, fp=fp, n=n, npad=npad_m)
@@ -1062,19 +1121,28 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
             padm = ((0, 0), (0, npad_m - npad))
             ht_m = jnp.pad(h_t.astype(dt), padm)
             ng_row_m = jnp.pad(ng_row, padm, constant_values=n_graphs)
-            est = ((steps + 1 + _VMEM_BWD_LIVE_PANELS + 8)
+            common_pack = pack(amat, a0, mbias, h0, mask, node_graph,
+                               gru, ma_bn, bn, ro, labels, gmask)
+            a2tt = common_pack[1]
+            a0p = common_pack[0][1]
+            est = ((steps + 1 + _VMEM_BWD_LIVE_PANELS + 10)
                    * fp * npad_m * 4)
             comb_kernel = functools.partial(
-                _ro_rec_bwd_kernel, steps=steps, f=f, fp=fp, nw=nw, gb=gb)
+                _full_bwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf,
+                kmfp=kmfp, be=block_edges, window=window, nblk=nblk,
+                nw=nw, gb=gb)
             comb_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(1,),
-                in_specs=[_vm()] * 35,
-                out_specs=tuple([_vm()] * 24),
+                num_scalar_prefetch=2,
+                grid=(nblk + 2,),
+                in_specs=[_vm()] * 40,
+                out_specs=tuple([_vm()] * 26),
                 scratch_shapes=[
                     pltpu.VMEM((fp, npad_m), dt),    # gh_s
                     pltpu.VMEM((fp, npad_m), dt),    # dh0s (readout term)
                     pltpu.VMEM((odp, gp), dt),       # dout_s
+                    pltpu.VMEM((fp, npad_m), dt),    # dmsgs_s
+                    pltpu.VMEM((fp, gp), dt),        # s_ref (A0 bwd)
+                    pltpu.VMEM((fp, gp), dt),        # das_ref
                 ],
             )
             fpn_m = jax.ShapeDtypeStruct((fp, npad_m), dt)
@@ -1083,26 +1151,34 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
             outs = pl.pallas_call(
                 comb_kernel,
                 grid_spec=comb_spec,
-                out_shape=(fpn_m, fpn_m,
+                out_shape=(fpn_m,
                            fpf, fpf, fpf, fpf, fpf, fpf,
                            fc, fc, fc, fc, fc, fc, fc, fc, fc, fc,
-                           rw, rw, rw, rw, rc, rc),
+                           rw, rw, rw, rw, rc, rc,
+                           jax.ShapeDtypeStruct((kmfp, fp), dt),
+                           fpf, fc),
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=min(110 * 2 ** 20,
                                          est + 8 * 2 ** 20)),
                 interpret=interpret,
-            )(ns, h0m, mask_row_m, ng_row_m, ht_m,
+            )(win, ns, src2, dst2, vid2,
+              h0m, mask_row_m, ng_row_m, ht_m,
               wi1, wi2, wj1, wj2, bri, brj, odm, y_row, gm_row, out_t,
               gl2, gout_t,
               htil, stats, c_s,
               wir, wiz, win2, whr, whz, whn, bir, biz, bin_c,
-              bhr, bhz, bhn, mwp, mbp, swp, sbp)
-            (dh0_chain_t, dmsgs_t,
+              bhr, bhz, bhn, mwp, mbp, swp, sbp,
+              a2tt, a0p)
+            (dh0_all,
              dwir_o, dwiz_o, dwin_o, dwhr_o, dwhz_o, dwhn_o,
              dbir_o, dbiz_o, dbin_o, dbhr_o, dbhz_o, dbhn_o,
              dmw_o, dmbb_o, dsw_o, dsb_o,
-             dwi1, dwi2, dwj1, dwj2, dbri, dbrj) = outs
-            dh0_ro = jnp.zeros((fp, npad), dt)       # folded into the walk
+             dwi1, dwi2, dwj1, dwj2, dbri, dbrj,
+             da2t, da0p_out, dmbias) = outs
+            # everything already accumulated in-kernel
+            dh0_chain_t = dh0_all
+            dh0_ro = jnp.zeros((fp, npad), dt)
+            dh0_msg = jnp.zeros((fp, npad), dt)
 
             def _unblocks(ws_):
                 return jnp.stack([w[:f, :f] for w in ws_],
@@ -1181,45 +1257,47 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                         gh_t, steps=steps, f=f, n=n, blk=blk_m,
                         interpret=interpret, transposed_io=True)
 
-        # --- message (SpMM + A0 + bias) backward (one kernel) ------------
-        common_pack = pack(amat, a0, mbias, h0, mask, node_graph, gru,
-                           ma_bn, bn, ro, labels, gmask)
-        a2tt = common_pack[1]
-        a0p = common_pack[0][1]
-        dmsgs_tp = dmsgs_t        # (fp, npad_m): windows stay below npad;
-        #                           the full-array bias sum is exact (pad
-        #                           lanes are zero)
-        mb_kernel = functools.partial(
-            _msg_bwd_kernel, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
-            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
-        mb_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nblk + 1,),
-            in_specs=[_vm()] * 8,
-            out_specs=tuple([_vm()] * 4),
-            scratch_shapes=[
-                pltpu.VMEM((fp, gp), dt),
-                pltpu.VMEM((fp, gp), dt),
-            ],
-        )
-        if "msg" in skips:
-            dh0_msg = jnp.zeros((fp, npad), dt)
-            da2t = jnp.zeros((kmfp, fp), dt)
-            da0p_out = jnp.zeros((fp, fp), dt)
-            dmbias = jnp.zeros((fp, 1), dt)
-        else:
-            (dh0_msg, da2t, da0p_out, dmbias) = pl.pallas_call(
-                mb_kernel,
-                grid_spec=mb_spec,
-                out_shape=(
-                    jax.ShapeDtypeStruct((fp, npad), dt),
-                    jax.ShapeDtypeStruct((kmfp, fp), dt),
-                    jax.ShapeDtypeStruct((fp, fp), dt),
-                    jax.ShapeDtypeStruct((fp, 1), dt),
-                ),
-                compiler_params=_vmem_params(8),
-                interpret=interpret,
-            )(win, ns, src2, dst2, vid2, a2tt, a0p, h0t, ng_row, dmsgs_tp)
+        if not combined:
+            # --- message (SpMM + A0 + bias) backward (one kernel) --------
+            common_pack = pack(amat, a0, mbias, h0, mask, node_graph, gru,
+                               ma_bn, bn, ro, labels, gmask)
+            a2tt = common_pack[1]
+            a0p = common_pack[0][1]
+            dmsgs_tp = dmsgs_t    # (fp, npad_m): windows stay below npad;
+            #                       the full-array bias sum is exact (pad
+            #                       lanes are zero)
+            mb_kernel = functools.partial(
+                _msg_bwd_kernel, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
+                be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
+            mb_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nblk + 1,),
+                in_specs=[_vm()] * 8,
+                out_specs=tuple([_vm()] * 4),
+                scratch_shapes=[
+                    pltpu.VMEM((fp, gp), dt),
+                    pltpu.VMEM((fp, gp), dt),
+                ],
+            )
+            if "msg" in skips:
+                dh0_msg = jnp.zeros((fp, npad), dt)
+                da2t = jnp.zeros((kmfp, fp), dt)
+                da0p_out = jnp.zeros((fp, fp), dt)
+                dmbias = jnp.zeros((fp, 1), dt)
+            else:
+                (dh0_msg, da2t, da0p_out, dmbias) = pl.pallas_call(
+                    mb_kernel,
+                    grid_spec=mb_spec,
+                    out_shape=(
+                        jax.ShapeDtypeStruct((fp, npad), dt),
+                        jax.ShapeDtypeStruct((kmfp, fp), dt),
+                        jax.ShapeDtypeStruct((fp, fp), dt),
+                        jax.ShapeDtypeStruct((fp, 1), dt),
+                    ),
+                    compiler_params=_vmem_params(8),
+                    interpret=interpret,
+                )(win, ns, src2, dst2, vid2, a2tt, a0p, h0t, ng_row,
+                  dmsgs_tp)
 
         damat = da2t[:kmf, :f].reshape(k_vocab, f, f).astype(amat.dtype)
         dh0 = (dh0_chain_t[:f, :n] + dh0_ro[:f, :n]
