@@ -15,3 +15,10 @@ from mpnn_tpu.parallel.edge_partition import (
     make_edge_partitioned_spmm,
     shard_edges_for_mesh,
 )
+from mpnn_tpu.parallel.fused_dp import (
+    make_fused_dp_train_step,
+    plan_shard_windows,
+    put_superbatch,
+    split_statics,
+    stack_shards,
+)

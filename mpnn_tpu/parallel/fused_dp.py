@@ -1,0 +1,199 @@
+"""Data-parallel training over the WHOLE-STEP fused kernel.
+
+The single-chip flagship step is one forward + one backward `pallas_call`
+(kernels/fused_step.py). This module scales that megakernel across a
+device mesh the scaling-book way: each device holds its own PACKED SHARD
+(its own graphs — a private flat node/edge axis packed to the same caps),
+runs the fused kernel locally under `shard_map`, and the only collectives
+are a gradient/loss `psum` and the BN-statistic combine. Per-device work
+is identical to the measured single-chip kernel, so DP scaling rides ICI
+with one all-reduce per step.
+
+Semantics (deliberate, tested in tests/test_fused_dp.py):
+
+  * the loss is the GLOBAL graph-count-weighted mean
+        L = sum_i sse_i / sum_i count_i
+    and the psum'd gradients are exactly dL/dp (per-shard grads weighted
+    by count_i / total, then summed);
+  * in-step BN normalization uses LOCAL shard statistics (sync-free BN —
+    the torch-DDP default; the XLA sparse DP path in data_parallel.py
+    remains the exact cross-replica-BN option);
+  * running-stat EMAs are updated with the EXACT GLOBAL batch moments:
+    local (mean, var) pairs combine through the count-weighted E[x]/E[x²]
+    identity, so serving behavior does not depend on the shard split.
+
+Reference scope: the reference has no distributed training at all
+(SURVEY.md §2.6 — `pre_process/utils.py:6-13` is its entire device
+story); this is greenfield TPU-native capability.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpnn_tpu.models.config import MPNNConfig
+from mpnn_tpu.models.fused_train import (_build_a_form, _fold_emas,
+                                         fused_step_eligible,
+                                         make_fused_step_for_batch)
+
+_STATIC_KEYS = ("fs_block_edges", "fs_window", "fs_node_window")
+
+
+# ---------------------------------------------------------------------------
+# host-side superbatch assembly
+# ---------------------------------------------------------------------------
+
+def plan_shard_windows(shards: List[Dict], block_edges: int = 512,
+                       size_bucket: int = 128) -> Optional[List[Dict]]:
+    """Re-plan every shard's fused-step windows with ONE common forced
+    (window, node_window) — the elementwise max of the per-shard needs —
+    so the stacked superbatch compiles a single kernel shape. Returns the
+    re-planned shards, or None when any shard's locality premise fails
+    (caller falls back to the unfused DP path)."""
+    from mpnn_tpu.kernels.fused_step import attach_fused_plan, plan_fused_step
+    plans = []
+    for b in shards:
+        p = plan_fused_step(
+            np.asarray(b["edge_src"]), np.asarray(b["edge_dst"]),
+            np.asarray(b["edge_mask"]), np.asarray(b["node_graph"]),
+            int(np.asarray(b["node_feats"]).shape[0]),
+            int(np.asarray(b["graph_mask"]).shape[0]),
+            block_edges, size_bucket=size_bucket)
+        if p is None:
+            return None
+        plans.append(p)
+    w = max(p.window for p in plans)
+    nw = max(p.node_window for p in plans)
+    out = []
+    for b in shards:
+        nb = attach_fused_plan(dict(b), block_edges=block_edges,
+                               window=w, node_window=nw)
+        if "fs_win" not in nb:
+            return None
+        out.append(nb)
+    return out
+
+
+def stack_shards(shards: List[Dict]) -> Dict:
+    """Stack per-device packed shards on a leading device axis. All shards
+    must be packed to identical caps (GraphLoader's fixed_packed_caps
+    guarantee) and carry identical static plan sizes."""
+    sup = {}
+    for k, v0 in shards[0].items():
+        if np.isscalar(v0) or not hasattr(v0, "shape"):
+            if any(b[k] != v0 for b in shards[1:]):
+                raise ValueError(f"shards disagree on static '{k}'")
+            sup[k] = v0
+            continue
+        vs = [np.asarray(b[k]) for b in shards]
+        if any(v.shape != vs[0].shape for v in vs[1:]):
+            raise ValueError(f"shards disagree on '{k}' shape")
+        sup[k] = np.stack(vs)
+    return sup
+
+
+def split_statics(superbatch: Dict):
+    """(arrays-only superbatch, statics dict) — jit sees only arrays;
+    every scalar (fs_* plan sizes, num_graphs, ...) is static."""
+    arrays = {k: v for k, v in superbatch.items()
+              if hasattr(v, "shape") and not np.isscalar(v)}
+    statics = {k: v for k, v in superbatch.items() if k not in arrays}
+    return arrays, statics
+
+
+def shard0_view(superbatch: Dict) -> Dict:
+    """One shard's view (device 0) with statics inline — the shape
+    template make_fused_step_for_batch builds the kernel from."""
+    return {k: (v if (np.isscalar(v) or not hasattr(v, "shape")) else v[0])
+            for k, v in superbatch.items()}
+
+
+# ---------------------------------------------------------------------------
+# the sharded train step
+# ---------------------------------------------------------------------------
+
+def make_fused_dp_train_step(cfg: MPNNConfig, tx, mesh: Mesh,
+                             example_superbatch: Dict, *,
+                             axis: str = "data", interpret: bool = False):
+    """Build the DP train step over the whole-step fused kernel.
+
+    `example_superbatch` fixes the compiled shapes (stack_shards output,
+    arrays of shape (n_devices, ...)). The returned step takes
+    (params, state, opt_state, superbatch_arrays) — strip statics with
+    split_statics — and returns (loss, params, new_state, opt_state, out)
+    with `out` the (n_devices * G_shard, output_dim) global readout."""
+    shard0 = shard0_view(example_superbatch)
+    if not fused_step_eligible(cfg, shard0, training=True):
+        raise ValueError("config/batch not fused-step eligible")
+    fused_op = make_fused_step_for_batch(cfg, shard0, interpret=interpret)
+
+    def local_step(params, batch):
+        b = {k: v[0] for k, v in batch.items()}   # this device's shard
+        labels = b.pop("labels")
+        cnt = b["graph_mask"].sum()
+        total = jax.lax.psum(cnt, axis)
+
+        def lf(p):
+            h0 = b["node_feats"] * b["node_mask"]
+            amat, a0, vid = _build_a_form(p, cfg, b)
+            loss, out, ma_stats, step_stats = fused_op(
+                amat, a0, p["message"][0]["message_bias"], h0,
+                b["node_mask"], b["node_graph"], p["gru"],
+                p["ma_bn"][0], p["bn"][0], p["readout"], labels,
+                b["graph_mask"], vid, b["edge_src"], b["edge_dst"],
+                b["fs_win"], b["fs_ns"])
+            return loss * (cnt / total), (out, ma_stats, step_stats)
+
+        (wloss, (out, ma_stats, step_stats)), grads = jax.value_and_grad(
+            lf, has_aux=True)(params)
+        loss = jax.lax.psum(wloss, axis)
+        grads = jax.lax.psum(grads, axis)
+
+        # exact global batch moments for the running-stat EMAs: combine
+        # local (mean, var) via count-weighted E[x] / E[x²]
+        nc = b["node_mask"].sum()
+        nt = jax.lax.psum(nc, axis)
+
+        def comb(stats):
+            m, v = stats
+            gm = jax.lax.psum(m * nc, axis) / nt
+            ex2 = jax.lax.psum((v + m * m) * nc, axis) / nt
+            return gm, ex2 - gm * gm
+
+        ma_g = comb(ma_stats)
+        st_g = tuple(comb(s) for s in step_stats)
+        return loss, grads, out, ma_g, st_g
+
+    sharded, repl = P(axis), P()
+    # check_vma=False: pallas_call's out_shapes carry no varying-across-
+    # mesh annotation, so the static replication checker cannot see that
+    # the psum'd outputs are replicated (they are — by construction)
+    sm = shard_map(local_step, mesh=mesh,
+                   in_specs=(repl, sharded),
+                   out_specs=(repl, repl, sharded, repl, repl),
+                   check_vma=False)
+
+    @jax.jit
+    def step(params, state, opt_state, superbatch):
+        loss, grads, out, ma_g, st_g = sm(params, superbatch)
+        new_state = _fold_emas(state, cfg, ma_g, list(st_g))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return loss, params, new_state, opt_state, out
+
+    return step
+
+
+def put_superbatch(mesh: Mesh, superbatch: Dict, *,
+                   axis: str = "data") -> Dict:
+    """Place a stacked superbatch: device axis sharded over `axis`."""
+    sh = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(jnp.asarray(v), sh)
+            for k, v in superbatch.items()}
