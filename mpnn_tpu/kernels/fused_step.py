@@ -560,7 +560,11 @@ def make_fused_eval_op(steps: int, f: int, n: int, od: int, n_graphs: int,
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((odp, gp), dt),
-            compiler_params=_vmem_params_of(fp, npad, 10),
+            # 10 panels undercounted the eval live set: at npad=26240 the
+            # compiler's stack allocation was 26.64 MB ≈ 15.4 (fp, npad)
+            # panels (measured OOM vs the 18.02 MB limit) — 18 gives
+            # headroom and still fits the 110 MB cap at 53k nodes
+            compiler_params=_vmem_params_of(fp, npad, 18),
             interpret=interpret,
         )(win, ns, src2, dst2, vid2,
           a2t, a0p, col(mbias), mat_t(h0), mask_row, ng_row,
