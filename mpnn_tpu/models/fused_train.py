@@ -31,9 +31,12 @@ from mpnn_tpu.models.sparse import _edge_penultimates, recurrence_eligible
 # live set scales with the padded node count. The per-kernel
 # vmem_limit_bytes raise (kernels/fused_step.py::_vmem_params; v5e VMEM
 # is 128 MB physical, the default scoped limit only 16 MB) lets
-# batch-4096-scale node counts compile — TPU-validated at ~53k padded
+# batch-4096-scale node counts compile — TPU-validated at ~53,248 padded
 # nodes (batch 4096: 1.638 ms/step = 390M edge-msgs/s, vs 2.49 on the
-# decomposed fallback). Past the cap an INELIGIBLE batch still falls
+# decomposed fallback). The (53k, 65536] tail is EXTRAPOLATED, not
+# TPU-validated: the VMEM need is linear in npad (~66 MB estimated at
+# 65536 vs the 74 MB limit _vmem_params grants), but no compile at that
+# size has run on hardware. Past the cap an INELIGIBLE batch still falls
 # back gracefully to the decomposed kernel path.
 FUSED_STEP_NODE_CAP = 65536
 
@@ -140,6 +143,18 @@ def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
         batch["graph_mask"], vid, batch["edge_src"], batch["edge_dst"],
         batch["fs_win"], batch["fs_ns"])
     return loss, out, _fold_emas(state, cfg, ma_stats, step_stats)
+
+
+def fused_eval_eligible(cfg: MPNNConfig, batch) -> bool:
+    """True when the whole-step INFERENCE kernel (make_fused_eval_op)
+    computes exactly this config's eval forward. Structurally the same
+    constraints as the train kernel — the eval kernel folds the
+    running-stat BNs to per-feature affines on the same recurrence — so
+    this delegates to fused_step_eligible with the training flag forced
+    (recurrence_eligible gates on `training` only because the TRAIN
+    recurrence kernel emits batch stats; the eval kernel consumes EMAs
+    and emits none)."""
+    return fused_step_eligible(cfg, batch, training=True)
 
 
 def make_fused_eval_for_batch(cfg: MPNNConfig, batch,

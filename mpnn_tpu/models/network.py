@@ -133,13 +133,16 @@ def network_apply(params, state, cfg: NetworkConfig, batch, *,
 def network_apply_packed(params, state, cfg: NetworkConfig, batch, *,
                          training: bool, axis_name: Optional[str] = None,
                          spmm_fn=None, spmm_vocab_fn=None, sddmm_fn=None,
-                         recurrence_fn=None, fused_op=None):
+                         recurrence_fn=None, fused_op=None, eval_op=None):
     """Packed-batch network forward: same params as network_init; the MPNN
     runs on the sparse path (models/sparse.py) — or, when `fused_op` is
     given (training only; whole-step kernel from
     fused_train.make_fused_step_for_batch), as ONE forward pallas_call via
     fused_mpnn_out, with the wrapper/head/loss staying in XLA around it.
-    batch: PackedBatch dict. Returns (out (num_graphs, classes),
+    `eval_op` (inference only; fused_train.make_fused_eval_for_batch) runs
+    the MPNN core through the whole-step INFERENCE kernel — the serving
+    path — with running-stat BN folded to affines; state passes through
+    unchanged. batch: PackedBatch dict. Returns (out (num_graphs, classes),
     new_state)."""
     from mpnn_tpu.models.sparse import sparse_mpnn_apply
 
@@ -161,7 +164,12 @@ def network_apply_packed(params, state, cfg: NetworkConfig, batch, *,
 
     mb = dict(batch)
     mb["node_feats"] = node_feats
-    if fused_op is not None and training and axis_name is None:
+    if eval_op is not None and not training and axis_name is None:
+        from mpnn_tpu.models.fused_train import fused_mpnn_eval
+        out = fused_mpnn_eval(
+            params["mpnn"], state["mpnn"], cfg.mpnn, mb, eval_op)
+        new_state["mpnn"] = state["mpnn"]
+    elif fused_op is not None and training and axis_name is None:
         from mpnn_tpu.models.fused_train import fused_mpnn_out
         out, new_state["mpnn"] = fused_mpnn_out(
             params["mpnn"], state["mpnn"], cfg.mpnn, mb, fused_op)

@@ -177,10 +177,15 @@ def cmd_eval(args):
     params, state = network_init(jax.random.PRNGKey(exp.train.seed), net_cfg)
     params, state, _, _ = load_checkpoint(args.ckpt, params=params,
                                           state=state)
+    packed = args.packed or args.fuse_eval
     loader = G.GraphLoader(gs, exp.train.batch_size,
-                           with_nafm=net_cfg.input_wrapper == "graph_norm")
-    print(json.dumps(trainer.evaluate(params, state, net_cfg, loader,
-                                      exp.loss, exp.train.metric_average)))
+                           collate="packed" if packed else "dense",
+                           with_nafm=net_cfg.input_wrapper == "graph_norm",
+                           fused_step_plan=args.fuse_eval)
+    print(json.dumps(trainer.evaluate(
+        params, state, net_cfg, loader, exp.loss,
+        exp.train.metric_average, fuse_eval=args.fuse_eval,
+        interpret=args.interpret)))
 
 
 def cmd_predict(args):
@@ -199,11 +204,17 @@ def cmd_predict(args):
     params, state = network_init(jax.random.PRNGKey(exp.train.seed), net_cfg)
     params, state, _, _ = load_checkpoint(args.ckpt, params=params,
                                           state=state)
+    packed = args.packed or args.fuse_eval
     loader = G.GraphLoader(gs, args.batch_size or exp.train.batch_size,
-                           with_nafm=net_cfg.input_wrapper == "graph_norm")
-    step = trainer.make_eval_step(net_cfg, exp.loss)
+                           collate="packed" if packed else "dense",
+                           with_nafm=net_cfg.input_wrapper == "graph_norm",
+                           fused_step_plan=args.fuse_eval)
     idx = 0
     for batch in loader:
+        # serving path: the whole-step INFERENCE kernel when eligible
+        step = trainer.eval_step_for_batch(
+            net_cfg, exp.loss, batch, fuse_eval=args.fuse_eval,
+            interpret=args.interpret)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         _, out = step(params, state, jb)
         out = np.asarray(out)
@@ -311,6 +322,14 @@ def main(argv=None):
     e.add_argument("--data", required=True)
     e.add_argument("--cache")
     e.add_argument("--ckpt", required=True)
+    e.add_argument("--packed", action="store_true",
+                   help="evaluate on the sparse packed-COO path")
+    e.add_argument("--fuse-eval", dest="fuse_eval", action="store_true",
+                   help="whole-step INFERENCE kernel (one pallas_call — "
+                        "the serving path; implies --packed, silent "
+                        "fallback when the config/batch is ineligible)")
+    e.add_argument("--interpret", action="store_true",
+                   help="run Pallas kernels in interpret mode (CPU testing)")
     e.set_defaults(fn=cmd_eval)
 
     pd = sub.add_parser("predict")
@@ -319,6 +338,13 @@ def main(argv=None):
     pd.add_argument("--cache")
     pd.add_argument("--ckpt", required=True)
     pd.add_argument("--batch-size", type=int)
+    pd.add_argument("--packed", action="store_true",
+                    help="predict on the sparse packed-COO path")
+    pd.add_argument("--fuse-eval", dest="fuse_eval", action="store_true",
+                    help="whole-step INFERENCE kernel (one pallas_call — "
+                         "the serving path; implies --packed)")
+    pd.add_argument("--interpret", action="store_true",
+                    help="run Pallas kernels in interpret mode (CPU testing)")
     pd.set_defaults(fn=cmd_predict)
 
     pr = sub.add_parser("pretrain")

@@ -77,7 +77,8 @@ class TrainConfig:
 
 def make_loss_fn(net_cfg: NetworkConfig, kind: str,
                  spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None,
-                 fused_op=None, fused_inkernel_loss: bool = False):
+                 fused_op=None, fused_inkernel_loss: bool = False,
+                 eval_op=None):
     def loss_fn(params, state, batch, training: bool):
         packed = "node_feats" in batch
         if packed and training and fused_op is not None \
@@ -99,7 +100,8 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str,
                 params, state, net_cfg, b, training=training,
                 spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
                 recurrence_fn=recurrence_fn if training else None,
-                fused_op=fused_op if training else None)
+                fused_op=fused_op if training else None,
+                eval_op=eval_op if not training else None)
             gm = batch["graph_mask"]
         else:
             out, new_state = network_apply(params, state, net_cfg, batch,
@@ -191,17 +193,73 @@ def make_eval_step(net_cfg: NetworkConfig, loss_kind: str):
     return step
 
 
+# Serving-path eval steps: the MPNN core through the whole-step INFERENCE
+# kernel (ONE pallas_call — kernels/fused_step.py::make_fused_eval_op;
+# measured 6.9× the XLA sparse eval at batch 1024). Cached at module level
+# keyed by (net_cfg, loss_kind, interpret, plan shape) so per-epoch
+# evaluate() calls REUSE the compiled executable — a per-call cache would
+# recompile the kernel every epoch. Plan shapes per run are ~1-2 (fixed
+# packed caps + the final partial batch), so the dict stays tiny.
+_FUSED_EVAL_STEPS: Dict[tuple, object] = {}
+
+
+def _fused_eval_plan_key(batch):
+    """Static shape key of the whole-step eval kernel for this batch, or
+    None when the batch carries no fused plan."""
+    if "fs_win" not in batch:
+        return None
+    return (int(batch["fs_block_edges"]), int(batch["fs_window"]),
+            int(batch["fs_node_window"]),
+            int(np.asarray(batch["fs_win"]).shape[0]),
+            int(np.asarray(batch["node_feats"]).shape[0]),
+            int(np.asarray(batch["graph_mask"]).shape[0]))
+
+
+def eval_step_for_batch(net_cfg: NetworkConfig, loss_kind: str, batch, *,
+                        fuse_eval: bool = True, interpret: bool = False):
+    """Pick the eval step for one batch: the fused serving kernel when the
+    config and batch are eligible (packed, fused plan attached, flagship-
+    shaped recurrence), the XLA path otherwise. Cached per plan shape."""
+    key = None
+    if fuse_eval and "node_feats" in batch and "fs_win" in batch:
+        from mpnn_tpu.models.fused_train import fused_eval_eligible
+        if fused_eval_eligible(net_cfg.mpnn, batch):
+            key = (net_cfg, loss_kind, interpret,
+                   _fused_eval_plan_key(batch))
+    if key is None:
+        return make_eval_step(net_cfg, loss_kind)
+    if key not in _FUSED_EVAL_STEPS:
+        from mpnn_tpu.models.fused_train import make_fused_eval_for_batch
+        eval_op = make_fused_eval_for_batch(net_cfg.mpnn, batch,
+                                            interpret=interpret)
+        loss_fn = make_loss_fn(net_cfg, loss_kind, eval_op=eval_op)
+
+        @jax.jit
+        def step(params, state, batch):
+            loss, (out, _) = loss_fn(params, state, batch, False)
+            return loss, out
+
+        _FUSED_EVAL_STEPS[key] = step
+    return _FUSED_EVAL_STEPS[key]
+
+
 # ---------------------------------------------------------------------------
 # evaluation
 # ---------------------------------------------------------------------------
 
 def evaluate(params, state, net_cfg: NetworkConfig, loader: GraphLoader,
-             loss_kind: str, metric_average: str = "weighted"
+             loss_kind: str, metric_average: str = "weighted", *,
+             fuse_eval: bool = True, interpret: bool = False
              ) -> Dict[str, float]:
-    step = make_eval_step(net_cfg, loss_kind)
+    """Eval-mode metrics over a loader. Batches that carry a fused plan
+    (GraphLoader(fused_step_plan=True)) on an eligible config run the
+    whole-step INFERENCE kernel — the serving path (6.9× the XLA eval at
+    batch 1024); everything else takes the XLA step."""
     tot_loss, preds, trues = 0.0, [], []
     n_batches = 0
     for batch in loader:
+        step = eval_step_for_batch(net_cfg, loss_kind, batch,
+                                   fuse_eval=fuse_eval, interpret=interpret)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         loss, out = step(params, state, jb)
         tot_loss += float(loss)
@@ -344,8 +402,12 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
             _step_fns[key] = _make_step(fop, fused_inkernel
                                         and key is not None)
         return _step_fns[key]
+    # the val loader carries the fused plan too, so per-epoch evaluation
+    # rides the whole-step INFERENCE kernel whenever training does the
+    # fused train kernel (same eligibility; fall-through is silent)
     val_loader = (GraphLoader(val_graphs, cfg.batch_size, shuffle=False,
-                              collate=collate, with_nafm=with_nafm)
+                              collate=collate, with_nafm=with_nafm,
+                              fused_step_plan=cfg.fuse_step and cfg.packed)
                   if val_graphs is not None else None)
 
     preempted = {"flag": False}
@@ -408,7 +470,8 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
 
         if val_loader is not None:
             val = evaluate(params, state, net_cfg, val_loader, cfg.loss,
-                           cfg.metric_average)
+                           cfg.metric_average,
+                           interpret=cfg.spmm == "kernel_interpret")
             record.update({f"val_{k}": v for k, v in val.items()})
             if sched:
                 new_lr = sched.step(val["loss"])
