@@ -29,6 +29,7 @@ def test_list(capsys):
     assert "lipo" in out and "zoo:" in out
 
 
+@pytest.mark.slow
 def test_featurize_then_train_from_cache(csv, tmp_path, capsys):
     cache = os.path.join(str(tmp_path), "cache.npz")
     cli.main(["featurize", "--experiment", "lipo", "--data", csv,
@@ -59,6 +60,7 @@ def test_featurize_then_train_from_cache(csv, tmp_path, capsys):
     assert all("pred" in r for r in lines)
 
 
+@pytest.mark.slow
 def test_lipo_ggnn_train_with_cache_roundtrip(csv, tmp_path, capsys):
     """The GGNN lipo experiment end-to-end: bond-type ids derived at
     featurize time, survive the .npz cache round-trip, and the packed

@@ -46,6 +46,7 @@ def make_cfg(ge, n_rbf=4):
         max_conformers=4, n_rbf=n_rbf, n_out=3)
 
 
+@pytest.mark.slow
 def test_forward_and_grad(ensemble_batch):
     sets, ge = ensemble_batch
     cfg = make_cfg(ge)

@@ -9,6 +9,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mpnn_tpu import graphs as G
 from mpnn_tpu import models
 from mpnn_tpu.models.fused_train import (_build_a_form,

@@ -123,6 +123,7 @@ class TestFusedStepForward:
             np.testing.assert_allclose(vk, vr, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestFusedStepBackward:
     @pytest.fixture(autouse=True, params=["auto", "stream"])
     def _rec_bwd_impl(self, request, monkeypatch):
@@ -200,6 +201,7 @@ class TestFusedPlan:
         assert plan is None
 
 
+@pytest.mark.slow
 class TestFusedFlagshipLoss:
     """End-to-end parity on REAL molecules: the whole-step fused path
     (models/fused_train.py) vs sparse_mpnn_apply (XLA, proven exact vs
@@ -275,6 +277,7 @@ class TestFusedFlagshipLoss:
                         rtol=2e-4, atol=1e-6, err_msg=f"{kk}.{field}")
 
 
+@pytest.mark.slow
 class TestFusedGGNNLoss:
     """GGNN through the SAME whole-step kernel: natively A-form (per
     bond-type matrices, type 0 = zero matrix, a0 = 0). End-to-end parity
@@ -367,6 +370,7 @@ class TestFusedGGNNLoss:
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestFusedMpnnOutInNetwork:
     """fused_mpnn_out inside the FULL network: the REAL lipo-driver shape
     (graph-norm wrapper + MPNN + BatchNorm1d + halving head) with the MPNN
@@ -439,6 +443,7 @@ class TestFusedMpnnOutInNetwork:
                 err_msg=f"state leaf {i}")
 
 
+@pytest.mark.slow
 class TestFusedEval:
     def test_eval_kernel_matches_sparse_eval(self):
         """The whole-step INFERENCE kernel (running-stat BN folded to

@@ -193,6 +193,7 @@ class TestSpmm:
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 class TestSddmm:
     """Fused attention SDDMM kernel vs the XLA gather reference."""
 
@@ -256,6 +257,7 @@ class TestSddmm:
                                        rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestSddmmGridPads:
     def test_all_pad_final_block_contributes_nothing(self):
         """Grid-padding edges in an EMPTY final block (win start clipped
@@ -350,6 +352,7 @@ class TestRecurrence:
         np.testing.assert_allclose(rm, np.asarray(ma_s["running_mean"]),
                                    atol=1e-6)
 
+    @pytest.mark.slow
     def test_kernel_forward_and_grads(self):
         from mpnn_tpu.kernels.recurrence import (make_recurrence_op,
                                                  reference_recurrence)

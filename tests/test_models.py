@@ -46,6 +46,7 @@ CASES = {
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.slow
 def test_zoo_forward_and_grad(name):
     cfg = _shrunk(models.build(name, **CASES[name]))
     params, state = models.network_init(jax.random.PRNGKey(0), cfg)
@@ -67,6 +68,7 @@ def test_zoo_forward_and_grad(name):
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
 
 
+@pytest.mark.slow
 def test_encoded_config():
     """Encoded model needs 30-dim raw afm / 8-dim raw bfm (AE input shapes)."""
     cfg = _shrunk(models.build("encoded", n_out=4))

@@ -38,6 +38,7 @@ def small_net(ge):
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_dp_step_matches_single_device(self, setup):
         gs, ge = setup
         net_cfg = small_net(ge)
@@ -81,6 +82,7 @@ class TestDataParallel:
                                        atol=1e-5)
 
 
+@pytest.mark.slow
 class TestEdgePartition:
     def _cfg_params_batch(self, setup):
         gs, ge = setup

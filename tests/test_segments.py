@@ -156,6 +156,7 @@ def test_hlo_has_no_scatter():
          readout="set2vec", set2vec_steps=4,
          set2vec_batch_softmax=False),
 ])
+@pytest.mark.slow
 def test_model_parity_slots_vs_scatter(cfg_kw):
     gs, ge = setup_graphs()
     cfg = mpnn_cfg(ge, **cfg_kw)
@@ -179,6 +180,7 @@ def test_model_parity_slots_vs_scatter(cfg_kw):
         np.asarray(a), np.asarray(b), atol=1e-5), s0, s1)
 
 
+@pytest.mark.slow
 def test_model_parity_slots_with_vocab():
     """Slots compose with the edge-vocab dedup (the bench configuration)."""
     gs, ge = setup_graphs()

@@ -95,6 +95,7 @@ def test_parity_under_jit_and_grad():
                                    atol=5e-3)
 
 
+@pytest.mark.slow
 def test_edge_vocab_exactness():
     """The vocab dedup (edge-MLP once per DISTINCT bond-feature row) must
     reproduce the per-edge path: forward bitwise-tight, grads allclose

@@ -227,6 +227,7 @@ class TestPackedTraining:
                                 message_steps=2)
         return gs, dataclasses.replace(cfg, mpnn=m)
 
+    @pytest.mark.slow
     def test_per_batch_loss_parity(self, tmp_path):
         import jax
         import jax.numpy as jnp
@@ -290,6 +291,7 @@ class TestMixedPrecision:
         assert all(l.dtype == np.float32 for l in jax.tree.leaves(params))
 
 
+@pytest.mark.slow
 class TestPreemption:
     def test_sigterm_checkpoints_and_resumes(self, tmp_path):
         """Real contract: a training PROCESS that receives SIGTERM saves a
@@ -347,6 +349,7 @@ print("TRAIN_EXITED", flush=True)
         assert latest_checkpoint(ckdir) is not None
 
 
+@pytest.mark.slow
 class TestPreemptionMidEpoch:
     def test_mid_epoch_sigterm_saves_last_complete_epoch(
             self, tmp_path, monkeypatch):
@@ -422,6 +425,7 @@ class TestInjectedLR:
         assert float(jnp.abs(u2).mean()) < float(jnp.abs(u1).mean()) / 50
 
 
+@pytest.mark.slow
 class TestKernelTrainer:
     def test_packed_training_with_pallas_kernel_interpret(self, tmp_path):
         """TrainConfig(spmm='kernel_interpret') routes the packed message
