@@ -43,12 +43,23 @@ FUSED_STEP_NODE_CAP = 65536
 
 def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
     """True when the whole-step fused kernel computes exactly this config's
-    training step: the fused-recurrence constraints plus graph-level
-    readout, no output norm, no input encoders/norm, a batch that
-    carries the per-edge A-matrix ids (the edge VOCAB for edge_network;
-    the integer bond types for GGNN, which is natively A-form with
-    A_0 = 0) and the fused-step window plan, and a node count whose
-    forward live set fits scoped VMEM."""
+    MPNN step: the fused-recurrence constraints plus graph-level readout,
+    a batch that carries the per-edge A-matrix ids (the edge VOCAB for
+    edge_network; the integer bond types for GGNN, which is natively
+    A-form with A_0 = 0) and the fused-step window plan, and a node count
+    whose forward live set fits scoped VMEM.
+
+    The ENCODED family (frozen atom/bond encoders + input BN — the
+    reference's normed_encoded_* models) qualifies: its input pipeline is
+    per-node/per-edge XLA preprocessing producing the kernel's h0 and the
+    transformed edge features (_input_transforms), exactly as the sparse
+    path computes them. The gate: encoders REQUIRE cfg.input_norm —
+    bn1d_apply re-masks its output, so padded rows stay exactly zero and
+    the kernel's vid-0-is-the-zero-matrix grid-padding convention holds;
+    an encoder without the norm leaves encoder(0) ≠ 0 at padded rows and
+    must fall back. output_norm is a per-graph XLA affine AFTER the
+    kernel's `out` (fused_mpnn_out applies it); the in-kernel-loss flavor
+    separately excludes it (trainer gating)."""
     vid_key = "edge_vid" if cfg.message_fn == "edge_network" \
         else "edge_types"
     if cfg.message_fn == "ggnn" and "edge_types" in batch:
@@ -58,12 +69,11 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
         if int(np.asarray(batch["edge_types"]).max(initial=0)) \
                 > cfg.ggnn_num_edge_types:
             return False
+    has_encoder = (cfg.atom_encoder is not None
+                   or cfg.bond_encoder is not None)
     return (recurrence_eligible(cfg, training=training, axis_name=None)
             and cfg.readout == "graph_level"
-            and not cfg.output_norm
-            and not cfg.input_norm
-            and cfg.atom_encoder is None
-            and cfg.bond_encoder is None
+            and not (has_encoder and not cfg.input_norm)
             and vid_key in batch and "fs_win" in batch
             and int(np.asarray(batch["node_feats"]).shape[0])
             <= FUSED_STEP_NODE_CAP)
@@ -85,14 +95,59 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
         interpret=interpret)
 
 
-def _build_a_form(params, cfg: MPNNConfig, batch, edge_mlp_fn=None):
+def _input_transforms(params, state, cfg: MPNNConfig, batch, *,
+                      training: bool):
+    """The encoded-family input pipeline in XLA, producing the kernel's h0
+    and transformed edge features — mirrors sparse_mpnn_apply's prologue
+    exactly (models/sparse.py: mask → encoders → input BN; reference
+    normed_encoded_basic_model.py:67-68). Returns (h0, edge_feats,
+    state_updates) where state_updates carries the input-BN EMA advance
+    ({} when cfg has no input norm). bn1d_apply re-masks its output, so
+    padded node/edge rows come back exactly zero — the invariant the
+    kernel's grid padding relies on."""
+    from mpnn_tpu.ops import bn1d_apply
+    from mpnn_tpu.ops.autoencoders import tanh_encoder_apply
+    h0 = batch["node_feats"] * batch["node_mask"]
+    edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
+    updates = {}
+    if cfg.atom_encoder == "atom_ae":
+        h0 = tanh_encoder_apply(params["atom_encoder"], h0)
+    if cfg.bond_encoder == "bond_ae":
+        edge_feats = tanh_encoder_apply(params["bond_encoder"], edge_feats)
+    if cfg.input_norm:
+        h0, updates["aebn"] = bn1d_apply(
+            params["aebn"], state["aebn"], h0, batch["node_mask"],
+            training=training)
+        edge_feats, updates["bebn"] = bn1d_apply(
+            params["bebn"], state["bebn"], edge_feats,
+            batch["edge_mask"][:, None], training=training)
+    return h0, edge_feats, updates
+
+
+def _output_norm(params, state, cfg: MPNNConfig, out, graph_mask, *,
+                 training: bool):
+    """Per-graph output BN after the kernel's readout (the ecfp model's
+    obn — reference normed_encoded_basic_model_ecfp.py:70-71). Returns
+    (out, state_updates)."""
+    if not cfg.output_norm:
+        return out, {}
+    from mpnn_tpu.ops import bn1d_apply
+    out, obn = bn1d_apply(params["obn"], state["obn"], out,
+                          graph_mask[:, None], training=training)
+    return out, {"obn": obn}
+
+
+def _build_a_form(params, cfg: MPNNConfig, batch, edge_mlp_fn=None,
+                  edge_feats=None):
     """Per-edge A-matrix form of the message op: (amat (K,f,f), a0 (f,f),
     vid (E,)) — the whole-step kernel's operands.
 
     edge_network: the edge VOCAB penultimates folded through the final
     linear layer (A0 = the bias-leakage matrix, models/sparse.py).
     GGNN: natively A-form — per-bond-type matrices with type 0 (no bond /
-    padded edge) pinned to zero, no bias leakage so a0 = 0 exactly."""
+    padded edge) pinned to zero, no bias leakage so a0 = 0 exactly.
+    edge_feats: optionally the TRANSFORMED edge features (encoded family,
+    _input_transforms); defaults to the batch's masked raw rows."""
     nf, mf = cfg.node_features, cfg.message_features
     mp = params["message"][0]
     if cfg.message_fn == "ggnn":
@@ -101,7 +156,8 @@ def _build_a_form(params, cfg: MPNNConfig, batch, edge_mlp_fn=None):
             axis=0)
         a0 = jnp.zeros((mf, nf), amat.dtype)
         return amat, a0, batch["edge_types"]
-    edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
+    if edge_feats is None:
+        edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
     pen, pen0, pen_vocab = _edge_penultimates(
         mp, edge_feats, cfg, batch.get("edge_vid"),
         batch.get("edge_vfirst"), edge_mlp_fn)
@@ -133,16 +189,22 @@ def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
 
     Returns (loss, out, new_state). Numerically equivalent to
     sparse_mpnn_apply(... recurrence_fn=...) followed by the masked MSE —
-    same message/A0 decomposition, same BN/GRU math, same readout."""
-    h0 = batch["node_feats"] * batch["node_mask"]
-    amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn)
+    same message/A0 decomposition, same BN/GRU math, same readout. The
+    in-kernel loss is on the readout's `out` directly, so output_norm
+    configs must take fused_mpnn_out instead (trainer gating)."""
+    h0, edge_feats, upd = _input_transforms(params, state, cfg, batch,
+                                            training=True)
+    amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn,
+                                  edge_feats=edge_feats)
     loss, out, ma_stats, step_stats = fused_op(
         amat, a0, params["message"][0]["message_bias"], h0,
         batch["node_mask"], batch["node_graph"], params["gru"],
         params["ma_bn"][0], params["bn"][0], params["readout"], labels,
         batch["graph_mask"], vid, batch["edge_src"], batch["edge_dst"],
         batch["fs_win"], batch["fs_ns"])
-    return loss, out, _fold_emas(state, cfg, ma_stats, step_stats)
+    new_state = _fold_emas(state, cfg, ma_stats, step_stats)
+    new_state.update(upd)
+    return loss, out, new_state
 
 
 def fused_eval_eligible(cfg: MPNNConfig, batch) -> bool:
@@ -179,14 +241,19 @@ def fused_mpnn_eval(params, state, cfg: MPNNConfig, batch, eval_op,
     the serving path. Returns out (G, output_dim); state unchanged.
     Numerically equivalent to sparse_mpnn_apply(..., training=False) on
     eligible configs."""
-    h0 = batch["node_feats"] * batch["node_mask"]
-    amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn)
-    return eval_op(
+    h0, edge_feats, _ = _input_transforms(params, state, cfg, batch,
+                                          training=False)
+    amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn,
+                                  edge_feats=edge_feats)
+    out = eval_op(
         amat, a0, params["message"][0]["message_bias"], h0,
         batch["node_mask"], batch["node_graph"], params["gru"],
         params["ma_bn"][0], state["ma_bn"][0], params["bn"][0],
         state["bn"][0], params["readout"], vid, batch["edge_src"],
         batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
+    out, _ = _output_norm(params, state, cfg, out, batch["graph_mask"],
+                          training=False)
+    return out
 
 
 def fused_mpnn_out(params, state, cfg: MPNNConfig, batch, fused_op,
@@ -200,9 +267,12 @@ def fused_mpnn_out(params, state, cfg: MPNNConfig, batch, fused_op,
     forward pallas_call. The kernel's in-kernel masked-MSE loss is
     computed against zero labels and DISCARDED (its cotangent is zero, so
     the custom VJP's backward is driven purely by the `out` cotangent —
-    exact for any downstream head/loss)."""
-    h0 = batch["node_feats"] * batch["node_mask"]
-    amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn)
+    exact for any downstream head/loss). Encoded-family input transforms
+    run in XLA before the kernel; output_norm (obn) after it."""
+    h0, edge_feats, upd = _input_transforms(params, state, cfg, batch,
+                                            training=True)
+    amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn,
+                                  edge_feats=edge_feats)
     zero_labels = jnp.zeros_like(batch["graph_mask"])
     _, out, ma_stats, step_stats = fused_op(
         amat, a0, params["message"][0]["message_bias"], h0,
@@ -210,4 +280,9 @@ def fused_mpnn_out(params, state, cfg: MPNNConfig, batch, fused_op,
         params["ma_bn"][0], params["bn"][0], params["readout"],
         zero_labels, batch["graph_mask"], vid, batch["edge_src"],
         batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
-    return out, _fold_emas(state, cfg, ma_stats, step_stats)
+    out, obn_upd = _output_norm(params, state, cfg, out,
+                                batch["graph_mask"], training=True)
+    new_state = _fold_emas(state, cfg, ma_stats, step_stats)
+    new_state.update(upd)
+    new_state.update(obn_upd)
+    return out, new_state

@@ -364,6 +364,9 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
             fused_inkernel = (net_cfg.input_wrapper == "plain"
                               and net_cfg.head == "none"
                               and not net_cfg.head_bn
+                              # the in-kernel loss reads the readout's out
+                              # directly — obn configs go via fused_mpnn_out
+                              and not net_cfg.mpnn.output_norm
                               and cfg.loss == "mse"
                               and net_cfg.mpnn.output_dim == 1)
 

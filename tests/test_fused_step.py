@@ -503,3 +503,130 @@ class TestLoaderIntegration:
         sizes = {(b["fs_window"], b["fs_node_window"],
                   b["fs_win"].shape, b["fs_ns"].shape) for b in batches}
         assert len(sizes) == 1
+
+
+@pytest.mark.slow
+class TestFusedEncodedFamily:
+    """VERDICT r2 item 5: the encoded family's input pipeline (frozen-or-
+    trainable atom/bond encoders + input BN) folds into XLA preprocessing
+    around the unchanged whole-step kernel, and output_norm rides after it
+    (fused_mpnn_out). Parity vs sparse_mpnn_apply for loss, grads (incl.
+    the encoder weights), and every EMA (aebn/bebn/obn + recurrence).
+    Note: the reference encoded EXPERIMENTS use per-step message weights/
+    norm pairs, which the kernel does not cover yet — this tests the
+    shared-weight encoder composition that IS eligible."""
+
+    def _setup(self, output_norm):
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu import models
+        from mpnn_tpu.kernels.fused_step import attach_fused_plan
+        smiles = ["CCO", "c1ccccc1", "CC(=O)O",
+                  "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+                  "CN1C=NC2=C1C(=O)N(C(=O)N2C)C", "C1CCCCC1",
+                  "NC(=O)c1ccccc1", "OC(=O)c1ccccc1O"] * 4
+        gs = G.generate_molgraphs(smiles, list(range(len(smiles))))
+        gs, ge = G.encode_molgraphs(gs)
+        enc_afm = 8
+        cfg = models.MPNNConfig(
+            node_features=enc_afm, edge_features=2,
+            message_features=enc_afm, output_dim=5, message_steps=3,
+            msg_norm="bn1d", state_norm="bn1d", edge_mlp_tail_repeats=2,
+            atom_encoder="atom_ae", atom_encoder_in=ge.atom_width(),
+            bond_encoder="bond_ae", bond_encoder_in=ge.bond_width(),
+            input_norm=True, output_norm=output_norm)
+        params, state = models.mpnn_init(jax.random.PRNGKey(21), cfg)
+        packed = G.collate_packed(gs).as_dict()
+        packed = G.attach_edge_vocab(packed, vocab_cap=16)
+        packed = attach_fused_plan(packed, block_edges=128)
+        assert "fs_win" in packed
+        jb = {kk: jnp.asarray(v) if not np.isscalar(v) else v
+              for kk, v in packed.items()}
+        labels = jnp.asarray(np.random.RandomState(13).randn(
+            packed["graph_mask"].shape[0]).astype(np.float32))
+        return cfg, params, state, jb, labels
+
+    def _assert_tree_close(self, a, b, rtol, atol, what):
+        fa, ta = jax.tree.flatten(a)
+        fb, tb = jax.tree.flatten(b)
+        assert ta == tb
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            np.testing.assert_allclose(
+                np.asarray(xa), np.asarray(xb), rtol=rtol, atol=atol,
+                err_msg=f"{what} leaf {i}")
+
+    def test_inkernel_loss_matches_sparse(self):
+        from mpnn_tpu.models.fused_train import (fused_flagship_loss,
+                                                 fused_step_eligible,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = self._setup(output_norm=False)
+        assert fused_step_eligible(cfg, jb, training=True)
+        op = make_fused_step_for_batch(cfg, jb, interpret=True)
+
+        def loss_fused(p, s):
+            loss, out, ns = fused_flagship_loss(p, s, cfg, jb, labels, op)
+            return loss, (out, ns)
+
+        def loss_ref(p, s):
+            out, ns = sparse_mpnn_apply(p, s, cfg, jb, training=True)
+            gm = jb["graph_mask"][:, None]
+            per = ((out - labels[:, None]) ** 2) * gm
+            return per.sum() / gm.sum(), (out, ns)
+
+        (lf, (of, nsf)), gf = jax.value_and_grad(
+            loss_fused, has_aux=True)(params, state)
+        (lr, (orf, nsr)), gr = jax.value_and_grad(
+            loss_ref, has_aux=True)(params, state)
+        np.testing.assert_allclose(lf, lr, rtol=2e-5)
+        np.testing.assert_allclose(of, orf, rtol=2e-4, atol=1e-5)
+        self._assert_tree_close(gf, gr, 2e-3, 1e-5, "grad")
+        self._assert_tree_close(nsf, nsr, 2e-4, 1e-6, "state")
+
+    def test_out_flavor_with_output_norm(self):
+        from mpnn_tpu.models.fused_train import (fused_mpnn_out,
+                                                 fused_step_eligible,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = self._setup(output_norm=True)
+        assert fused_step_eligible(cfg, jb, training=True)
+        op = make_fused_step_for_batch(cfg, jb, interpret=True)
+
+        def loss_with(p, s, fused):
+            if fused:
+                out, ns = fused_mpnn_out(p, s, cfg, jb, op)
+            else:
+                out, ns = sparse_mpnn_apply(p, s, cfg, jb, training=True)
+            gm = jb["graph_mask"][:, None]
+            per = ((out - labels[:, None]) ** 2) * gm
+            return per.sum() / gm.sum(), (out, ns)
+
+        (lf, (of, nsf)), gf = jax.value_and_grad(
+            lambda p, s: loss_with(p, s, True), has_aux=True)(params, state)
+        (lr, (orf, nsr)), gr = jax.value_and_grad(
+            lambda p, s: loss_with(p, s, False), has_aux=True)(params,
+                                                               state)
+        np.testing.assert_allclose(lf, lr, rtol=2e-5)
+        np.testing.assert_allclose(of, orf, rtol=2e-4, atol=1e-5)
+        self._assert_tree_close(gf, gr, 2e-3, 1e-5, "grad")
+        self._assert_tree_close(nsf, nsr, 2e-4, 1e-6, "state")
+
+    def test_eval_kernel_encoded(self):
+        """Serving: encoders + input BN (running stats) + output BN fold
+        around the eval kernel; parity vs sparse eval after a training
+        step so every EMA is non-trivial."""
+        from mpnn_tpu.models.fused_train import (fused_eval_eligible,
+                                                 fused_mpnn_eval,
+                                                 fused_mpnn_out,
+                                                 make_fused_eval_for_batch,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = self._setup(output_norm=True)
+        op = make_fused_step_for_batch(cfg, jb, interpret=True)
+        _, state = fused_mpnn_out(params, state, cfg, jb, op)
+        assert fused_eval_eligible(cfg, jb)
+        ev = make_fused_eval_for_batch(cfg, jb, interpret=True)
+        out_k = fused_mpnn_eval(params, state, cfg, jb, ev)
+        out_r, _ = sparse_mpnn_apply(params, state, cfg, jb,
+                                     training=False)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=2e-4, atol=1e-5)
