@@ -134,7 +134,7 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         # node count exceeds the forward's scoped-VMEM cap.
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
         from mpnn_tpu.models.fused_train import fused_step_eligible
-        assert model in ("flagship", "ggnn")
+        assert model in ("flagship", "ggnn", "att")
         assert use_vocab or model == "ggnn"
         packed = attach_fused_plan(packed, block_edges=spmm_block)
         assert "fs_win" in packed, "fused-step window plan failed"
@@ -223,6 +223,18 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                 cs = jax.tree.map(lambda x: x.astype(cdtype), s) \
                     if dtype == "bfloat16" else s
                 if fused_op is not None:
+                    if cfg.message_fn == "att_edge_network":
+                        # att-family kernel (kernels/fused_att.py): gated
+                        # messages + GRU in one pallas_call, set2vec + the
+                        # masked MSE in XLA around it
+                        from mpnn_tpu.models.fused_train import \
+                            fused_mpnn_out
+                        out, ns = fused_mpnn_out(cp, cs, cfg, jb,
+                                                 fused_op)
+                        gm = jb["graph_mask"][:, None]
+                        per = ((out.astype(jnp.float32)
+                                - labels[:, None]) ** 2) * gm
+                        return per.sum() / gm.sum(), ns
                     from mpnn_tpu.models.fused_train import \
                         fused_flagship_loss
                     loss, _, ns = fused_flagship_loss(
@@ -290,7 +302,7 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
     else:
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
     eval_op = None
-    if fuse and model in ("flagship", "ggnn"):
+    if fuse and model in ("flagship", "ggnn", "att"):
         # whole-step INFERENCE kernel (running-stat BN folded to affines):
         # messages -> recurrence -> readout in ONE launch
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
@@ -456,7 +468,10 @@ def main(argv=None):
                         "whole-step fused kernel — natively A-form)")
     args = p.parse_args(argv)
 
-    fusable = args.model in ("flagship", "ggnn")
+    # att now fuses too (kernels/fused_att.py) — fuse_step is the default
+    # for every model; --fuse (the recurrence-only kernel) still covers
+    # only the step-constant-message families
+    recurrence_fusable = args.model in ("flagship", "ggnn")
     if args.mode == "sparse":
         value, real_edges, last_loss = bench_sparse(
             args.batch, args.iters, args.dtype,
@@ -464,11 +479,10 @@ def main(argv=None):
             spmm=("xla" if args.model == "att" else "kernel")
             if args.spmm is None else args.spmm,
             spmm_block=args.spmm_block, model=args.model,
-            fuse=fusable if args.fuse is None
+            fuse=recurrence_fusable if args.fuse is None
             else args.fuse, tail=args.tail, tail_kernel=args.tail_kernel,
             steps_per_call=args.steps_per_call, slots=args.slots,
-            fuse_step=(fusable and (args.model == "ggnn"
-                                    or not args.no_vocab))
+            fuse_step=(args.model == "ggnn" or not args.no_vocab)
             if args.fuse_step is None else args.fuse_step)
     elif args.mode == "eval":
         if args.dtype != "float32" or args.no_vocab:

@@ -71,6 +71,8 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
             return False
     has_encoder = (cfg.atom_encoder is not None
                    or cfg.bond_encoder is not None)
+    if cfg.message_fn == "att_edge_network":
+        return _att_family_eligible(cfg, batch)
     return (recurrence_eligible(cfg, training=training, axis_name=None)
             and cfg.readout == "graph_level"
             and not (has_encoder and not cfg.input_norm)
@@ -79,12 +81,60 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
             <= FUSED_STEP_NODE_CAP)
 
 
+def _att_family_eligible(cfg: MPNNConfig, batch) -> bool:
+    """Eligibility of the fused ATT kernel (kernels/fused_att.py): the
+    adv/att family shape — per-edge gated messages from the INITIAL state,
+    GRU hidden reset to the initial state (which collapses the step loop
+    exactly — every step is GRU(msgs, h0)), no in-recurrence norms. The
+    readout (set2vec or graph_level) stays in XLA around the kernel.
+    Encoders require input_norm for the same padded-rows-must-be-zero
+    reason as the main family; 'wadj' has no padding-free sparse form."""
+    has_encoder = (cfg.atom_encoder is not None
+                   or cfg.bond_encoder is not None)
+    return (cfg.aggregation in ("att", "adj")
+            and cfg.share_message_weights
+            and cfg.message_input == "initial"
+            and cfg.update_hidden == "initial"
+            and cfg.msg_norm == "none" and cfg.state_norm == "none"
+            and not cfg.per_step_norms
+            and not cfg.concat_state_history
+            and not (has_encoder and not cfg.input_norm)
+            and not cfg.remat
+            and "edge_vid" in batch and "fs_win" in batch
+            and int(np.asarray(batch["node_feats"]).shape[0])
+            <= FUSED_STEP_NODE_CAP)
+
+
 def make_fused_step_for_batch(cfg: MPNNConfig, batch,
                               interpret: bool = False):
-    """Build the fused-step op for one packed batch's static shapes."""
-    from mpnn_tpu.kernels.fused_step import make_fused_step_op
+    """Build the fused-step op for one packed batch's static shapes.
+    Dispatches to the att-family kernel for att_edge_network configs."""
     n = int(np.asarray(batch["node_feats"]).shape[0])
     g = int(np.asarray(batch["graph_mask"]).shape[0])
+    if cfg.message_fn == "att_edge_network":
+        from mpnn_tpu.kernels.fused_att import make_fused_att_op
+        k = int(np.asarray(batch["edge_vfirst"]).shape[0])
+        att_op = make_fused_att_op(
+            cfg.node_features, n, g, k,
+            with_corr=cfg.aggregation == "att",
+            block_edges=int(batch["fs_block_edges"]),
+            window=int(batch["fs_window"]),
+            node_window=int(batch["fs_node_window"]),
+            interpret=interpret)
+        s2v_op = None
+        if cfg.readout == "set2vec" and cfg.set2vec_batch_softmax:
+            # the fused set2vec readout (kernels/set2vec.py) — the att
+            # probe attributed 3.9 of the 4.4 ms att step to the XLA
+            # set2vec scan; per-graph softmax ('batch_softmax=False')
+            # stays on the XLA path
+            from mpnn_tpu.kernels.set2vec import make_set2vec_op
+            s2v_op = make_set2vec_op(
+                2 * cfg.node_features, n, g,
+                time_steps=cfg.set2vec_steps,
+                node_window=int(batch["fs_node_window"]),
+                interpret=interpret)
+        return {"att": att_op, "s2v": s2v_op}
+    from mpnn_tpu.kernels.fused_step import make_fused_step_op
     k = (cfg.ggnn_num_edge_types + 1 if cfg.message_fn == "ggnn"
          else int(np.asarray(batch["edge_vfirst"]).shape[0]))
     return make_fused_step_op(
@@ -170,6 +220,84 @@ def _build_a_form(params, cfg: MPNNConfig, batch, edge_mlp_fn=None,
     return amat, a0, batch["edge_vid"]
 
 
+def _build_att_form(params, cfg: MPNNConfig, batch, edge_feats=None,
+                    edge_mlp_fn=None):
+    """The att kernel's operands: (aprime (K,mf,nf) = fold(pen_vocab)+bf —
+    per-vocab message matrices WITH the final bias (AttEdgeNetwork keeps it
+    per edge, models/sparse.py::sparse_att_edge_network), a0 (mf,nf) =
+    fold(pen0)+bf — the non-edge matrix, qv (K,nf) = evocab·We + b_attn,
+    q0 = b_attn, wh = attn.w[:nf])."""
+    nf, mf = cfg.node_features, cfg.message_features
+    mp = params["message"][0]
+    if edge_feats is None:
+        edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
+    pen, pen0, pen_vocab = _edge_penultimates(
+        mp, edge_feats, cfg, batch["edge_vid"], batch["edge_vfirst"],
+        edge_mlp_fn)
+    pf = pen0.shape[-1]
+    wf = mp["final"]["w"].reshape(pf, mf, nf)
+    bf = mp["final"]["b"].reshape(mf, nf)
+    aprime = jnp.einsum("kp,pmf->kmf", pen_vocab, wf,
+                        preferred_element_type=edge_feats.dtype) + bf
+    a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
+    evocab = edge_feats[batch["edge_vfirst"]]
+    wh = mp["attn"]["w"][:nf]
+    qv = evocab @ mp["attn"]["w"][nf:] + mp["attn"]["b"]
+    # the zero-edge attn pre-activation (cat0 = [h ‖ 0] → We·0 + b)
+    q0 = mp["attn"]["b"]
+    return aprime, a0, qv, q0, wh
+
+
+def _att_readout(params, cfg: MPNNConfig, h, h0, batch):
+    """The XLA readout around the att kernel (set2vec is ~0.2 ms of the
+    old 5.6 ms att step — not worth fusing; its out-cotangent drives the
+    kernel's custom VJP)."""
+    from mpnn_tpu.models.sparse import (sparse_graph_level_output,
+                                        sparse_set2vec)
+    x = jnp.concatenate([h, h0], axis=-1)
+    num_graphs = batch["graph_mask"].shape[0]
+    if cfg.readout == "graph_level":
+        return sparse_graph_level_output(
+            params["readout"], x, batch["node_mask"], batch["node_graph"],
+            num_graphs)
+    return sparse_set2vec(
+        params["readout"], x, batch["node_mask"], batch["node_graph"],
+        num_graphs, time_steps=cfg.set2vec_steps,
+        batch_softmax=cfg.set2vec_batch_softmax)
+
+
+def fused_att_out(params, state, cfg: MPNNConfig, batch, att_op, *,
+                  training: bool, edge_mlp_fn=None):
+    """The att-family MPNN through the fused kernel (kernels/fused_att.py):
+    gating + messages + rank-1 'att' correction + GRU in ONE pallas_call,
+    readout in XLA. Returns (out, new_state) — drop-in for
+    sparse_mpnn_apply on eligible configs (train AND eval: the family has
+    no BN inside the recurrence, so the same kernel serves both; only the
+    input/output norms' mode differs)."""
+    ops = att_op if isinstance(att_op, dict) else {"att": att_op,
+                                                   "s2v": None}
+    h0, edge_feats, upd = _input_transforms(params, state, cfg, batch,
+                                            training=training)
+    aprime, a0, qv, q0, wh = _build_att_form(params, cfg, batch,
+                                             edge_feats, edge_mlp_fn)
+    h = ops["att"](aprime, a0, qv, q0, wh, h0, batch["node_mask"],
+                   batch["node_graph"], params["gru"], batch["edge_vid"],
+                   batch["edge_src"], batch["edge_dst"], batch["fs_win"],
+                   batch["fs_ns"])
+    if ops.get("s2v") is not None:
+        x = jnp.concatenate([h, h0], axis=-1)
+        out = ops["s2v"](params["readout"], x, batch["node_mask"],
+                         batch["node_graph"], batch["fs_ns"])
+    else:
+        out = _att_readout(params, cfg, h, h0, batch)
+    out, obn_upd = _output_norm(params, state, cfg, out,
+                                batch["graph_mask"], training=training)
+    new_state = dict(state)
+    new_state.update(upd)
+    new_state.update(obn_upd)
+    return out, new_state
+
+
 def _fold_emas(state, cfg: MPNNConfig, ma_stats, step_stats):
     """Apply the same running-stat EMA updates the sequential step loop
     would have applied (shared helper: models/sparse.py)."""
@@ -221,7 +349,11 @@ def fused_eval_eligible(cfg: MPNNConfig, batch) -> bool:
 
 def make_fused_eval_for_batch(cfg: MPNNConfig, batch,
                               interpret: bool = False):
-    """Build the whole-step INFERENCE op for one packed batch's shapes."""
+    """Build the whole-step INFERENCE op for one packed batch's shapes.
+    The att family reuses its train kernel — it has no BN inside the
+    recurrence, so the forward IS the eval forward."""
+    if cfg.message_fn == "att_edge_network":
+        return make_fused_step_for_batch(cfg, batch, interpret=interpret)
     from mpnn_tpu.kernels.fused_step import make_fused_eval_op
     n = int(np.asarray(batch["node_feats"]).shape[0])
     g = int(np.asarray(batch["graph_mask"]).shape[0])
@@ -241,6 +373,10 @@ def fused_mpnn_eval(params, state, cfg: MPNNConfig, batch, eval_op,
     the serving path. Returns out (G, output_dim); state unchanged.
     Numerically equivalent to sparse_mpnn_apply(..., training=False) on
     eligible configs."""
+    if cfg.message_fn == "att_edge_network":
+        out, _ = fused_att_out(params, state, cfg, batch, eval_op,
+                               training=False, edge_mlp_fn=edge_mlp_fn)
+        return out
     h0, edge_feats, _ = _input_transforms(params, state, cfg, batch,
                                           training=False)
     amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn,
@@ -268,7 +404,11 @@ def fused_mpnn_out(params, state, cfg: MPNNConfig, batch, fused_op,
     computed against zero labels and DISCARDED (its cotangent is zero, so
     the custom VJP's backward is driven purely by the `out` cotangent —
     exact for any downstream head/loss). Encoded-family input transforms
-    run in XLA before the kernel; output_norm (obn) after it."""
+    run in XLA before the kernel; output_norm (obn) after it. Dispatches
+    to the att-family kernel for att_edge_network configs."""
+    if cfg.message_fn == "att_edge_network":
+        return fused_att_out(params, state, cfg, batch, fused_op,
+                             training=True, edge_mlp_fn=edge_mlp_fn)
     h0, edge_feats, upd = _input_transforms(params, state, cfg, batch,
                                             training=True)
     amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn,

@@ -367,6 +367,11 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                               # the in-kernel loss reads the readout's out
                               # directly — obn configs go via fused_mpnn_out
                               and not net_cfg.mpnn.output_norm
+                              # the att kernel emits h for an XLA readout —
+                              # no in-kernel loss flavor
+                              and net_cfg.mpnn.message_fn
+                              in ("edge_network", "ggnn")
+                              and net_cfg.mpnn.readout == "graph_level"
                               and cfg.loss == "mse"
                               and net_cfg.mpnn.output_dim == 1)
 
