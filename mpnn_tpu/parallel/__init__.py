@@ -13,7 +13,9 @@ from mpnn_tpu.parallel.data_parallel import (
 )
 from mpnn_tpu.parallel.edge_partition import (
     make_edge_partitioned_spmm,
+    make_edge_partitioned_spmm_kernel,
     shard_edges_for_mesh,
+    shard_edges_for_spmm_kernel,
 )
 from mpnn_tpu.parallel.fused_dp import (
     make_fused_dp_train_step,

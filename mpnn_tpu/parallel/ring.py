@@ -75,6 +75,9 @@ def partition_edges_ring(batch: Dict[str, np.ndarray], d: int
     etypes = batch.get("edge_types")
     ring_etypes = (np.zeros((d, d, eb), np.int32)
                    if etypes is not None else None)
+    evids = batch.get("edge_vid")
+    ring_vids = (np.zeros((d, d, eb), np.int32)
+                 if evids is not None else None)
     for (pd_, ps_), idxs in buckets.items():
         k = len(idxs)
         ring_src[pd_, ps_, :k] = src[idxs] % s
@@ -82,6 +85,8 @@ def partition_edges_ring(batch: Dict[str, np.ndarray], d: int
         ring_efeats[pd_, ps_, :k] = efeats[idxs]
         if ring_etypes is not None:
             ring_etypes[pd_, ps_, :k] = etypes[idxs]   # pad type 0 = no bond
+        if ring_vids is not None:
+            ring_vids[pd_, ps_, :k] = evids[idxs]      # pad vid 0 = zero A
 
     out = {
         "node_feats_sh": nf.reshape(d, s, -1),
@@ -94,6 +99,12 @@ def partition_edges_ring(batch: Dict[str, np.ndarray], d: int
     }
     if ring_etypes is not None:
         out["ring_etypes"] = ring_etypes
+    if ring_vids is not None:
+        # edge-VOCAB ids bucketed like src/dst (for the A-form halo-kernel
+        # edge term, kernels/ring_halo.py) + the vocab's distinct feature
+        # rows so the device can fold the tiny A-matrix table itself
+        out["ring_vids"] = ring_vids
+        out["ring_vrows"] = batch["edge_feats"][batch["edge_vfirst"]]
     return out
 
 

@@ -139,16 +139,32 @@ def _ring_set2vec(rparams, x, node_mask, node_graph, num_graphs: int,
 
 
 def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
-                           num_graphs: int = None, training: bool = True):
+                           num_graphs: int = None, training: bool = True,
+                           edge_impl: str = "ppermute",
+                           interpret: bool = False):
     """Returns fwd(params, state, ring_batch) → ((G, out), new_state) with
     everything node-sharded internally. ring_batch from
     parallel.ring.partition_edges_ring (+ 'labels'/'graph_mask' pass-through
-    handled by the caller)."""
+    handled by the caller).
+
+    edge_impl: 'ppermute' (XLA ring rounds — the reference oracle) or
+    'halo' (the overlapped Pallas halo-exchange kernel,
+    kernels/ring_halo.py::make_ring_halo_edge_term — the TPU-mesh
+    selection; A-form, so edge_network needs the edge VOCAB bucketed into
+    the ring batch: partition_edges_ring emits ring_vids/ring_vrows when
+    the packed batch carries edge_vid)."""
     if cfg.message_fn not in ("edge_network", "ggnn") \
             or cfg.readout not in ("graph_level", "set2vec"):
         raise NotImplementedError(
             "ring forward covers edge_network/ggnn messages with "
             "graph_level/set2vec readouts")
+    if edge_impl not in ("ppermute", "halo"):
+        raise ValueError(edge_impl)
+    use_halo = edge_impl == "halo"
+    if use_halo:
+        from mpnn_tpu.kernels.ring_halo import make_ring_halo_edge_term
+        halo_term = make_ring_halo_edge_term(mesh, axis,
+                                             interpret=interpret)
     # the ring body uses params['message'][0] for every step and a fixed
     # cat([h, h0]) readout input — reject configs those would silently break
     if not cfg.share_message_weights and cfg.message_steps > 1:
@@ -163,9 +179,9 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
     nf, mf = cfg.node_features, cfg.message_features
 
     def local(params, state, node_sh, mask_sh, graph_sh, src_b, dst_b,
-              efeats_b, graph_mask):
+              efeats_b, vid_b, vrows, graph_mask):
         # local shapes: node (1,S,nf), mask (1,S,1), graph (1,S),
-        # buckets (1,D,Eb,·); graph_mask replicated (G,)
+        # buckets (1,D,Eb,·); vrows/graph_mask replicated
         h0 = node_sh[0] * mask_sh[0]
         mask = mask_sh[0]
         node_graph = graph_sh[0]
@@ -173,6 +189,7 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
         new_state = dict(state)
 
         mp = params["message"][0]
+        amat_vocab = None
         if cfg.message_fn == "ggnn":
             # efeats_b carries the (D, Eb) int type buckets; A_0 = 0
             type_b = efeats_b[0]
@@ -180,6 +197,17 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
                 [jnp.zeros((1, mf, nf), mp["adj_w"].dtype), mp["adj_w"]],
                 axis=0)
             a0 = None
+        elif use_halo:
+            # A-form via the edge VOCAB: fold the ≤K distinct rows' tail
+            # penultimates into per-vocab matrices (vid 0 = the zero raw
+            # row → amat_vocab[0] = 0, the halo kernel's pad convention)
+            pen_v, pen0, _ = _edge_penultimates(mp, vrows, cfg)
+            pf = pen0.shape[-1]
+            wf = mp["final"]["w"].reshape(pf, mf, nf)
+            bf = mp["final"]["b"].reshape(mf, nf)
+            amat_vocab = jnp.einsum("kp,pmf->kmf", pen_v - pen0, wf,
+                                    preferred_element_type=h0.dtype)
+            a0 = jnp.einsum("p,pmf->mf", pen0[0], wf) + bf
         else:
             # per-bucket edge-MLP penultimates (local edges only)
             eb_feats = efeats_b[0]
@@ -200,13 +228,22 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
             ni = step if cfg.per_step_norms else 0
             msg_src = h0 if cfg.message_input == "initial" else h
             if cfg.message_fn == "ggnn":
-                edge_term = _ring_edge_term_ggnn(msg_src, src_b[0],
-                                                 dst_b[0], type_b, wg,
-                                                 axis, d)
+                if use_halo:
+                    edge_term = halo_term(msg_src, type_b, src_b[0],
+                                          dst_b[0], wg)
+                else:
+                    edge_term = _ring_edge_term_ggnn(msg_src, src_b[0],
+                                                     dst_b[0], type_b, wg,
+                                                     axis, d)
                 msgs = edge_term + mp["message_bias"]
             else:
-                edge_term = _ring_edge_term(msg_src, src_b[0], dst_b[0],
-                                            ptilde, wf, axis, d)
+                if use_halo:
+                    edge_term = halo_term(msg_src, vid_b[0], src_b[0],
+                                          dst_b[0], amat_vocab)
+                else:
+                    edge_term = _ring_edge_term(msg_src, src_b[0],
+                                                dst_b[0], ptilde, wf,
+                                                axis, d)
                 # A0 graph correction: global per-graph sums via psum
                 s_local = jax.ops.segment_sum(msg_src, node_graph,
                                               num_segments=ng + 1)
@@ -248,17 +285,33 @@ def make_ring_mpnn_forward(cfg: MPNNConfig, mesh: Mesh, axis: str = "edge",
         return out, new_state
 
     def fwd(params, state, ring_batch, graph_mask):
+        if use_halo and cfg.message_fn == "edge_network" \
+                and "ring_vids" not in ring_batch:
+            raise ValueError(
+                "edge_impl='halo' needs the edge VOCAB bucketed into the "
+                "ring batch — collate with attach_edge_vocab before "
+                "partition_edges_ring (ring_vids/ring_vrows)")
         sm = shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
-                      P(axis), P(axis), P()),
+                      P(axis), P(axis), P(axis), P(), P()),
             out_specs=(P(), P()),
+            # the halo kernel's pallas outputs don't declare their mesh
+            # variance (same rule as kernels/ring_halo.py)
+            check_vma=not use_halo,
         )
         feats = ring_batch["ring_etypes"] if cfg.message_fn == "ggnn" \
             else ring_batch["ring_efeats"]
+        dd = ring_batch["ring_src"].shape[0]
+        vid_b = ring_batch.get(
+            "ring_vids",
+            jnp.zeros((dd, dd, 1), jnp.int32))      # dummy when unused
+        vrows = ring_batch.get(
+            "ring_vrows",
+            jnp.zeros((1, cfg.edge_features), jnp.float32))
         return sm(params, state,
                   ring_batch["node_feats_sh"], ring_batch["node_mask_sh"],
                   ring_batch["node_graph_sh"], ring_batch["ring_src"],
-                  ring_batch["ring_dst"], feats, graph_mask)
+                  ring_batch["ring_dst"], feats, vid_b, vrows, graph_mask)
 
     return fwd

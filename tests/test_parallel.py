@@ -154,3 +154,55 @@ class TestEdgePartition:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5,
                                        err_msg=jax.tree_util.keystr(path))
+
+
+class TestEdgePartitionKernel:
+    """Round-2 VERDICT item 3: the Pallas windowed SpMM INSIDE the
+    edge-partitioned shard_map (interpret mode on the virtual mesh) —
+    multi-chip EP no longer forfeits the single-chip kernel win."""
+
+    @pytest.mark.slow
+    def test_kernel_spmm_sharded_matches_unsharded(self, setup):
+        gs, ge = setup
+        nf = ge.atom_width()
+        cfg = models.MPNNConfig(
+            node_features=nf, edge_features=ge.bond_width(),
+            message_features=nf, output_dim=8, message_steps=3,
+            msg_norm="bn1d", state_norm="bn1d", edge_mlp_tail_repeats=3)
+        params, state = models.mpnn_init(jax.random.PRNGKey(7), cfg)
+        packed = G.collate_packed(gs).as_dict()
+        packed = G.attach_edge_vocab(packed, vocab_cap=16)
+        packed = parallel.shard_edges_for_spmm_kernel(
+            packed, 8, block_edges=64, window=64)
+        assert "spmm_win" in packed
+        assert packed["edge_src"].shape[0] % (8 * 64) == 0
+        jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in packed.items()}
+
+        out_ref, _ = sparse_mpnn_apply(params, state, cfg, jb,
+                                       training=True)
+        mesh = parallel.make_mesh(data=1, edge=8)
+        spmm = parallel.make_edge_partitioned_spmm_kernel(
+            mesh, block_edges=64, window=64, interpret=True)
+        out_ep, _ = jax.jit(
+            lambda p, s, b: sparse_mpnn_apply(
+                p, s, cfg, b, training=True,
+                spmm_vocab_fn=spmm))(params, state, jb)
+        np.testing.assert_allclose(np.asarray(out_ref),
+                                   np.asarray(out_ep), atol=5e-4)
+
+        # gradients: the kernel's custom VJP per shard + the shard_map
+        # transpose must reproduce the unsharded grads
+        def loss(p, spmm_fn):
+            out, _ = sparse_mpnn_apply(p, state, cfg, jb, training=True,
+                                       spmm_vocab_fn=spmm_fn)
+            return (out ** 2).mean()
+
+        g_ref = jax.grad(lambda p: loss(p, None))(params)
+        g_ep = jax.jit(jax.grad(lambda p: loss(p, spmm)))(params)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g_ref)[0],
+                jax.tree_util.tree_flatten_with_path(g_ep)[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3,
+                err_msg=jax.tree_util.keystr(path))

@@ -313,3 +313,109 @@ class TestRingHalo:
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+class TestRingTrainHalo:
+    """Round-2 VERDICT item 3: the halo-exchange kernel WIRED into the
+    production ring forward (edge_impl='halo'; ppermute stays the
+    reference oracle). Interpret mode on the virtual mesh."""
+
+    def test_edge_network_vocab_halo_forward_and_grads(self):
+        from mpnn_tpu.parallel.ring_train import make_ring_mpnn_forward
+        gs = G.generate_molgraphs(SMILES,
+                                  [0.1 * i for i in range(len(SMILES))])
+        gs, ge = G.encode_molgraphs(gs)
+        nf = ge.atom_width()
+        cfg = models.MPNNConfig(
+            node_features=nf, edge_features=ge.bond_width(),
+            message_features=nf, output_dim=8, message_steps=3,
+            msg_norm="bn1d", state_norm="bn1d", edge_mlp_tail_repeats=3)
+        params, state = models.mpnn_init(jax.random.PRNGKey(11), cfg)
+        packed = G.attach_edge_vocab(G.collate_packed(gs).as_dict(),
+                                     vocab_cap=16)
+        jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in packed.items()}
+        want, _ = sparse_mpnn_apply(params, state, cfg, jb, training=True)
+
+        rb_np = partition_edges_ring(packed, 4)
+        assert "ring_vids" in rb_np and "ring_vrows" in rb_np
+        rb = {k: jnp.asarray(v) for k, v in rb_np.items()
+              if not np.isscalar(v)}
+        # interpret-mode remote DMA supports single-axis meshes only
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("edge",))
+        gm = jnp.asarray(packed["graph_mask"])
+        fwd = make_ring_mpnn_forward(cfg, mesh, edge_impl="halo",
+                                     interpret=True)
+        got, _ = jax.jit(lambda p, s: fwd(p, s, rb, gm))(params, state)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4)
+
+        # grads: the halo term's custom VJP rides the in-context ppermute
+        # reference — must match the unsharded sparse grads
+        def loss_halo(p):
+            out, _ = fwd(p, state, rb, gm)
+            return (out ** 2).sum()
+
+        def loss_ref(p):
+            out, _ = sparse_mpnn_apply(p, state, cfg, jb, training=True)
+            return (out ** 2).sum()
+
+        g_halo = jax.jit(jax.grad(loss_halo))(params)
+        g_ref = jax.grad(loss_ref)(params)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g_halo)[0],
+                jax.tree_util.tree_flatten_with_path(g_ref)[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-2,
+                err_msg=jax.tree_util.keystr(path))
+
+    def test_ggnn_halo_forward(self):
+        from mpnn_tpu.graphs import attach_edge_types, with_edge_types
+        from mpnn_tpu.parallel.ring_train import make_ring_mpnn_forward
+        gs = G.generate_molgraphs(SMILES,
+                                  [0.1 * i for i in range(len(SMILES))])
+        attach_edge_types(gs)
+        gs, ge = G.encode_molgraphs(gs)
+        nf = ge.atom_width()
+        cfg = models.MPNNConfig(
+            node_features=nf, edge_features=4, ggnn_num_edge_types=4,
+            message_features=nf, output_dim=8, message_fn="ggnn",
+            message_steps=3, msg_norm="bn1d", state_norm="bn1d")
+        params, state = models.mpnn_init(jax.random.PRNGKey(5), cfg)
+        packed = with_edge_types(G.collate_packed(gs).as_dict(), gs)
+        jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in packed.items()}
+        want, _ = sparse_mpnn_apply(params, state, cfg, jb, training=True)
+        rb_np = partition_edges_ring(packed, 4)
+        rb = {k: jnp.asarray(v) for k, v in rb_np.items()
+              if not np.isscalar(v)}
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("edge",))
+        fwd = make_ring_mpnn_forward(cfg, mesh, edge_impl="halo",
+                                     interpret=True)
+        got, _ = jax.jit(
+            lambda p, s: fwd(p, s, rb, jnp.asarray(packed["graph_mask"]))
+        )(params, state)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4)
+
+    def test_halo_without_vocab_raises(self):
+        from mpnn_tpu.parallel.ring_train import make_ring_mpnn_forward
+        gs = G.generate_molgraphs(SMILES[:4], [0.1, 0.2, 0.3, 0.4])
+        gs, ge = G.encode_molgraphs(gs)
+        nf = ge.atom_width()
+        cfg = models.MPNNConfig(
+            node_features=nf, edge_features=ge.bond_width(),
+            message_features=nf, output_dim=4, message_steps=2,
+            edge_mlp_tail_repeats=2)
+        params, state = models.mpnn_init(jax.random.PRNGKey(0), cfg)
+        packed = G.collate_packed(gs).as_dict()   # NO vocab
+        rb = partition_edges_ring(packed, 4)
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("edge",))
+        fwd = make_ring_mpnn_forward(cfg, mesh, edge_impl="halo",
+                                     interpret=True)
+        with pytest.raises(ValueError, match="edge VOCAB"):
+            fwd(params, state, rb, jnp.asarray(packed["graph_mask"]))
