@@ -357,46 +357,62 @@ class Mol:
             if atom.aromatic:
                 atom.hybridization = HYB_SP2
                 continue
-            n_pi = sum(int(b.order) - 1 for b in bonds if b.order >= 2)
+            # pure STERIC-NUMBER assignment (σ partners + lone pairs) —
+            # RDKit's rule. The previous n_pi shortcut (two π bonds → SP)
+            # misassigned hypervalent centers: sulfone S (two S=O, σ=4,
+            # lp=0) is SP3 in RDKit and textbooks, not SP; same for
+            # phosphate P. Pure steric reproduces every first-row case the
+            # shortcut got right (nitrile/allene/CO₂ centers: σ2+lp0 → SP;
+            # carbonyl C: σ3 → SP2) — pinned by tests/test_chem_golden.py.
             steric = sigma + lone_pairs
-            if n_pi >= 2:
-                atom.hybridization = HYB_SP
-            elif n_pi == 1:
-                atom.hybridization = HYB_SP2
-            else:
-                atom.hybridization = {1: HYB_S, 2: HYB_SP, 3: HYB_SP2,
-                                      4: HYB_SP3, 5: HYB_SP3D,
-                                      6: HYB_SP3D2}.get(steric, HYB_OTHER)
+            atom.hybridization = {1: HYB_S, 2: HYB_SP, 3: HYB_SP2,
+                                  4: HYB_SP3, 5: HYB_SP3D,
+                                  6: HYB_SP3D2}.get(steric, HYB_OTHER)
 
     # conjugation ------------------------------------------------------------
 
-    def _pi_capable(self, idx: int) -> bool:
+    def _pi_contributor(self, idx: int) -> bool:
+        """Atom can extend a π system: participates in a multiple/aromatic
+        bond, or carries a lone pair (amide N, ester O, halogens, …)."""
         atom = self.atoms[idx]
-        if atom.aromatic:
-            return True
         bonds = self.atom_bonds(idx)
-        if any(b.order >= BOND_DOUBLE for b in bonds):
+        if atom.aromatic or any(b.order >= BOND_DOUBLE or b.aromatic
+                                for b in bonds):
             return True
-        # lone pair adjacent to a π system
         ve = VALENCE_ELECTRONS.get(atom.atomic_num, 4) - atom.formal_charge
         bond_e = sum(int(round(b.order)) if not b.aromatic else 1
                      for b in bonds) + atom.total_hs
-        if (ve - bond_e) >= 2:
-            for nb in self.neighbors(idx):
-                nb_bonds = self.atom_bonds(nb)
-                if any(b.order >= BOND_DOUBLE or b.aromatic
-                       for b in nb_bonds):
-                    return True
-        return False
+        return (ve - bond_e) >= 2
 
     def _perceive_conjugation(self):
-        capable = [self._pi_capable(i) for i in range(self.num_atoms())]
+        """RDKit's pairwise marking (Conjugation.cpp semantics): at every
+        atom, for each MULTIPLE/AROMATIC bond b1 and each other bond b2
+        whose far atom can extend the π system, mark BOTH conjugated. An
+        ISOLATED multiple bond (ethene, a lone ketone C=O) is therefore
+        NOT conjugated — the previous both-ends-π-capable rule marked it,
+        a systematic RDKit divergence on drug-like motifs, fixed round 3
+        (pinned by tests/test_chem_golden.py)."""
+        contrib = [self._pi_contributor(i) for i in range(self.num_atoms())]
         for bond in self.bonds:
-            if bond.aromatic:
-                bond.conjugated = True
-            else:
-                bond.conjugated = (capable[bond.begin] and capable[bond.end]
-                                   and bond.order <= BOND_DOUBLE)
+            bond.conjugated = bool(bond.aromatic)
+        for atom in self.atoms:
+            # conjugation only extends through SP/SP2 centers (the RDKit
+            # gate): a sulfone/phosphate SP3 center does NOT conjugate its
+            # two π bonds (runs after _perceive_hybridization — see
+            # perceive())
+            if atom.hybridization not in (HYB_SP, HYB_SP2):
+                continue
+            bonds = self.atom_bonds(atom.idx)
+            for b1 in bonds:
+                if b1.order < BOND_DOUBLE and not b1.aromatic:
+                    continue
+                for b2 in bonds:
+                    if b2 is b1:
+                        continue
+                    far = b2.end if b2.begin == atom.idx else b2.begin
+                    if contrib[far]:
+                        b1.conjugated = True
+                        b2.conjugated = True
 
     # fragments ---------------------------------------------------------------
 
