@@ -62,6 +62,8 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
     separately excludes it (trainer gating)."""
     vid_key = "edge_vid" if cfg.message_fn == "edge_network" \
         else "edge_types"
+    if _psteps_shape(cfg):
+        return _psteps_eligible(cfg, batch)
     if cfg.message_fn == "ggnn" and "edge_types" in batch:
         # out-of-range type ids would silently zero the edge in the kernel
         # (all-zero one-hot row) while the XLA gather clamps — reject here
@@ -79,6 +81,39 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
             and vid_key in batch and "fs_win" in batch
             and int(np.asarray(batch["node_feats"]).shape[0])
             <= FUSED_STEP_NODE_CAP)
+
+
+def _psteps_shape(cfg: MPNNConfig) -> bool:
+    """The PER-STEP-parameter family shape (the reference's
+    normed_encoded_* models: per-step message weights + per-step bn1d
+    pairs, messages from the INITIAL state) — served by
+    kernels/fused_psteps.py instead of the shared-parameter kernel."""
+    return (cfg.message_fn == "edge_network"
+            and not cfg.share_message_weights
+            and cfg.per_step_norms
+            and cfg.message_input == "initial"
+            and cfg.update_hidden == "state"
+            and cfg.msg_norm == "bn1d" and cfg.state_norm == "bn1d"
+            and cfg.message_features == cfg.node_features
+            and not cfg.concat_state_history
+            and not cfg.remat)
+
+
+# the psteps forward keeps T (fp, npad) message accumulators + the 2T-slot
+# htil residual in VMEM — cap the padded node count well inside the raised
+# per-kernel budget (validated in interpret mode; TPU-extrapolated)
+PSTEPS_NODE_CAP = 32768
+
+
+def _psteps_eligible(cfg: MPNNConfig, batch) -> bool:
+    has_encoder = (cfg.atom_encoder is not None
+                   or cfg.bond_encoder is not None)
+    return (_psteps_shape(cfg)
+            and cfg.readout == "graph_level"
+            and not (has_encoder and not cfg.input_norm)
+            and "edge_vid" in batch and "fs_win" in batch
+            and int(np.asarray(batch["node_feats"]).shape[0])
+            <= PSTEPS_NODE_CAP)
 
 
 def _att_family_eligible(cfg: MPNNConfig, batch) -> bool:
@@ -111,6 +146,15 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
     Dispatches to the att-family kernel for att_edge_network configs."""
     n = int(np.asarray(batch["node_feats"]).shape[0])
     g = int(np.asarray(batch["graph_mask"]).shape[0])
+    if _psteps_shape(cfg):
+        from mpnn_tpu.kernels.fused_psteps import make_fused_psteps_op
+        k = int(np.asarray(batch["edge_vfirst"]).shape[0])
+        return make_fused_psteps_op(
+            cfg.message_steps, cfg.node_features, n, cfg.output_dim, g, k,
+            block_edges=int(batch["fs_block_edges"]),
+            window=int(batch["fs_window"]),
+            node_window=int(batch["fs_node_window"]),
+            interpret=interpret)
     if cfg.message_fn == "att_edge_network":
         from mpnn_tpu.kernels.fused_att import make_fused_att_op
         k = int(np.asarray(batch["edge_vfirst"]).shape[0])
@@ -298,6 +342,70 @@ def fused_att_out(params, state, cfg: MPNNConfig, batch, att_op, *,
     return out, new_state
 
 
+def _build_a_form_psteps(params, cfg: MPNNConfig, batch, edge_feats=None,
+                         edge_mlp_fn=None):
+    """Per-STEP A-matrix form: stacked (T,K,f,f) amat, (T,f,f) a0, and
+    (T,f) message_bias — one vocab fold per step's message params."""
+    nf, mf = cfg.node_features, cfg.message_features
+    if edge_feats is None:
+        edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
+    amats, a0s, mbs = [], [], []
+    for mp in params["message"]:
+        pen, pen0, pen_vocab = _edge_penultimates(
+            mp, edge_feats, cfg, batch["edge_vid"], batch["edge_vfirst"],
+            edge_mlp_fn)
+        pf = pen0.shape[-1]
+        wf = mp["final"]["w"].reshape(pf, mf, nf)
+        bf = mp["final"]["b"].reshape(mf, nf)
+        amats.append(jnp.einsum("kp,pmf->kmf", pen_vocab - pen0, wf,
+                                preferred_element_type=edge_feats.dtype))
+        a0s.append(jnp.einsum("p,pmf->mf", pen0[0], wf) + bf)
+        mbs.append(mp["message_bias"])
+    return (jnp.stack(amats), jnp.stack(a0s), jnp.stack(mbs),
+            batch["edge_vid"])
+
+
+def _ema(st, stats, momentum=0.1):
+    """One running-stat update from one batch's (mean, var) — exactly what
+    bn1d_apply's training branch records (ops/norm.py)."""
+    return {"running_mean": (1 - momentum) * st["running_mean"]
+            + momentum * stats[0],
+            "running_var": (1 - momentum) * st["running_var"]
+            + momentum * stats[1]}
+
+
+def fused_psteps_apply(params, state, cfg: MPNNConfig, batch, op, *,
+                       labels=None, edge_mlp_fn=None):
+    """The per-step-parameter family through kernels/fused_psteps.py.
+    With `labels`: returns (loss, out, new_state) — the in-kernel masked
+    MSE. Without: (out, new_state), loss discarded (zero cotangent, the
+    fused_mpnn_out pattern). Each per-step norm's EMA gets one update
+    from its own stats, matching the sequential bn1d_apply loop."""
+    h0, edge_feats, upd = _input_transforms(params, state, cfg, batch,
+                                            training=True)
+    amat, a0, mbias, vid = _build_a_form_psteps(params, cfg, batch,
+                                                edge_feats, edge_mlp_fn)
+    y = labels if labels is not None \
+        else jnp.zeros_like(batch["graph_mask"])
+    loss, out, ma_stats, bn_stats = op(
+        amat, a0, mbias, h0, batch["node_mask"], batch["node_graph"],
+        params["gru"], params["ma_bn"], params["bn"], params["readout"],
+        y, batch["graph_mask"], vid, batch["edge_src"],
+        batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
+    new_state = dict(state)
+    new_state["ma_bn"] = [_ema(s, st) for s, st
+                          in zip(state["ma_bn"], ma_stats)]
+    new_state["bn"] = [_ema(s, st) for s, st in zip(state["bn"],
+                                                    bn_stats)]
+    new_state.update(upd)
+    if labels is not None:
+        return loss, out, new_state
+    out, obn_upd = _output_norm(params, state, cfg, out,
+                                batch["graph_mask"], training=True)
+    new_state.update(obn_upd)
+    return out, new_state
+
+
 def _fold_emas(state, cfg: MPNNConfig, ma_stats, step_stats):
     """Apply the same running-stat EMA updates the sequential step loop
     would have applied (shared helper: models/sparse.py)."""
@@ -320,6 +428,9 @@ def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
     same message/A0 decomposition, same BN/GRU math, same readout. The
     in-kernel loss is on the readout's `out` directly, so output_norm
     configs must take fused_mpnn_out instead (trainer gating)."""
+    if _psteps_shape(cfg):
+        return fused_psteps_apply(params, state, cfg, batch, fused_op,
+                                  labels=labels, edge_mlp_fn=edge_mlp_fn)
     h0, edge_feats, upd = _input_transforms(params, state, cfg, batch,
                                             training=True)
     amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn,
@@ -343,7 +454,10 @@ def fused_eval_eligible(cfg: MPNNConfig, batch) -> bool:
     this delegates to fused_step_eligible with the training flag forced
     (recurrence_eligible gates on `training` only because the TRAIN
     recurrence kernel emits batch stats; the eval kernel consumes EMAs
-    and emits none)."""
+    and emits none). The per-step family has no eval kernel yet —
+    its eval falls back to the XLA path."""
+    if _psteps_shape(cfg):
+        return False
     return fused_step_eligible(cfg, batch, training=True)
 
 
@@ -352,6 +466,9 @@ def make_fused_eval_for_batch(cfg: MPNNConfig, batch,
     """Build the whole-step INFERENCE op for one packed batch's shapes.
     The att family reuses its train kernel — it has no BN inside the
     recurrence, so the forward IS the eval forward."""
+    if _psteps_shape(cfg):
+        raise ValueError("the per-step family has no eval kernel yet — "
+                         "fused_eval_eligible returns False for it")
     if cfg.message_fn == "att_edge_network":
         return make_fused_step_for_batch(cfg, batch, interpret=interpret)
     from mpnn_tpu.kernels.fused_step import make_fused_eval_op
@@ -409,6 +526,9 @@ def fused_mpnn_out(params, state, cfg: MPNNConfig, batch, fused_op,
     if cfg.message_fn == "att_edge_network":
         return fused_att_out(params, state, cfg, batch, fused_op,
                              training=True, edge_mlp_fn=edge_mlp_fn)
+    if _psteps_shape(cfg):
+        return fused_psteps_apply(params, state, cfg, batch, fused_op,
+                                  edge_mlp_fn=edge_mlp_fn)
     h0, edge_feats, upd = _input_transforms(params, state, cfg, batch,
                                             training=True)
     amat, a0, vid = _build_a_form(params, cfg, batch, edge_mlp_fn,

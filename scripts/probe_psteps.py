@@ -1,0 +1,78 @@
+"""TPU timing probe for the per-step (encoded-family) fused kernel:
+the encoded config at bench scale, fused psteps kernel vs the XLA
+sparse path (anti-replay, steps batched per dispatch)."""
+import functools, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp, numpy as np
+import optax
+import bench as B
+from mpnn_tpu import graphs as G, models
+from mpnn_tpu.kernels.fused_step import attach_fused_plan
+from mpnn_tpu.models.fused_train import (fused_step_eligible,
+                                         make_fused_step_for_batch,
+                                         fused_psteps_apply)
+from mpnn_tpu.models.sparse import sparse_mpnn_apply
+from mpnn_tpu.train.optim import adam
+
+batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+gs, ge = B.build_batch(batch)
+enc = 8
+cfg = models.MPNNConfig(
+    node_features=enc, edge_features=2, message_features=enc,
+    output_dim=2 * enc, message_steps=3,
+    share_message_weights=False, per_step_norms=True,
+    msg_norm="bn1d", state_norm="bn1d",
+    atom_encoder="atom_ae", atom_encoder_in=ge.atom_width() + 3,
+    bond_encoder="bond_ae", bond_encoder_in=ge.bond_width(),
+    input_norm=True, edge_mlp_tail_repeats=50)
+params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
+packed = G.attach_edge_vocab(G.collate_packed(gs).as_dict(), vocab_cap=16)
+packed = attach_fused_plan(packed)
+assert "fs_win" in packed
+packed["node_feats"] = np.concatenate(
+    [packed["node_feats"], packed["node_nafm"]], axis=-1)
+jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+      for k, v in packed.items()}
+assert fused_step_eligible(cfg, jb, training=True)
+op = make_fused_step_for_batch(cfg, jb)
+real_edges = int(packed["edge_mask"].sum())
+labels0 = jnp.asarray(np.random.RandomState(0).randn(
+    packed["graph_mask"].shape[0]).astype(np.float32))
+tx = adam(1e-3, weight_decay=1e-4)
+SPC = 200
+
+def timeit(name, loss_fn):
+    opt_state = tx.init(params)
+    @functools.partial(jax.jit, donate_argnums=())
+    def multi(p, s, o, it):
+        def body(carry, k):
+            p, s, o = carry
+            labels = labels0 + 1e-4 * (it * SPC + k)
+            (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(p, s, labels)
+            up, o2 = tx.update(g, o, p)
+            return (optax.apply_updates(p, up), ns, o2), l
+        (_, _, _), ls = jax.lax.scan(body, (p, s, o), jnp.arange(SPC))
+        return ls[-1]
+    l = multi(params, state, opt_state, jnp.int32(0)); jax.device_get(l)
+    t0 = time.perf_counter()
+    for i in range(3):
+        l = multi(params, state, opt_state, jnp.int32(i + 1))
+    lv = float(jax.device_get(l)); dt = time.perf_counter() - t0
+    ms = dt / (3 * SPC) * 1e3
+    eps = real_edges * cfg.message_steps * 3 * SPC / dt
+    print(f"{name}: {ms:.3f} ms/step  {eps/1e6:.1f}M edge-msgs/s "
+          f"(loss {lv:.4f})", flush=True)
+
+gm = jb["graph_mask"][:, None]
+
+def loss_fused(p, s, labels):
+    loss, out, ns = fused_psteps_apply(p, s, cfg, jb, op, labels=labels)
+    return loss, ns
+
+def loss_xla(p, s, labels):
+    out, ns = sparse_mpnn_apply(p, s, cfg, jb, training=True)
+    per = ((out - labels[:, None]) ** 2) * gm
+    return per.sum() / gm.sum(), ns
+
+timeit("encoded psteps fused", loss_fused)
+timeit("encoded XLA sparse  ", loss_xla)
