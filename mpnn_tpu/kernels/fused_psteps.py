@@ -424,6 +424,244 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
 
 
 # ---------------------------------------------------------------------------
+# EVAL (serving) kernel — the per-step family's inference forward: each
+# per-step bn1d pair folds to a per-step per-feature affine from its OWN
+# running stats (bn1d_apply's eval branch), so serving is T per-step SpMMs
+# + A0_t + bias_t, [affine_t → GRU → affine_t]×T, gated readout in ONE
+# launch — no stats, no residual stash, no loss. Mirrors
+# kernels/fused_step.py::_eval_kernel for the shared-parameter family.
+# ---------------------------------------------------------------------------
+
+def _ps_eval_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
+                    a2t_ref, a0_ref, mbias_ref, h0_ref, mask_ref, ng_ref,
+                    wir_ref, wiz_ref, win2_ref, whr_ref, whz_ref, whn_ref,
+                    bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
+                    maw_ref, mab_ref, sw_ref, sb_ref,
+                    wi1_ref, wi2_ref, wj1_ref, wj2_ref, bri_ref, brj_ref,
+                    odm_ref,
+                    out_t,
+                    msgs, s_ref,
+                    *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
+                    be: int, window: int, nblk: int, nw: int, gb: int):
+    """maw/mab and sw/sb arrive pre-FOLDED per step, stacked (T·fp, 1):
+    scale_t = w_t/(rv_t**0.5+eps), shift_t = b_t − rm_t·scale_t."""
+    p = pl.program_id(0)
+    dt = jnp.float32
+    gw = GRAPH_BLOCK
+
+    @pl.when(p == 0)
+    def _():
+        msgs[:] = jnp.zeros_like(msgs)
+
+    @pl.when(p < nblk)
+    def _():
+        ws = pl.multiple_of(win_ref[p], 128)
+        src = src_ref[p, :] - ws
+        dst = dst_ref[p, :] - ws
+        vid = vid_ref[p, :]
+        oh_src, oh_dst, ohm = _edge_onehots(
+            src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
+            dtype=dt)
+        hw = h0_ref[:, pl.ds(ws, window)]
+        hs = _dot(hw, oh_src.T)                           # shared gather
+        sel = _sel_t(f, fp, kmf, kmfp, dt)
+        for t in range(steps):
+            bulk = _dot(a2t_ref[t * kmfp:(t + 1) * kmfp, :], hs)
+            me = _dot(sel, ohm * bulk)
+            msgs[t * fp:(t + 1) * fp, pl.ds(ws, window)] += \
+                _dot(me, oh_dst)
+
+    @pl.when(p == nblk)
+    def _():
+        mask_l = mask_ref[:]
+        s_ref[:] = jnp.zeros_like(s_ref)
+        for j in range(gb):
+            ns = pl.multiple_of(ns_ref[j], 128)
+            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+            s_ref[:, j * gw:(j + 1) * gw] += \
+                _dot(h0_ref[:, pl.ds(ns, nw)], og)
+        for t in range(steps):
+            a0s = _dot(a0_ref[t * fp:(t + 1) * fp, :], s_ref[:])
+            for j in range(gb):
+                ns = pl.multiple_of(ns_ref[j], 128)
+                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                msgs[t * fp:(t + 1) * fp, pl.ds(ns, nw)] += \
+                    _dot(a0s[:, j * gw:(j + 1) * gw], og.T)
+
+        h = h0_ref[:] * mask_l
+        for t in range(steps):
+            msgs_m = (msgs[t * fp:(t + 1) * fp, :]
+                      + mbias_ref[t * fp:(t + 1) * fp, :]) * mask_l
+            mbv = (maw_ref[t * fp:(t + 1) * fp, :] * msgs_m
+                   + mab_ref[t * fp:(t + 1) * fp, :]) * mask_l
+            gr = _dot(wir_ref[:].T, mbv) + bir_ref[:]
+            gz = _dot(wiz_ref[:].T, mbv) + biz_ref[:]
+            gn = _dot(win2_ref[:].T, mbv) + bin_ref[:]
+            htl = _gru_fwd_t(h, gr, gz, gn, whr_ref[:], whz_ref[:],
+                             whn_ref[:], bhr_ref[:], bhz_ref[:],
+                             bhn_ref[:], mask_l)
+            h = (sw_ref[t * fp:(t + 1) * fp, :] * htl
+                 + sb_ref[t * fp:(t + 1) * fp, :]) * mask_l
+        # msgs rows [0:fp] are free after the recurrence: park the final
+        # state there so the readout can ref-slice node windows
+        msgs[0:fp, :] = h
+
+        odm = odm_ref[:]
+        neg = (1.0 - odm) * _BIG_NEG
+        out_t[:] = jnp.zeros_like(out_t)
+        for j in range(gb):
+            ns = pl.multiple_of(ns_ref[j], 128)
+            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+            mblk = mask_ref[:, pl.ds(ns, nw)]
+            hb = msgs[0:fp, pl.ds(ns, nw)]
+            h0b = h0_ref[:, pl.ds(ns, nw)] * mblk
+            pi = _dot(wi1_ref[:], hb) + _dot(wi2_ref[:], h0b) \
+                + bri_ref[:] + neg
+            pj = _dot(wj1_ref[:], hb) + _dot(wj2_ref[:], h0b) + brj_ref[:]
+            ex = jnp.exp(pi - jnp.max(pi, axis=0, keepdims=True)) * odm
+            sm = ex / jnp.sum(ex, axis=0, keepdims=True)
+            gated = sm * pj * mblk
+            out_t[:, j * gw:(j + 1) * gw] += _dot(gated, og)
+
+
+def make_fused_psteps_eval_op(steps: int, f: int, n: int, od: int,
+                              n_graphs: int, k_vocab: int, *,
+                              block_edges: int = 512, window: int = 512,
+                              node_window: int = 2048,
+                              interpret: bool = False,
+                              bn_eps: float = 1e-5):
+    """Per-step-parameter whole-step INFERENCE op (the encoded family's
+    serving path — eval-mode BN = per-step running-stat affines):
+
+    op(amat (T,K,f,f), a0 (T,f,f), mbias (T,f), h0 (N,f) PRE-MASKED,
+       mask, node_graph, gru, ma_bns [T], ma_states [T], bns [T],
+       bn_states [T], ro, vid, src, dst, win, ns) -> out (G, od)
+
+    Semantics: sparse_mpnn_apply(..., training=False) on the per-step
+    config, minus the loss. Not differentiable — inference only."""
+    npad = _round_up(n, 128)
+    fp = _round_up(f, 16)
+    odp = _round_up(od, 16)
+    gp = _round_up(max(n_graphs, 1), GRAPH_BLOCK)
+    gb = gp // GRAPH_BLOCK
+    kmf = k_vocab * f
+    kmfp = _round_up(kmf, 16)
+    nw = min(node_window, npad)
+    dt = jnp.float32
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def op(amat, a0, mbias, h0, mask, node_graph, gru, ma_bns, ma_states,
+           bns, bn_states, ro, vid, src, dst, win, ns):
+        padf = ((0, 0), (0, fp - f))
+
+        def mat_t(x):
+            xt = jnp.pad(x.astype(dt), padf).T
+            return xt if npad == n else jnp.pad(xt, ((0, 0),
+                                                     (0, npad - n)))
+
+        def blocks(w):
+            b = w.astype(dt).reshape(f, 3, f)
+            return [jnp.pad(b[:, i, :], ((0, fp - f), (0, fp - f)))
+                    for i in range(3)]
+
+        def col3(v):
+            b = v.astype(dt).reshape(3, f)
+            return [jnp.pad(b[i][:, None], ((0, fp - f), (0, 0)))
+                    for i in range(3)]
+
+        def cols_t(vs):     # [T × (f,)] -> (T·fp, 1)
+            return jnp.concatenate(
+                [jnp.pad(v.astype(dt)[:, None], ((0, fp - f), (0, 0)))
+                 for v in vs], axis=0)
+
+        def fold_t(p_bns, s_bns):
+            scales, shifts = [], []
+            for p_bn, s_bn in zip(p_bns, s_bns):
+                scale = p_bn["weight"] / (s_bn["running_var"] ** 0.5
+                                          + bn_eps)
+                scales.append(scale)
+                shifts.append(p_bn["bias"] - s_bn["running_mean"] * scale)
+            return cols_t(scales), cols_t(shifts)
+
+        a2t = jnp.concatenate(
+            [jnp.pad(amat[t].astype(dt).reshape(kmf, f),
+                     ((0, kmfp - kmf), (0, fp - f)))
+             for t in range(steps)], axis=0)
+        a0p = jnp.concatenate(
+            [jnp.pad(a0[t].astype(dt), ((0, fp - f), (0, fp - f)))
+             for t in range(steps)], axis=0)
+        mask_row = jnp.pad(mask.astype(dt).reshape(1, n),
+                           ((0, 0), (0, npad - n)))
+        ng_row = jnp.pad(node_graph.astype(jnp.int32).reshape(1, n),
+                         ((0, 0), (0, npad - n)),
+                         constant_values=n_graphs)
+        wi = blocks(gru["w_ih"])
+        wh = blocks(gru["w_hh"])
+        bi = col3(gru["b_ih"])
+        bh = col3(gru["b_hh"])
+        maw, mab = fold_t(ma_bns, ma_states)
+        sw, sb = fold_t(bns, bn_states)
+
+        def ro_w(w):
+            wt = w.astype(dt)
+            return (jnp.pad(wt[:f].T, ((0, odp - od), (0, fp - f))),
+                    jnp.pad(wt[f:].T, ((0, odp - od), (0, fp - f))))
+
+        wi1, wi2 = ro_w(ro["i"]["w"])
+        wj1, wj2 = ro_w(ro["j"]["w"])
+        bri = jnp.pad(ro["i"]["b"].astype(dt)[:, None],
+                      ((0, odp - od), (0, 0)))
+        brj = jnp.pad(ro["j"]["b"].astype(dt)[:, None],
+                      ((0, odp - od), (0, 0)))
+        odm = (jax.lax.broadcasted_iota(jnp.int32, (odp, 1), 0)
+               < od).astype(dt)
+        e = src.shape[0]
+        nblk = _round_up(e, block_edges) // block_edges
+        ep = nblk * block_edges
+
+        def padr(x, fill=0):
+            if x.shape[0] != ep:
+                x = jnp.concatenate(
+                    [x, jnp.full((ep - x.shape[0],), fill, x.dtype)])
+            return x.reshape(nblk, block_edges)
+
+        src2, dst2, vid2 = padr(src, -1), padr(dst, -1), padr(vid)
+        kernel = functools.partial(
+            _ps_eval_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
+            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblk + 1,),
+            in_specs=[_vm()] * 32,
+            out_specs=_vm(),
+            scratch_shapes=[
+                pltpu.VMEM((steps * fp, npad), dt),   # per-step msgs acc
+                pltpu.VMEM((fp, gp), dt),
+            ],
+        )
+        out_t = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((odp, gp), dt),
+            # the flagship eval kernel's measured stack need was 18
+            # (fp, npad) panels with ONE msgs accumulator; this variant
+            # keeps T accumulators live — budget 18 + 4 panels per extra
+            # step (expect the compiler ~2× naive counts; CLAUDE.md)
+            compiler_params=_vmem_params_of(fp, npad, 18 + 4 * steps),
+            interpret=interpret,
+        )(win, ns, src2, dst2, vid2,
+          a2t, a0p, cols_t([mbias[t] for t in range(steps)]),
+          mat_t(h0), mask_row, ng_row,
+          *wi, *wh, *bi, *bh, maw, mab, sw, sb,
+          wi1, wi2, wj1, wj2, bri, brj, odm)
+        return out_t[:od, :n_graphs].T.astype(h0.dtype)
+
+    return op
+
+
+# ---------------------------------------------------------------------------
 # public custom-VJP op
 # ---------------------------------------------------------------------------
 

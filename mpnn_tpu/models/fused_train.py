@@ -454,10 +454,11 @@ def fused_eval_eligible(cfg: MPNNConfig, batch) -> bool:
     this delegates to fused_step_eligible with the training flag forced
     (recurrence_eligible gates on `training` only because the TRAIN
     recurrence kernel emits batch stats; the eval kernel consumes EMAs
-    and emits none). The per-step family has no eval kernel yet —
-    its eval falls back to the XLA path."""
+    and emits none). The per-step family has its own eval kernel
+    (kernels/fused_psteps.py::make_fused_psteps_eval_op) — per-step BN
+    pairs fold to per-step affines from their OWN running stats."""
     if _psteps_shape(cfg):
-        return False
+        return _psteps_eligible(cfg, batch)
     return fused_step_eligible(cfg, batch, training=True)
 
 
@@ -467,8 +468,16 @@ def make_fused_eval_for_batch(cfg: MPNNConfig, batch,
     The att family reuses its train kernel — it has no BN inside the
     recurrence, so the forward IS the eval forward."""
     if _psteps_shape(cfg):
-        raise ValueError("the per-step family has no eval kernel yet — "
-                         "fused_eval_eligible returns False for it")
+        from mpnn_tpu.kernels.fused_psteps import make_fused_psteps_eval_op
+        n = int(np.asarray(batch["node_feats"]).shape[0])
+        g = int(np.asarray(batch["graph_mask"]).shape[0])
+        k = int(np.asarray(batch["edge_vfirst"]).shape[0])
+        return make_fused_psteps_eval_op(
+            cfg.message_steps, cfg.node_features, n, cfg.output_dim, g, k,
+            block_edges=int(batch["fs_block_edges"]),
+            window=int(batch["fs_window"]),
+            node_window=int(batch["fs_node_window"]),
+            interpret=interpret)
     if cfg.message_fn == "att_edge_network":
         return make_fused_step_for_batch(cfg, batch, interpret=interpret)
     from mpnn_tpu.kernels.fused_step import make_fused_eval_op
@@ -493,6 +502,19 @@ def fused_mpnn_eval(params, state, cfg: MPNNConfig, batch, eval_op,
     if cfg.message_fn == "att_edge_network":
         out, _ = fused_att_out(params, state, cfg, batch, eval_op,
                                training=False, edge_mlp_fn=edge_mlp_fn)
+        return out
+    if _psteps_shape(cfg):
+        h0, edge_feats, _ = _input_transforms(params, state, cfg, batch,
+                                              training=False)
+        amat, a0, mbias, vid = _build_a_form_psteps(
+            params, cfg, batch, edge_feats, edge_mlp_fn)
+        out = eval_op(
+            amat, a0, mbias, h0, batch["node_mask"], batch["node_graph"],
+            params["gru"], params["ma_bn"], state["ma_bn"], params["bn"],
+            state["bn"], params["readout"], vid, batch["edge_src"],
+            batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
+        out, _ = _output_norm(params, state, cfg, out,
+                              batch["graph_mask"], training=False)
         return out
     h0, edge_feats, _ = _input_transforms(params, state, cfg, batch,
                                           training=False)

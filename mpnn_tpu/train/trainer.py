@@ -396,9 +396,16 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
     def _step_for_batch(batch):
         key = None
         if use_fused_step and "fs_win" in batch:
+            # node AND graph counts are part of the key: the op bakes both
+            # (h0 padding, per-graph one-hots, labels reshape), and the
+            # final PARTIAL batch carries fewer graphs than the rest even
+            # under fixed packed caps — it must get its own compiled op,
+            # not the full-batch one (same rule as _fused_eval_plan_key)
             key = (int(batch["fs_block_edges"]), int(batch["fs_window"]),
                    int(batch["fs_node_window"]),
-                   int(np.asarray(batch["fs_win"]).shape[0]))
+                   int(np.asarray(batch["fs_win"]).shape[0]),
+                   int(np.asarray(batch["node_feats"]).shape[0]),
+                   int(np.asarray(batch["graph_mask"]).shape[0]))
         if key not in _step_fns:
             fop = None
             if key is not None:

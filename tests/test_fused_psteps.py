@@ -124,18 +124,44 @@ class TestFusedPsteps:
         _tree_close(gf, gr, 2e-3, 1e-4, "grad")
         _tree_close(nsf, nsr, 2e-4, 1e-6, "state")
 
-    def test_eval_falls_back(self):
-        """No psteps eval kernel yet: fused_eval_eligible is False and
-        the trainer's eval_step_for_batch picks the XLA step."""
+    @pytest.mark.parametrize("encoders", [False, True])
+    def test_eval_kernel_parity(self, encoders):
+        """The per-step INFERENCE kernel (make_fused_psteps_eval_op) vs
+        sparse_mpnn_apply(training=False) — after one REAL train step so
+        every per-step norm's EMA is non-trivial."""
+        from mpnn_tpu.models.fused_train import (fused_eval_eligible,
+                                                 fused_flagship_loss,
+                                                 fused_mpnn_eval,
+                                                 make_fused_eval_for_batch,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = _setup(encoders=encoders)
+        assert fused_eval_eligible(cfg, jb)
+        train_op = make_fused_step_for_batch(cfg, jb, interpret=True)
+        _, _, state = fused_flagship_loss(params, state, cfg, jb, labels,
+                                          train_op)
+        eval_op = make_fused_eval_for_batch(cfg, jb, interpret=True)
+        out_k = fused_mpnn_eval(params, state, cfg, jb, eval_op)
+        out_r, _ = sparse_mpnn_apply(params, state, cfg, jb,
+                                     training=False)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_eval_trainer_selects_kernel(self):
+        """eval_step_for_batch picks the fused serving step (NOT the XLA
+        make_eval_step) for the per-step family."""
         from mpnn_tpu.models.fused_train import fused_eval_eligible
         from mpnn_tpu.train import trainer
         from mpnn_tpu.models.network import NetworkConfig
         cfg, params, state, jb, labels = _setup()
-        assert not fused_eval_eligible(cfg, jb)
+        assert fused_eval_eligible(cfg, jb)
         ncfg = NetworkConfig(mpnn=cfg, input_wrapper="plain", head="none")
         step = trainer.eval_step_for_batch(ncfg, "mse", jb,
                                            fuse_eval=True, interpret=True)
-        assert step is trainer.make_eval_step(ncfg, "mse")
+        assert step is not trainer.make_eval_step(ncfg, "mse")
+        xla = trainer.eval_step_for_batch(ncfg, "mse", jb,
+                                          fuse_eval=False)
+        assert xla is trainer.make_eval_step(ncfg, "mse")
 
     def test_encoded_experiments_now_eligible(self):
         """The VERDICT's literal 'Done': the encoded_classification /

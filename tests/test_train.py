@@ -525,6 +525,33 @@ class TestKernelTrainer:
                                    rtol=0.05)
         np.testing.assert_allclose(losses[True], losses[False], rtol=0.30)
 
+    def test_fused_step_partial_last_batch(self):
+        """REGRESSION: the fused train-step cache must key on node AND
+        graph counts — a dataset size not divisible by batch_size gives
+        the final batch fewer graphs, and the full-batch op (labels
+        reshape, per-graph one-hots baked at build) crashed on it before
+        the key included those counts."""
+        import dataclasses
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu import models
+        from mpnn_tpu.models.network import NetworkConfig
+        from mpnn_tpu.train import trainer
+        smiles = TestEndToEnd.SMILES[:10]          # 10 graphs / bs 4 → 2
+        gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+            smiles, [0.1 * len(s) for s in smiles]))
+        nf = ge.atom_width()
+        mcfg = models.MPNNConfig(
+            node_features=nf, edge_features=ge.bond_width(),
+            message_features=nf, output_dim=1, message_steps=2,
+            msg_norm="bn1d", state_norm="bn1d", edge_mlp_tail_repeats=2)
+        cfg = NetworkConfig(mpnn=mcfg, input_wrapper="plain", head="none")
+        tcfg = trainer.TrainConfig(
+            epochs=1, batch_size=4, learning_rate=1e-2, loss="mse",
+            packed=True, spmm="kernel_interpret", fuse_step=True,
+            seed=317, shuffle=False, log_path=None)
+        _, _, _, h = trainer.train(cfg, tcfg, gs)
+        assert np.isfinite(h[-1]["train_loss"])
+
     def test_fused_step_full_driver_network_interpret(self):
         """fuse_step=True on the REAL lipo-driver network shape (graph-norm
         wrapper + BatchNorm1d + halving head): the MPNN core runs fused
