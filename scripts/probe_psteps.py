@@ -1,6 +1,11 @@
 """TPU timing probe for the per-step (encoded-family) fused kernel:
 the encoded config at bench scale, fused psteps kernel vs the XLA
-sparse path (anti-replay, steps batched per dispatch)."""
+sparse path (anti-replay, steps batched per dispatch).
+
+    python scripts/probe_psteps.py [batch] [train|eval]
+
+eval mode times the SERVING path: make_fused_psteps_eval_op (per-step
+BNs folded to per-step affines, ONE launch) vs the XLA sparse eval."""
 import functools, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
@@ -64,15 +69,50 @@ def timeit(name, loss_fn):
           f"(loss {lv:.4f})", flush=True)
 
 gm = jb["graph_mask"][:, None]
+mode = sys.argv[2] if len(sys.argv) > 2 else "train"
 
-def loss_fused(p, s, labels):
-    loss, out, ns = fused_psteps_apply(p, s, cfg, jb, op, labels=labels)
-    return loss, ns
+if mode == "eval":
+    from mpnn_tpu.models.fused_train import (fused_eval_eligible,
+                                             make_fused_eval_for_batch,
+                                             fused_mpnn_eval)
+    assert fused_eval_eligible(cfg, jb)
+    eval_op = make_fused_eval_for_batch(cfg, jb)
+    nf0 = jb["node_feats"]
 
-def loss_xla(p, s, labels):
-    out, ns = sparse_mpnn_apply(p, s, cfg, jb, training=True)
-    per = ((out - labels[:, None]) ** 2) * gm
-    return per.sum() / gm.sum(), ns
+    def time_eval(name, fwd):
+        @jax.jit
+        def multi(p, s, it):
+            def body(_, k):
+                b = dict(jb)
+                # anti-replay: perturb the raw node features per step
+                b["node_feats"] = nf0 * (1.0 + 1e-6 * (it * SPC + k))
+                return 0.0, jnp.sum(fwd(p, s, b))
+            _, os_ = jax.lax.scan(body, 0.0, jnp.arange(SPC))
+            return os_[-1]
+        o = multi(params, state, jnp.int32(0)); jax.device_get(o)
+        t0 = time.perf_counter()
+        for i in range(3):
+            o = multi(params, state, jnp.int32(i + 1))
+        ov = float(jax.device_get(o)); dt = time.perf_counter() - t0
+        ms = dt / (3 * SPC) * 1e3
+        eps = real_edges * cfg.message_steps * 3 * SPC / dt
+        print(f"{name}: {ms:.3f} ms/step  {eps/1e6:.1f}M edge-msgs/s "
+              f"(sum {ov:.4f})", flush=True)
 
-timeit("encoded psteps fused", loss_fused)
-timeit("encoded XLA sparse  ", loss_xla)
+    time_eval("encoded psteps fused EVAL",
+              lambda p, s, b: fused_mpnn_eval(p, s, cfg, b, eval_op))
+    time_eval("encoded XLA sparse  EVAL",
+              lambda p, s, b: sparse_mpnn_apply(p, s, cfg, b,
+                                                training=False)[0])
+else:
+    def loss_fused(p, s, labels):
+        loss, out, ns = fused_psteps_apply(p, s, cfg, jb, op, labels=labels)
+        return loss, ns
+
+    def loss_xla(p, s, labels):
+        out, ns = sparse_mpnn_apply(p, s, cfg, jb, training=True)
+        per = ((out - labels[:, None]) ** 2) * gm
+        return per.sum() / gm.sum(), ns
+
+    timeit("encoded psteps fused", loss_fused)
+    timeit("encoded XLA sparse  ", loss_xla)
