@@ -30,6 +30,7 @@ encoded zoo config.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -299,7 +300,8 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                    da2t_out, da0_out, dmbias_out,
                    gh_s, dh0s, dout_s, dmsgs_s, s_ref, das_ref,
                    *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
-                   be: int, window: int, nblk: int, nw: int, gb: int):
+                   be: int, window: int, nblk: int, nw: int, gb: int,
+                   skip: frozenset = frozenset()):
     p = pl.program_id(0)
     dt = jnp.float32
     gw = GRAPH_BLOCK
@@ -318,9 +320,11 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         da2t_out[:] = jnp.zeros_like(da2t_out)
         da0_out[:] = jnp.zeros_like(da0_out)
         dmbias_out[:] = jnp.zeros_like(dmbias_out)
+        if "walk" in skip:
+            dmsgs_s[:] = jnp.zeros_like(dmsgs_s)
         dwi1 = dwi2 = dwj1 = dwj2 = jnp.zeros_like(dwi1_out[:])
         dbri = dbrj = jnp.zeros_like(dbri_out[:])
-        for j in range(gb):
+        for j in range(0 if "ro" in skip else gb):
             ns = pl.multiple_of(ns_ref[j], 128)
             og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
             mblk = mask_ref[:, pl.ds(ns, nw)]
@@ -352,6 +356,14 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         dbri_out[:] = dbri
         dbrj_out[:] = dbrj
 
+        if "walk" in skip:
+            dh0_out[:] = dh0s[:]
+            for o in (dwir_out, dwiz_out, dwin_out, dwhr_out, dwhz_out,
+                      dwhn_out, dbir_out, dbiz_out, dbin_out, dbhr_out,
+                      dbhz_out, dbhn_out, dmw_out, dmbias_bn_out,
+                      dsw_out, dsb_out):
+                o[:] = jnp.zeros_like(o[:])
+            return
         dh0, dws, dbs, dns = psteps_reverse_walk(
             h0_ref[:], htil_ref, stats_ref, m, c,
             wir_ref[:], wiz_ref[:], win_g_ref[:],
@@ -385,7 +397,7 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         sel = _sel_t(f, fp, kmf, kmfp, dt)
         hw = h0_ref[:, pl.ds(ws, window)]
         hse = _dot(hw, oh_src.T)
-        for t in range(steps):
+        for t in range(0 if "edge" in skip else steps):
             gwn = dmsgs_s[t * fp:(t + 1) * fp, pl.ds(ws, window)]
             gd = _dot(gwn, oh_dst.T)
             bulk2 = _dot(a2tt_ref[t * kmfp:(t + 1) * kmfp, :], gd)
@@ -398,12 +410,12 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
     @pl.when(p == nblk + 1)
     def _():
         s_ref[:] = jnp.zeros_like(s_ref)
-        for j in range(gb):
+        for j in range(0 if "a0" in skip else gb):
             ns = pl.multiple_of(ns_ref[j], 128)
             og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
             s_ref[:, j * gw:(j + 1) * gw] += \
                 _dot(h0_ref[:, pl.ds(ns, nw)], og)
-        for t in range(steps):
+        for t in range(0 if "a0" in skip else steps):
             das_ref[:] = jnp.zeros_like(das_ref)
             for j in range(gb):
                 ns = pl.multiple_of(ns_ref[j], 128)
@@ -854,9 +866,16 @@ def make_fused_psteps_op(steps: int, f: int, n: int, od: int,
          mwp, mbp, swp, sbp,
          wi1, wi2, wj1, wj2, bri, brj, odm, y_row, gm_row) = common
         c_s = jnp.sum(mask_row).reshape(1, 1)
+        # timing-attribution hook (scripts/probe_psteps.py skip mode):
+        # elide named backward sections at TRACE time so the wall-clock
+        # delta attributes their cost. Gradients of skipped sections are
+        # ZERO stand-ins. NEVER set in production.
+        skip = frozenset(filter(None, os.environ.get(
+            "MPNN_PS_BWD_SKIP", "").split(",")))
         kernel = functools.partial(
             _ps_bwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
-            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
+            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb,
+            skip=skip)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nblk + 2,),

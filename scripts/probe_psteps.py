@@ -104,6 +104,64 @@ if mode == "eval":
     time_eval("encoded XLA sparse  EVAL",
               lambda p, s, b: sparse_mpnn_apply(p, s, cfg, b,
                                                 training=False)[0])
+elif mode == "parts":
+    # attribution: train-forward only (stats+stash, no bwd) vs
+    # value_and_grad (no optimizer) vs the full Adam step — where do the
+    # 2.21 ms go when the same edge work serves in 0.187 ms?
+    def fwd_only(p, s, labels):
+        loss, out, ns = fused_psteps_apply(p, s, cfg, jb, op,
+                                           labels=labels)
+        return loss
+
+    def time_fn(name, fn):
+        @jax.jit
+        def multi(p, s, it):
+            def body(_, k):
+                labels = labels0 + 1e-4 * (it * SPC + k)
+                return 0.0, fn(p, s, labels)
+            _, ls = jax.lax.scan(body, 0.0, jnp.arange(SPC))
+            return ls[-1]
+        l = multi(params, state, jnp.int32(0)); jax.device_get(l)
+        t0 = time.perf_counter()
+        for i in range(3):
+            l = multi(params, state, jnp.int32(i + 1))
+        lv = float(jax.device_get(l)); dt = time.perf_counter() - t0
+        print(f"{name}: {dt / (3 * SPC) * 1e3:.3f} ms/step "
+              f"(val {lv:.4f})", flush=True)
+
+    def vag(p, s, labels):
+        def lf(pp):
+            loss, out, ns = fused_psteps_apply(pp, s, cfg, jb, op,
+                                               labels=labels)
+            return loss
+        l, g = jax.value_and_grad(lf)(p)
+        return l + jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x), g, 0.0)
+
+    # isolate the PALLAS bwd from the XLA prologue bwd: grad of the op
+    # alone over pre-built kernel inputs (amat/a0/mbias/h0 as leaves)
+    from mpnn_tpu.models.fused_train import (_build_a_form_psteps,
+                                             _input_transforms)
+    h0c, efc, _ = _input_transforms(params, state, cfg, jb, training=True)
+    amatc, a0c, mbiasc, vidc = _build_a_form_psteps(params, cfg, jb, efc)
+    kern_inputs = (amatc, a0c, mbiasc, h0c, params["gru"],
+                   params["ma_bn"], params["bn"], params["readout"])
+
+    def vag_kernel(p, s, labels):
+        def lf(ki):
+            amat, a0, mbias, h0, gru, ma, bn, ro = ki
+            loss, out, ma_s, bn_s = op(
+                amat, a0, mbias, h0, jb["node_mask"], jb["node_graph"],
+                gru, ma, bn, ro, labels, jb["graph_mask"], vidc,
+                jb["edge_src"], jb["edge_dst"], jb["fs_win"], jb["fs_ns"])
+            return loss
+        l, g = jax.value_and_grad(lf)(kern_inputs)
+        return l + jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x), g, 0.0)
+
+    time_fn("psteps train FWD only     ", fwd_only)
+    time_fn("psteps kernel-only v&grad ", vag_kernel)
+    time_fn("psteps value_and_grad     ", vag)
 else:
     def loss_fused(p, s, labels):
         loss, out, ns = fused_psteps_apply(p, s, cfg, jb, op, labels=labels)
