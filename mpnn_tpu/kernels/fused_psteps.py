@@ -276,7 +276,8 @@ def _col_add(acc, v, t, fp):
 
 
 # ---------------------------------------------------------------------------
-# backward kernel — grid (nblk + 2)
+# backward kernel — grid (nblk + 1): program 0 = readout bwd + reverse
+# walk + A0/bias bwd (one branch — see the inline note), 1..nblk = edges
 # ---------------------------------------------------------------------------
 
 def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
@@ -363,52 +364,33 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                       dbhz_out, dbhn_out, dmw_out, dmbias_bn_out,
                       dsw_out, dsb_out):
                 o[:] = jnp.zeros_like(o[:])
-            return
-        dh0, dws, dbs, dns = psteps_reverse_walk(
-            h0_ref[:], htil_ref, stats_ref, m, c,
-            wir_ref[:], wiz_ref[:], win_g_ref[:],
-            whr_ref[:], whz_ref[:], whn_ref[:],
-            bir_ref[:], biz_ref[:], bin_ref[:],
-            bhr_ref[:], bhz_ref[:], bhn_ref[:],
-            mw_ref[:], mbc_ref[:], sw_ref[:], sb_ref[:], gh_s[:],
-            dmsgs_s, steps=steps, fp=fp)
-        dh0_out[:] = dh0 + dh0s[:]
-        (dwir_out[:], dwiz_out[:], dwin_out[:],
-         dwhr_out[:], dwhz_out[:], dwhn_out[:]) = dws
-        dbr, dbz, dbn_, dbnh = dbs
-        dbir_out[:] = dbr
-        dbiz_out[:] = dbz
-        dbin_out[:] = dbn_
-        dbhr_out[:] = dbr
-        dbhz_out[:] = dbz
-        dbhn_out[:] = dbnh
-        (dmw_out[:], dmbias_bn_out[:], dsw_out[:], dsb_out[:]) = dns
+        else:
+            dh0, dws, dbs, dns = psteps_reverse_walk(
+                h0_ref[:], htil_ref, stats_ref, m, c,
+                wir_ref[:], wiz_ref[:], win_g_ref[:],
+                whr_ref[:], whz_ref[:], whn_ref[:],
+                bir_ref[:], biz_ref[:], bin_ref[:],
+                bhr_ref[:], bhz_ref[:], bhn_ref[:],
+                mw_ref[:], mbc_ref[:], sw_ref[:], sb_ref[:], gh_s[:],
+                dmsgs_s, steps=steps, fp=fp)
+            dh0_out[:] = dh0 + dh0s[:]
+            (dwir_out[:], dwiz_out[:], dwin_out[:],
+             dwhr_out[:], dwhz_out[:], dwhn_out[:]) = dws
+            dbr, dbz, dbn_, dbnh = dbs
+            dbir_out[:] = dbr
+            dbiz_out[:] = dbz
+            dbin_out[:] = dbn_
+            dbhr_out[:] = dbr
+            dbhz_out[:] = dbz
+            dbhn_out[:] = dbnh
+            (dmw_out[:], dmbias_bn_out[:], dsw_out[:], dsb_out[:]) = dns
 
-    @pl.when(jnp.logical_and(p >= 1, p <= nblk))
-    def _():
-        i = p - 1
-        ws = pl.multiple_of(win_ref[i], 128)
-        src = src_ref[i, :] - ws
-        dst = dst_ref[i, :] - ws
-        vid = vid_ref[i, :]
-        oh_src, oh_dst, ohm = _edge_onehots(
-            src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
-            dtype=dt)
-        sel = _sel_t(f, fp, kmf, kmfp, dt)
-        hw = h0_ref[:, pl.ds(ws, window)]
-        hse = _dot(hw, oh_src.T)
-        for t in range(0 if "edge" in skip else steps):
-            gwn = dmsgs_s[t * fp:(t + 1) * fp, pl.ds(ws, window)]
-            gd = _dot(gwn, oh_dst.T)
-            bulk2 = _dot(a2tt_ref[t * kmfp:(t + 1) * kmfp, :], gd)
-            dhe = _dot(sel, ohm * bulk2)
-            dh0_out[:, pl.ds(ws, window)] += _dot(dhe, oh_src)
-            gdr = _dot(sel.T, gd)
-            da2t_out[t * kmfp:(t + 1) * kmfp, :] += \
-                _dot(ohm * gdr, hse.T)
-
-    @pl.when(p == nblk + 1)
-    def _():
+        # A0/bias backward, INLINED after the walk (dmsgs_s is fully
+        # written by now). It used to be its own grid program (nblk+1) —
+        # Mosaic compiled the walk-branch + a0-branch pair pathologically
+        # (~1.6 ms of interaction cost at batch 1024: each section alone
+        # ≤0.33 ms, both as separate pl.when branches 2.16 ms); in ONE
+        # branch the scheduler handles them fine.
         s_ref[:] = jnp.zeros_like(s_ref)
         for j in range(0 if "a0" in skip else gb):
             ns = pl.multiple_of(ns_ref[j], 128)
@@ -433,6 +415,29 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                     _dot(das_ref[:, j * gw:(j + 1) * gw], og.T)
             dmbias_out[t * fp:(t + 1) * fp, :] += jnp.sum(
                 dmsgs_s[t * fp:(t + 1) * fp, :], axis=1, keepdims=True)
+
+    @pl.when(jnp.logical_and(p >= 1, p <= nblk))
+    def _():
+        i = p - 1
+        ws = pl.multiple_of(win_ref[i], 128)
+        src = src_ref[i, :] - ws
+        dst = dst_ref[i, :] - ws
+        vid = vid_ref[i, :]
+        oh_src, oh_dst, ohm = _edge_onehots(
+            src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
+            dtype=dt)
+        sel = _sel_t(f, fp, kmf, kmfp, dt)
+        hw = h0_ref[:, pl.ds(ws, window)]
+        hse = _dot(hw, oh_src.T)
+        for t in range(0 if "edge" in skip else steps):
+            gwn = dmsgs_s[t * fp:(t + 1) * fp, pl.ds(ws, window)]
+            gd = _dot(gwn, oh_dst.T)
+            bulk2 = _dot(a2tt_ref[t * kmfp:(t + 1) * kmfp, :], gd)
+            dhe = _dot(sel, ohm * bulk2)
+            dh0_out[:, pl.ds(ws, window)] += _dot(dhe, oh_src)
+            gdr = _dot(sel.T, gd)
+            da2t_out[t * kmfp:(t + 1) * kmfp, :] += \
+                _dot(ohm * gdr, hse.T)
 
 
 # ---------------------------------------------------------------------------
@@ -878,7 +883,7 @@ def make_fused_psteps_op(steps: int, f: int, n: int, od: int,
             skip=skip)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(nblk + 2,),
+            grid=(nblk + 1,),
             in_specs=[_vm()] * 40,
             out_specs=tuple([_vm()] * 26),
             scratch_shapes=[
