@@ -222,6 +222,40 @@ def _att_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         dq0_out[:] = jnp.zeros_like(dq0_out)
         dwht_out[:] = jnp.zeros_like(dwht_out)
 
+        # rank-1 'att' correction backward, INLINED after the dmsgs_s
+        # write rather than as its own final grid program: two heavyweight
+        # pl.when branches in one Mosaic kernel can compile a pathological
+        # interaction (measured ~1.6 ms on the psteps kernel — see
+        # kernels/fused_psteps.py); one branch is free
+        if with_corr:
+            s_ref[:] = jnp.zeros_like(s_ref)
+            for j in range(gb):
+                ns = pl.multiple_of(ns_ref[j], 128)
+                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                s_ref[:, j * gw:(j + 1) * gw] += \
+                    _dot(h0_ref[:, pl.ds(ns, nw)], og)
+            for j in range(gb):
+                ns = pl.multiple_of(ns_ref[j], 128)
+                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                h0b = h0_ref[:, pl.ds(ns, nw)]
+                snb = _dot(s_ref[:, j * gw:(j + 1) * gw], og.T)
+                g0b = _feat_softmax(_dot(wht_ref[:], h0b) + q0_ref[:],
+                                    fm)
+                dt_b = dmsgs_s[:, pl.ds(ns, nw)]
+                da0_out[:] += _dot(dt_b, (g0b * snb).T)
+                dwn = _dot(a0_ref[:].T, dt_b)
+                dg0b = dwn * snb
+                # each graph lives in exactly one 128-graph block, so its
+                # dS column is complete within this iteration: broadcast
+                # straight back to its nodes
+                dsg = _dot(dwn * g0b, og)                 # (fp, gw)
+                dh0_out[:, pl.ds(ns, nw)] += _dot(dsg, og.T)
+                dz0b = g0b * (dg0b - jnp.sum(dg0b * g0b, axis=0,
+                                             keepdims=True))
+                dwht_out[:] += _dot(dz0b, h0b.T)
+                dq0_out[:] += jnp.sum(dz0b, axis=1, keepdims=True)
+                dh0_out[:, pl.ds(ns, nw)] += _dot(wht_ref[:].T, dz0b)
+
     @pl.when(jnp.logical_and(p >= 1, p <= nblk))
     def _():
         i = p - 1
@@ -266,35 +300,6 @@ def _att_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         dh0_out[:, pl.ds(ws, window)] += \
             _dot(dhs, oh_src) + _dot(dhd, oh_dst)
 
-    if with_corr:
-        @pl.when(p == nblk + 1)
-        def _():
-            s_ref[:] = jnp.zeros_like(s_ref)
-            for j in range(gb):
-                ns = pl.multiple_of(ns_ref[j], 128)
-                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-                s_ref[:, j * gw:(j + 1) * gw] += \
-                    _dot(h0_ref[:, pl.ds(ns, nw)], og)
-            for j in range(gb):
-                ns = pl.multiple_of(ns_ref[j], 128)
-                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-                h0b = h0_ref[:, pl.ds(ns, nw)]
-                snb = _dot(s_ref[:, j * gw:(j + 1) * gw], og.T)
-                g0b = _feat_softmax(_dot(wht_ref[:], h0b) + q0_ref[:], fm)
-                dt_b = dmsgs_s[:, pl.ds(ns, nw)]
-                da0_out[:] += _dot(dt_b, (g0b * snb).T)
-                dwn = _dot(a0_ref[:].T, dt_b)
-                dg0b = dwn * snb
-                # each graph lives in exactly one 128-graph block, so its
-                # dS column is complete within this iteration: broadcast
-                # straight back to its nodes
-                dsg = _dot(dwn * g0b, og)                 # (fp, gw)
-                dh0_out[:, pl.ds(ns, nw)] += _dot(dsg, og.T)
-                dz0b = g0b * (dg0b
-                              - jnp.sum(dg0b * g0b, axis=0, keepdims=True))
-                dwht_out[:] += _dot(dz0b, h0b.T)
-                dq0_out[:] += jnp.sum(dz0b, axis=1, keepdims=True)
-                dh0_out[:, pl.ds(ns, nw)] += _dot(wht_ref[:].T, dz0b)
 
 
 # ---------------------------------------------------------------------------
@@ -447,7 +452,7 @@ def make_fused_att_op(f: int, n: int, n_graphs: int, k_vocab: int, *,
             with_corr=with_corr)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(nblk + 2,),
+            grid=(nblk + 1,),
             in_specs=[_vm()] * 25,
             out_specs=tuple([_vm()] * 18),
             scratch_shapes=[

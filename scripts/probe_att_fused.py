@@ -56,9 +56,10 @@ def loss_full(p, s, labels):
 def loss_kernel_only(p, s, labels):
     h0 = jb["node_feats"] * jb["node_mask"]
     aprime, a0, qv, q0, wh = _build_att_form(p, cfg, jb)
-    h = op(aprime, a0, qv, q0, wh, h0, jb["node_mask"], jb["node_graph"],
-           p["gru"], jb["edge_vid"], jb["edge_src"], jb["edge_dst"],
-           jb["fs_win"], jb["fs_ns"])
+    att_op = op["att"] if isinstance(op, dict) else op
+    h = att_op(aprime, a0, qv, q0, wh, h0, jb["node_mask"],
+               jb["node_graph"], p["gru"], jb["edge_vid"],
+               jb["edge_src"], jb["edge_dst"], jb["fs_win"], jb["fs_ns"])
     return ((h - labels[jnp.clip(jb["node_graph"],0,gm.shape[0]-1), None])**2).mean(), s
 
 def loss_readout_only(p, s, labels):
