@@ -663,13 +663,14 @@ def _full_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                      gh_s, dh0s, dout_s, dmsgs_s, s_ref, das_ref,
                      *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
                      be: int, window: int, nblk: int, nw: int, gb: int):
-    """The ENTIRE backward in one pallas_call, grid (nblk + 2):
+    """The ENTIRE backward in one pallas_call, grid (nblk + 1):
       program 0        readout+loss bwd fused with the VMEM-resident
                        recurrence reverse walk (gh and dmsgs never leave
-                       VMEM);
+                       VMEM), then the A0 rank-1 correction backward +
+                       message bias inlined (one branch — see the
+                       pathology note inline);
       programs 1..nblk message (SpMM) backward per edge block, reading
-                       dmsgs from scratch, accumulating dh0/dA in place;
-      program nblk+1   the A0 rank-1 correction backward + message bias.
+                       dmsgs from scratch, accumulating dh0/dA in place.
     Together with the fused forward: 1 forward + 1 backward launch per
     training step."""
     p = pl.program_id(0)
@@ -746,6 +747,29 @@ def _full_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         dbhn_out[:] = dbnh
         (dmw_out[:], dmbias_bn_out[:], dsw_out[:], dsb_out[:]) = dns
 
+        # A0 rank-1 correction + message-bias backward, INLINED after the
+        # walk (dmsgs_s fully written) rather than as its own final grid
+        # program: two heavyweight pl.when branches in one Mosaic kernel
+        # can compile a pathological interaction (measured ~1.6 ms on the
+        # psteps kernel — kernels/fused_psteps.py); one branch is free
+        s_ref[:] = jnp.zeros_like(s_ref)
+        das_ref[:] = jnp.zeros_like(das_ref)
+        for j in range(gb):
+            ns = pl.multiple_of(ns_ref[j], 128)
+            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+            s_ref[:, j * gw:(j + 1) * gw] += \
+                _dot(h0_ref[:, pl.ds(ns, nw)], og)
+            das_ref[:, j * gw:(j + 1) * gw] += \
+                _dot(dmsgs_s[:, pl.ds(ns, nw)], og)
+        da0_out[:] += _dot(das_ref[:], s_ref[:].T)
+        das_ref[:] = _dot(a0_ref[:].T, das_ref[:])
+        for j in range(gb):
+            ns = pl.multiple_of(ns_ref[j], 128)
+            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+            dh0_out[:, pl.ds(ns, nw)] += \
+                _dot(das_ref[:, j * gw:(j + 1) * gw], og.T)
+        dmbias_out[:] += jnp.sum(dmsgs_s[:], axis=1, keepdims=True)
+
     @pl.when(jnp.logical_and(p >= 1, p <= nblk))
     def _():
         i = p - 1
@@ -766,26 +790,6 @@ def _full_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         hse = _dot(hw, oh_src.T)
         gdr = _dot(sel.T, gd)
         da2t_out[:] += _dot(ohm * gdr, hse.T)
-
-    @pl.when(p == nblk + 1)
-    def _():
-        s_ref[:] = jnp.zeros_like(s_ref)
-        das_ref[:] = jnp.zeros_like(das_ref)
-        for j in range(gb):
-            ns = pl.multiple_of(ns_ref[j], 128)
-            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-            s_ref[:, j * gw:(j + 1) * gw] += \
-                _dot(h0_ref[:, pl.ds(ns, nw)], og)
-            das_ref[:, j * gw:(j + 1) * gw] += \
-                _dot(dmsgs_s[:, pl.ds(ns, nw)], og)
-        da0_out[:] += _dot(das_ref[:], s_ref[:].T)
-        das_ref[:] = _dot(a0_ref[:].T, das_ref[:])
-        for j in range(gb):
-            ns = pl.multiple_of(ns_ref[j], 128)
-            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-            dh0_out[:, pl.ds(ns, nw)] += \
-                _dot(das_ref[:, j * gw:(j + 1) * gw], og.T)
-        dmbias_out[:] += jnp.sum(dmsgs_s[:], axis=1, keepdims=True)
 
 
 def _msg_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
@@ -1137,7 +1141,7 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                 nw=nw, gb=gb)
             comb_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(nblk + 2,),
+                grid=(nblk + 1,),
                 in_specs=[_vm()] * 40,
                 out_specs=tuple([_vm()] * 26),
                 scratch_shapes=[
