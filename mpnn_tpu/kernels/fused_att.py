@@ -148,9 +148,9 @@ def _att_fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
 
 
 # ---------------------------------------------------------------------------
-# backward kernel — grid (nblk + 2): program 0 = GRU bwd (fills dmsgs),
-# programs 1..nblk = edge bwd (gate recompute), program nblk+1 = the
-# rank-1 node-term bwd.
+# backward kernel — grid (nblk + 1): program 0 = GRU bwd (fills dmsgs)
+# then the rank-1 node-term bwd inlined in the same branch (see the
+# pathology note), programs 1..nblk = edge bwd (gate recompute).
 # ---------------------------------------------------------------------------
 
 def _att_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,

@@ -47,6 +47,147 @@ from mpnn_tpu.kernels.recurrence import (BN_EPS, VAR_CLAMP, _bn_fwd_t,
 
 
 # ---------------------------------------------------------------------------
+# operand packing shared by the train and EVAL ops — ONE place owns the
+# layout invariants (128-lane feature-panel padding, ng_row graph-id
+# padding to n_graphs, transposed (features, nodes) h0, edge-block
+# padding with src/dst fill -1 and vid fill 0 = the zero-matrix row)
+# ---------------------------------------------------------------------------
+
+def _cols_t(vs, f, fp, dt=jnp.float32):
+    """[T × (f,)] -> (T·fp, 1) stacked padded columns."""
+    return jnp.concatenate(
+        [jnp.pad(v.astype(dt)[:, None], ((0, fp - f), (0, 0)))
+         for v in vs], axis=0)
+
+
+def _pack_core(amat, a0, mbias, h0, mask, node_graph, gru, ro, *,
+               steps, f, fp, npad, n_graphs, gp, od, odp, kmf, kmfp):
+    """Every padded operand common to the train and eval kernels, plus
+    the backward's transposed per-step A tables (a2tt — DCE'd from the
+    eval trace, which never consumes it)."""
+    dt = jnp.float32
+    n = h0.shape[0]
+    padf = ((0, 0), (0, fp - f))
+
+    def mat_t(x):
+        xt = jnp.pad(x.astype(dt), padf).T
+        return xt if npad == n else jnp.pad(xt, ((0, 0),
+                                                 (0, npad - n)))
+
+    def blocks(w):
+        b = w.astype(dt).reshape(f, 3, f)
+        return [jnp.pad(b[:, i, :], ((0, fp - f), (0, fp - f)))
+                for i in range(3)]
+
+    def col3(v):
+        b = v.astype(dt).reshape(3, f)
+        return [jnp.pad(b[i][:, None], ((0, fp - f), (0, 0)))
+                for i in range(3)]
+
+    def ro_w(w):
+        wt = w.astype(dt)
+        return (jnp.pad(wt[:f].T, ((0, odp - od), (0, fp - f))),
+                jnp.pad(wt[f:].T, ((0, odp - od), (0, fp - f))))
+
+    a2t = jnp.concatenate(
+        [jnp.pad(amat[t].astype(dt).reshape(kmf, f),
+                 ((0, kmfp - kmf), (0, fp - f)))
+         for t in range(steps)], axis=0)
+    a2tt = jnp.concatenate(
+        [jnp.pad(jnp.transpose(amat[t].astype(dt), (0, 2, 1))
+                 .reshape(kmf, f), ((0, kmfp - kmf), (0, fp - f)))
+         for t in range(steps)], axis=0)
+    a0p = jnp.concatenate(
+        [jnp.pad(a0[t].astype(dt), ((0, fp - f), (0, fp - f)))
+         for t in range(steps)], axis=0)
+    wi1, wi2 = ro_w(ro["i"]["w"])
+    wj1, wj2 = ro_w(ro["j"]["w"])
+    return dict(
+        a2t=a2t, a2tt=a2tt, a0p=a0p,
+        mbias_c=_cols_t([mbias[t] for t in range(steps)], f, fp),
+        h0t=mat_t(h0),
+        mask_row=jnp.pad(mask.astype(dt).reshape(1, n),
+                         ((0, 0), (0, npad - n))),
+        ng_row=jnp.pad(node_graph.astype(jnp.int32).reshape(1, n),
+                       ((0, 0), (0, npad - n)),
+                       constant_values=n_graphs),
+        wi=blocks(gru["w_ih"]), wh=blocks(gru["w_hh"]),
+        bi=col3(gru["b_ih"]), bh=col3(gru["b_hh"]),
+        wi1=wi1, wi2=wi2, wj1=wj1, wj2=wj2,
+        bri=jnp.pad(ro["i"]["b"].astype(dt)[:, None],
+                    ((0, odp - od), (0, 0))),
+        brj=jnp.pad(ro["j"]["b"].astype(dt)[:, None],
+                    ((0, odp - od), (0, 0))),
+        odm=(jax.lax.broadcasted_iota(jnp.int32, (odp, 1), 0)
+             < od).astype(dt))
+
+
+def _pack_edge_blocks(vid, src, dst, block_edges):
+    """(nblk, BE) padded edge blocks; src/dst fill -1 (outside every
+    window — the one-hot row is all-zero), vid fill 0 (the pinned
+    zero-matrix vocab row)."""
+    e = src.shape[0]
+    nblk = _round_up(e, block_edges) // block_edges
+    ep = nblk * block_edges
+
+    def padr(x, fill=0):
+        if x.shape[0] != ep:
+            x = jnp.concatenate(
+                [x, jnp.full((ep - x.shape[0],), fill, x.dtype)])
+        return x.reshape(nblk, block_edges)
+    return padr(src, -1), padr(dst, -1), padr(vid), nblk
+
+
+# ---------------------------------------------------------------------------
+# kernel sections shared by the train-forward and EVAL kernels
+# ---------------------------------------------------------------------------
+
+def _ps_edge_program(p, win_ref, src_ref, dst_ref, vid_ref, a2t_ref,
+                     h0_ref, msgs, *, steps, f, fp, kmf, kmfp, be,
+                     window):
+    """One edge block's T per-step SpMM contributions into the (T·fp,
+    npad) msgs accumulator — ONE h0 gather shared across the T per-step
+    A-table contractions."""
+    dt = jnp.float32
+    ws = pl.multiple_of(win_ref[p], 128)
+    src = src_ref[p, :] - ws
+    dst = dst_ref[p, :] - ws
+    vid = vid_ref[p, :]
+    oh_src, oh_dst, ohm = _edge_onehots(
+        src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
+        dtype=dt)
+    hw = h0_ref[:, pl.ds(ws, window)]
+    hs = _dot(hw, oh_src.T)                           # shared gather
+    sel = _sel_t(f, fp, kmf, kmfp, dt)
+    for t in range(steps):
+        bulk = _dot(a2t_ref[t * kmfp:(t + 1) * kmfp, :], hs)
+        me = _dot(sel, ohm * bulk)
+        msgs[t * fp:(t + 1) * fp, pl.ds(ws, window)] += \
+            _dot(me, oh_dst)
+
+
+def _ps_a0_broadcast(ns_ref, ng_ref, h0_ref, a0_ref, msgs, s_ref, *,
+                     steps, fp, nw, gb):
+    """Per-graph h0 sums once, then each step's A0_t correction broadcast
+    back onto that graph's nodes in msgs."""
+    dt = jnp.float32
+    gw = GRAPH_BLOCK
+    s_ref[:] = jnp.zeros_like(s_ref)
+    for j in range(gb):
+        ns = pl.multiple_of(ns_ref[j], 128)
+        og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+        s_ref[:, j * gw:(j + 1) * gw] += \
+            _dot(h0_ref[:, pl.ds(ns, nw)], og)
+    for t in range(steps):
+        a0s = _dot(a0_ref[t * fp:(t + 1) * fp, :], s_ref[:])
+        for j in range(gb):
+            ns = pl.multiple_of(ns_ref[j], 128)
+            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+            msgs[t * fp:(t + 1) * fp, pl.ds(ns, nw)] += \
+                _dot(a0s[:, j * gw:(j + 1) * gw], og.T)
+
+
+# ---------------------------------------------------------------------------
 # forward kernel — grid (nblk + 1)
 # ---------------------------------------------------------------------------
 
@@ -71,40 +212,16 @@ def _ps_fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
 
     @pl.when(p < nblk)
     def _():
-        ws = pl.multiple_of(win_ref[p], 128)
-        src = src_ref[p, :] - ws
-        dst = dst_ref[p, :] - ws
-        vid = vid_ref[p, :]
-        oh_src, oh_dst, ohm = _edge_onehots(
-            src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
-            dtype=dt)
-        hw = h0_ref[:, pl.ds(ws, window)]
-        hs = _dot(hw, oh_src.T)                           # shared gather
-        sel = _sel_t(f, fp, kmf, kmfp, dt)
-        for t in range(steps):
-            bulk = _dot(a2t_ref[t * kmfp:(t + 1) * kmfp, :], hs)
-            me = _dot(sel, ohm * bulk)
-            msgs[t * fp:(t + 1) * fp, pl.ds(ws, window)] += \
-                _dot(me, oh_dst)
+        _ps_edge_program(p, win_ref, src_ref, dst_ref, vid_ref, a2t_ref,
+                         h0_ref, msgs, steps=steps, f=f, fp=fp, kmf=kmf,
+                         kmfp=kmfp, be=be, window=window)
 
     @pl.when(p == nblk)
     def _():
         mask_l = mask_ref[:]
         c = jnp.sum(mask_l)
-        # per-graph h0 sums once; per-step A0_t corrections
-        s_ref[:] = jnp.zeros_like(s_ref)
-        for j in range(gb):
-            ns = pl.multiple_of(ns_ref[j], 128)
-            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-            s_ref[:, j * gw:(j + 1) * gw] += \
-                _dot(h0_ref[:, pl.ds(ns, nw)], og)
-        for t in range(steps):
-            a0s = _dot(a0_ref[t * fp:(t + 1) * fp, :], s_ref[:])
-            for j in range(gb):
-                ns = pl.multiple_of(ns_ref[j], 128)
-                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-                msgs[t * fp:(t + 1) * fp, pl.ds(ns, nw)] += \
-                    _dot(a0s[:, j * gw:(j + 1) * gw], og.T)
+        _ps_a0_broadcast(ns_ref, ng_ref, h0_ref, a0_ref, msgs, s_ref,
+                         steps=steps, fp=fp, nw=nw, gb=gb)
 
         h = h0_ref[:] * mask_l
         for t in range(steps):
@@ -472,38 +589,15 @@ def _ps_eval_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
 
     @pl.when(p < nblk)
     def _():
-        ws = pl.multiple_of(win_ref[p], 128)
-        src = src_ref[p, :] - ws
-        dst = dst_ref[p, :] - ws
-        vid = vid_ref[p, :]
-        oh_src, oh_dst, ohm = _edge_onehots(
-            src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
-            dtype=dt)
-        hw = h0_ref[:, pl.ds(ws, window)]
-        hs = _dot(hw, oh_src.T)                           # shared gather
-        sel = _sel_t(f, fp, kmf, kmfp, dt)
-        for t in range(steps):
-            bulk = _dot(a2t_ref[t * kmfp:(t + 1) * kmfp, :], hs)
-            me = _dot(sel, ohm * bulk)
-            msgs[t * fp:(t + 1) * fp, pl.ds(ws, window)] += \
-                _dot(me, oh_dst)
+        _ps_edge_program(p, win_ref, src_ref, dst_ref, vid_ref, a2t_ref,
+                         h0_ref, msgs, steps=steps, f=f, fp=fp, kmf=kmf,
+                         kmfp=kmfp, be=be, window=window)
 
     @pl.when(p == nblk)
     def _():
         mask_l = mask_ref[:]
-        s_ref[:] = jnp.zeros_like(s_ref)
-        for j in range(gb):
-            ns = pl.multiple_of(ns_ref[j], 128)
-            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-            s_ref[:, j * gw:(j + 1) * gw] += \
-                _dot(h0_ref[:, pl.ds(ns, nw)], og)
-        for t in range(steps):
-            a0s = _dot(a0_ref[t * fp:(t + 1) * fp, :], s_ref[:])
-            for j in range(gb):
-                ns = pl.multiple_of(ns_ref[j], 128)
-                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-                msgs[t * fp:(t + 1) * fp, pl.ds(ns, nw)] += \
-                    _dot(a0s[:, j * gw:(j + 1) * gw], og.T)
+        _ps_a0_broadcast(ns_ref, ng_ref, h0_ref, a0_ref, msgs, s_ref,
+                         steps=steps, fp=fp, nw=nw, gb=gb)
 
         h = h0_ref[:] * mask_l
         for t in range(steps):
@@ -571,27 +665,10 @@ def make_fused_psteps_eval_op(steps: int, f: int, n: int, od: int,
 
     def op(amat, a0, mbias, h0, mask, node_graph, gru, ma_bns, ma_states,
            bns, bn_states, ro, vid, src, dst, win, ns):
-        padf = ((0, 0), (0, fp - f))
-
-        def mat_t(x):
-            xt = jnp.pad(x.astype(dt), padf).T
-            return xt if npad == n else jnp.pad(xt, ((0, 0),
-                                                     (0, npad - n)))
-
-        def blocks(w):
-            b = w.astype(dt).reshape(f, 3, f)
-            return [jnp.pad(b[:, i, :], ((0, fp - f), (0, fp - f)))
-                    for i in range(3)]
-
-        def col3(v):
-            b = v.astype(dt).reshape(3, f)
-            return [jnp.pad(b[i][:, None], ((0, fp - f), (0, 0)))
-                    for i in range(3)]
-
-        def cols_t(vs):     # [T × (f,)] -> (T·fp, 1)
-            return jnp.concatenate(
-                [jnp.pad(v.astype(dt)[:, None], ((0, fp - f), (0, 0)))
-                 for v in vs], axis=0)
+        core = _pack_core(amat, a0, mbias, h0, mask, node_graph, gru, ro,
+                          steps=steps, f=f, fp=fp, npad=npad,
+                          n_graphs=n_graphs, gp=gp, od=od, odp=odp,
+                          kmf=kmf, kmfp=kmfp)
 
         def fold_t(p_bns, s_bns):
             scales, shifts = [], []
@@ -600,51 +677,12 @@ def make_fused_psteps_eval_op(steps: int, f: int, n: int, od: int,
                                           + bn_eps)
                 scales.append(scale)
                 shifts.append(p_bn["bias"] - s_bn["running_mean"] * scale)
-            return cols_t(scales), cols_t(shifts)
+            return _cols_t(scales, f, fp), _cols_t(shifts, f, fp)
 
-        a2t = jnp.concatenate(
-            [jnp.pad(amat[t].astype(dt).reshape(kmf, f),
-                     ((0, kmfp - kmf), (0, fp - f)))
-             for t in range(steps)], axis=0)
-        a0p = jnp.concatenate(
-            [jnp.pad(a0[t].astype(dt), ((0, fp - f), (0, fp - f)))
-             for t in range(steps)], axis=0)
-        mask_row = jnp.pad(mask.astype(dt).reshape(1, n),
-                           ((0, 0), (0, npad - n)))
-        ng_row = jnp.pad(node_graph.astype(jnp.int32).reshape(1, n),
-                         ((0, 0), (0, npad - n)),
-                         constant_values=n_graphs)
-        wi = blocks(gru["w_ih"])
-        wh = blocks(gru["w_hh"])
-        bi = col3(gru["b_ih"])
-        bh = col3(gru["b_hh"])
         maw, mab = fold_t(ma_bns, ma_states)
         sw, sb = fold_t(bns, bn_states)
-
-        def ro_w(w):
-            wt = w.astype(dt)
-            return (jnp.pad(wt[:f].T, ((0, odp - od), (0, fp - f))),
-                    jnp.pad(wt[f:].T, ((0, odp - od), (0, fp - f))))
-
-        wi1, wi2 = ro_w(ro["i"]["w"])
-        wj1, wj2 = ro_w(ro["j"]["w"])
-        bri = jnp.pad(ro["i"]["b"].astype(dt)[:, None],
-                      ((0, odp - od), (0, 0)))
-        brj = jnp.pad(ro["j"]["b"].astype(dt)[:, None],
-                      ((0, odp - od), (0, 0)))
-        odm = (jax.lax.broadcasted_iota(jnp.int32, (odp, 1), 0)
-               < od).astype(dt)
-        e = src.shape[0]
-        nblk = _round_up(e, block_edges) // block_edges
-        ep = nblk * block_edges
-
-        def padr(x, fill=0):
-            if x.shape[0] != ep:
-                x = jnp.concatenate(
-                    [x, jnp.full((ep - x.shape[0],), fill, x.dtype)])
-            return x.reshape(nblk, block_edges)
-
-        src2, dst2, vid2 = padr(src, -1), padr(dst, -1), padr(vid)
+        src2, dst2, vid2, nblk = _pack_edge_blocks(vid, src, dst,
+                                                   block_edges)
         kernel = functools.partial(
             _ps_eval_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
             be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
@@ -669,10 +707,12 @@ def make_fused_psteps_eval_op(steps: int, f: int, n: int, od: int,
             compiler_params=_vmem_params_of(fp, npad, 18 + 4 * steps),
             interpret=interpret,
         )(win, ns, src2, dst2, vid2,
-          a2t, a0p, cols_t([mbias[t] for t in range(steps)]),
-          mat_t(h0), mask_row, ng_row,
-          *wi, *wh, *bi, *bh, maw, mab, sw, sb,
-          wi1, wi2, wj1, wj2, bri, brj, odm)
+          core["a2t"], core["a0p"], core["mbias_c"], core["h0t"],
+          core["mask_row"], core["ng_row"],
+          *core["wi"], *core["wh"], *core["bi"], *core["bh"],
+          maw, mab, sw, sb,
+          core["wi1"], core["wi2"], core["wj1"], core["wj2"],
+          core["bri"], core["brj"], core["odm"])
         return out_t[:od, :n_graphs].T.astype(h0.dtype)
 
     return op
@@ -711,87 +751,27 @@ def make_fused_psteps_op(steps: int, f: int, n: int, od: int,
 
     def pack(amat, a0, mbias, h0, mask, node_graph, gru, ma_bns, bns, ro,
              labels, gmask):
-        padf = ((0, 0), (0, fp - f))
-
-        def mat_t(x):
-            xt = jnp.pad(x.astype(dt), padf).T
-            return xt if npad == n else jnp.pad(xt, ((0, 0),
-                                                     (0, npad - n)))
-
-        def blocks(w):
-            b = w.astype(dt).reshape(f, 3, f)
-            return [jnp.pad(b[:, i, :], ((0, fp - f), (0, fp - f)))
-                    for i in range(3)]
-
-        def col3(v):
-            b = v.astype(dt).reshape(3, f)
-            return [jnp.pad(b[i][:, None], ((0, fp - f), (0, 0)))
-                    for i in range(3)]
-
-        def cols_t(vs):     # [T × (f,)] -> (T·fp, 1)
-            return jnp.concatenate(
-                [jnp.pad(v.astype(dt)[:, None], ((0, fp - f), (0, 0)))
-                 for v in vs], axis=0)
-
-        a2t = jnp.concatenate(
-            [jnp.pad(amat[t].astype(dt).reshape(kmf, f),
-                     ((0, kmfp - kmf), (0, fp - f)))
-             for t in range(steps)], axis=0)
-        a2tt = jnp.concatenate(
-            [jnp.pad(jnp.transpose(amat[t].astype(dt), (0, 2, 1))
-                     .reshape(kmf, f), ((0, kmfp - kmf), (0, fp - f)))
-             for t in range(steps)], axis=0)
-        a0p = jnp.concatenate(
-            [jnp.pad(a0[t].astype(dt), ((0, fp - f), (0, fp - f)))
-             for t in range(steps)], axis=0)
-        mask_row = jnp.pad(mask.astype(dt).reshape(1, n),
-                           ((0, 0), (0, npad - n)))
-        ng_row = jnp.pad(node_graph.astype(jnp.int32).reshape(1, n),
-                         ((0, 0), (0, npad - n)),
-                         constant_values=n_graphs)
-        wi = blocks(gru["w_ih"])
-        wh = blocks(gru["w_hh"])
-        bi = col3(gru["b_ih"])
-        bh = col3(gru["b_hh"])
-
-        def ro_w(w):
-            wt = w.astype(dt)
-            return (jnp.pad(wt[:f].T, ((0, odp - od), (0, fp - f))),
-                    jnp.pad(wt[f:].T, ((0, odp - od), (0, fp - f))))
-
-        wi1, wi2 = ro_w(ro["i"]["w"])
-        wj1, wj2 = ro_w(ro["j"]["w"])
-        bri = jnp.pad(ro["i"]["b"].astype(dt)[:, None],
-                      ((0, odp - od), (0, 0)))
-        brj = jnp.pad(ro["j"]["b"].astype(dt)[:, None],
-                      ((0, odp - od), (0, 0)))
-        odm = (jax.lax.broadcasted_iota(jnp.int32, (odp, 1), 0)
-               < od).astype(dt)
+        core = _pack_core(amat, a0, mbias, h0, mask, node_graph, gru, ro,
+                          steps=steps, f=f, fp=fp, npad=npad,
+                          n_graphs=n_graphs, gp=gp, od=od, odp=odp,
+                          kmf=kmf, kmfp=kmfp)
         y_row = jnp.pad(labels.astype(dt).reshape(1, n_graphs),
                         ((0, 0), (0, gp - n_graphs)))
         gm_row = jnp.pad(gmask.astype(dt).reshape(1, n_graphs),
                          ((0, 0), (0, gp - n_graphs)))
-        common = [a2t, a0p, cols_t([mbias[t] for t in range(steps)]),
-                  mat_t(h0), mask_row, ng_row] \
-            + wi + wh + bi + bh \
-            + [cols_t([b["weight"] for b in ma_bns]),
-               cols_t([b["bias"] for b in ma_bns]),
-               cols_t([b["weight"] for b in bns]),
-               cols_t([b["bias"] for b in bns]),
-               wi1, wi2, wj1, wj2, bri, brj, odm, y_row, gm_row]
-        return common, a2tt
+        common = [core["a2t"], core["a0p"], core["mbias_c"], core["h0t"],
+                  core["mask_row"], core["ng_row"]] \
+            + core["wi"] + core["wh"] + core["bi"] + core["bh"] \
+            + [_cols_t([b["weight"] for b in ma_bns], f, fp),
+               _cols_t([b["bias"] for b in ma_bns], f, fp),
+               _cols_t([b["weight"] for b in bns], f, fp),
+               _cols_t([b["bias"] for b in bns], f, fp),
+               core["wi1"], core["wi2"], core["wj1"], core["wj2"],
+               core["bri"], core["brj"], core["odm"], y_row, gm_row]
+        return common, core["a2tt"]
 
     def pack_edges(vid, src, dst):
-        e = src.shape[0]
-        nblk = _round_up(e, block_edges) // block_edges
-        ep = nblk * block_edges
-
-        def padr(x, fill=0):
-            if x.shape[0] != ep:
-                x = jnp.concatenate(
-                    [x, jnp.full((ep - x.shape[0],), fill, x.dtype)])
-            return x.reshape(nblk, block_edges)
-        return padr(src, -1), padr(dst, -1), padr(vid), nblk
+        return _pack_edge_blocks(vid, src, dst, block_edges)
 
     def run_fwd(amat, a0, mbias, h0, mask, node_graph, gru, ma_bns, bns,
                 ro, labels, gmask, vid, src, dst, win, ns):

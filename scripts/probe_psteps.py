@@ -108,8 +108,19 @@ elif mode == "parts":
     # attribution: train-forward only (stats+stash, no bwd) vs
     # value_and_grad (no optimizer) vs the full Adam step — where do the
     # 2.21 ms go when the same edge work serves in 0.187 ms?
-    def fwd_only(p, s, labels):
-        loss, out, ns = fused_psteps_apply(p, s, cfg, jb, op,
+    # Anti-LICM: params/state are loop-constant here (no optimizer), so
+    # the XLA prologue would hoist out of the scan and understate the
+    # per-step cost — perturb the batch's node features per iteration
+    # (the eval-mode discipline) so the whole chain re-runs each step.
+    nf0 = jb["node_feats"]
+
+    def _b(it, k):
+        b = dict(jb)
+        b["node_feats"] = nf0 * (1.0 + 1e-6 * (it * SPC + k))
+        return b
+
+    def fwd_only(p, s, labels, b):
+        loss, out, ns = fused_psteps_apply(p, s, cfg, b, op,
                                            labels=labels)
         return loss
 
@@ -118,7 +129,7 @@ elif mode == "parts":
         def multi(p, s, it):
             def body(_, k):
                 labels = labels0 + 1e-4 * (it * SPC + k)
-                return 0.0, fn(p, s, labels)
+                return 0.0, fn(p, s, labels, _b(it, k))
             _, ls = jax.lax.scan(body, 0.0, jnp.arange(SPC))
             return ls[-1]
         l = multi(params, state, jnp.int32(0)); jax.device_get(l)
@@ -129,9 +140,9 @@ elif mode == "parts":
         print(f"{name}: {dt / (3 * SPC) * 1e3:.3f} ms/step "
               f"(val {lv:.4f})", flush=True)
 
-    def vag(p, s, labels):
+    def vag(p, s, labels, b):
         def lf(pp):
-            loss, out, ns = fused_psteps_apply(pp, s, cfg, jb, op,
+            loss, out, ns = fused_psteps_apply(pp, s, cfg, b, op,
                                                labels=labels)
             return loss
         l, g = jax.value_and_grad(lf)(p)
@@ -147,7 +158,10 @@ elif mode == "parts":
     kern_inputs = (amatc, a0c, mbiasc, h0c, params["gru"],
                    params["ma_bn"], params["bn"], params["readout"])
 
-    def vag_kernel(p, s, labels):
+    def vag_kernel(p, s, labels, b):
+        # the prologue inputs are DELIBERATELY loop-constant here (that is
+        # the kernel-only isolation); the per-iteration labels feed the op
+        # directly, so the pallas fwd+bwd themselves cannot be hoisted
         def lf(ki):
             amat, a0, mbias, h0, gru, ma, bn, ro = ki
             loss, out, ma_s, bn_s = op(
