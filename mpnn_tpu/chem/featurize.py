@@ -18,6 +18,13 @@ import numpy as np
 from mpnn_tpu.chem.mol import Mol
 
 
+# Perception-semantics version: bump whenever a chem/featurization change
+# alters feature VALUES (hybridization, conjugation, ring perception, …) so
+# stale graph caches refuse to load instead of silently mixing semantics
+# (graphs/dataset.py::load_cache). v2 = the round-3 steric-number
+# hybridization + RDKit-pairwise conjugation fixes.
+FEATURIZER_VERSION = 2
+
 ATOM_HOT_FEATURES = 2       # atomic_num, hybridization
 ATOM_BOOL_FEATURES = 2      # in_ring, aromatic
 ATOM_NUMERIC_FEATURES = 3   # formal_charge, total_hs, neighbor_count

@@ -21,6 +21,7 @@ import numpy as np
 
 from mpnn_tpu.chem import mol_from_smiles
 from mpnn_tpu.chem.ecfp import ecfp_bits_per_atom
+from mpnn_tpu.chem.featurize import FEATURIZER_VERSION
 from mpnn_tpu.graphs.encoders import GraphEncoder, LabelEncoder
 from mpnn_tpu.graphs.graph import MolGraph, from_mol
 
@@ -181,6 +182,7 @@ def save_cache(path: str, graphs: List[MolGraph], ge: GraphEncoder,
     arrays["affinities"] = affinities
     arrays["meta"] = np.frombuffer(json.dumps({
         "version": CACHE_VERSION,
+        "featurizer": FEATURIZER_VERSION,
         "encoder": json.loads(ge.to_json()),
         "is_encoded": all(g.is_encoded for g in graphs),
         **(meta or {}),
@@ -194,6 +196,15 @@ def load_cache(path: str) -> Tuple[List[MolGraph], GraphEncoder, dict]:
         if meta["version"] != CACHE_VERSION:
             raise ValueError(f"cache version {meta['version']} != "
                              f"{CACHE_VERSION}")
+        # perception-semantics guard: a cache featurized under different
+        # chem semantics (absent key = pre-v2) would silently mismatch
+        # checkpoints trained on freshly-featurized data
+        cached_fv = meta.get("featurizer", 1)
+        if cached_fv != FEATURIZER_VERSION:
+            raise ValueError(
+                f"cache was featurized with perception version {cached_fv} "
+                f"!= current {FEATURIZER_VERSION} "
+                "(chem feature values changed); re-featurize the CSV")
         ge = GraphEncoder.from_json(json.dumps(meta["encoder"]))
         oa, oe = f["offsets_a"], f["offsets_e"]
         graphs = []

@@ -127,6 +127,7 @@ def _att_family_eligible(cfg: MPNNConfig, batch) -> bool:
     has_encoder = (cfg.atom_encoder is not None
                    or cfg.bond_encoder is not None)
     return (cfg.aggregation in ("att", "adj")
+            and cfg.message_features == cfg.node_features
             and cfg.share_message_weights
             and cfg.message_input == "initial"
             and cfg.update_hidden == "initial"

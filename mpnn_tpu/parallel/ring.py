@@ -69,8 +69,16 @@ def partition_edges_ring(batch: Dict[str, np.ndarray], d: int
         buckets.setdefault(key, []).append(e)
     eb = max((len(v) for v in buckets.values()), default=1)
 
-    ring_src = np.zeros((d, d, eb), np.int32)
-    ring_dst = np.zeros((d, d, eb), np.int32)
+    # padded bucket slots point OUT OF RANGE (local index s): every
+    # consumer drops them structurally — the halo kernel's one-hots
+    # (iota < s) produce zero rows, segment_sum(num_segments=s) discards
+    # id s, and clamped gathers feed rows whose cotangent is zero. Padding
+    # to 0 would be correct only when slot 0's payload is zero (ptilde row
+    # 0 / vocab id 0); collate_packed permits a batch with NO padded edges,
+    # where vocab row 0 is a real bond and vid-0 pad slots would silently
+    # scatter real messages into local node 0 (halo path).
+    ring_src = np.full((d, d, eb), s, np.int32)
+    ring_dst = np.full((d, d, eb), s, np.int32)
     ring_efeats = np.zeros((d, d, eb, efeats.shape[-1]), np.float32)
     etypes = batch.get("edge_types")
     ring_etypes = (np.zeros((d, d, eb), np.int32)

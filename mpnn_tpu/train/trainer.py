@@ -199,8 +199,11 @@ def make_eval_step(net_cfg: NetworkConfig, loss_kind: str):
 # keyed by (net_cfg, loss_kind, interpret, plan shape) so per-epoch
 # evaluate() calls REUSE the compiled executable — a per-call cache would
 # recompile the kernel every epoch. Plan shapes per run are ~1-2 (fixed
-# packed caps + the final partial batch), so the dict stays tiny.
+# packed caps + the final partial batch); size-capped (FIFO) so a
+# long-lived process sweeping configs can't accumulate jitted executables
+# forever (mirrors make_eval_step's lru_cache(maxsize=64)).
 _FUSED_EVAL_STEPS: Dict[tuple, object] = {}
+_FUSED_EVAL_STEPS_CAP = 64
 
 
 def _fused_eval_plan_key(batch):
@@ -215,13 +218,22 @@ def _fused_eval_plan_key(batch):
             int(np.asarray(batch["graph_mask"]).shape[0]))
 
 
+# below this many graphs the fixed window machinery costs more than the
+# launches it saves: XLA wins by ~5 µs at batch 1 (0.027 vs 0.032 ms,
+# BASELINE.md small-batch serving table); the kernel takes over by batch 8
+_FUSED_EVAL_MIN_GRAPHS = 8
+
+
 def eval_step_for_batch(net_cfg: NetworkConfig, loss_kind: str, batch, *,
                         fuse_eval: bool = True, interpret: bool = False):
     """Pick the eval step for one batch: the fused serving kernel when the
     config and batch are eligible (packed, fused plan attached, flagship-
-    shaped recurrence), the XLA path otherwise. Cached per plan shape."""
+    shaped recurrence) and the batch is past the launch-bound small-batch
+    crossover, the XLA path otherwise. Cached per plan shape."""
     key = None
-    if fuse_eval and "node_feats" in batch and "fs_win" in batch:
+    if (fuse_eval and "node_feats" in batch and "fs_win" in batch
+            and int(np.asarray(batch["graph_mask"]).shape[0])
+            >= _FUSED_EVAL_MIN_GRAPHS):
         from mpnn_tpu.models.fused_train import fused_eval_eligible
         if fused_eval_eligible(net_cfg.mpnn, batch):
             key = (net_cfg, loss_kind, interpret,
@@ -239,6 +251,8 @@ def eval_step_for_batch(net_cfg: NetworkConfig, loss_kind: str, batch, *,
             loss, (out, _) = loss_fn(params, state, batch, False)
             return loss, out
 
+        if len(_FUSED_EVAL_STEPS) >= _FUSED_EVAL_STEPS_CAP:
+            _FUSED_EVAL_STEPS.pop(next(iter(_FUSED_EVAL_STEPS)))
         _FUSED_EVAL_STEPS[key] = step
     return _FUSED_EVAL_STEPS[key]
 

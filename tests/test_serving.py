@@ -56,7 +56,7 @@ class TestEvalStepSelection:
         from mpnn_tpu import graphs as G
         from mpnn_tpu.train import trainer
         gs, cfg, params, state = _train_full_driver()
-        loader = G.GraphLoader(gs, 4, collate="packed", with_nafm=True,
+        loader = G.GraphLoader(gs, 8, collate="packed", with_nafm=True,
                                fused_step_plan=True)
         batch = next(iter(loader))
         assert "fs_win" in batch
@@ -77,6 +77,15 @@ class TestEvalStepSelection:
         nofs = trainer.eval_step_for_batch(cfg, "mse", plain,
                                            fuse_eval=True, interpret=True)
         assert nofs is base
+        # below the launch-bound crossover (~batch 8) the XLA step wins
+        # by ~5 µs — the shipped path must never pick the slower kernel
+        small_loader = G.GraphLoader(gs, 4, collate="packed",
+                                     with_nafm=True, fused_step_plan=True)
+        small = next(iter(small_loader))
+        assert "fs_win" in small
+        tiny = trainer.eval_step_for_batch(cfg, "mse", small,
+                                           fuse_eval=True, interpret=True)
+        assert tiny is base
 
     def test_ineligible_config_falls_back(self):
         """A config outside the kernel's shape (per-step norms) must fall
@@ -102,7 +111,7 @@ class TestEvaluateParity:
         from mpnn_tpu import graphs as G
         from mpnn_tpu.train import trainer
         gs, cfg, params, state = _train_full_driver()
-        loader = G.GraphLoader(gs, 4, collate="packed", with_nafm=True,
+        loader = G.GraphLoader(gs, 8, collate="packed", with_nafm=True,
                                fused_step_plan=True)
         m_fused = trainer.evaluate(params, state, cfg, loader, "mse",
                                    fuse_eval=True, interpret=True)
@@ -127,7 +136,7 @@ class TestEvaluateParity:
             msg_norm="bn1d", state_norm="bn1d", edge_mlp_tail_repeats=2)
         cfg = NetworkConfig(mpnn=mcfg, input_wrapper="plain", head="none")
         tcfg = trainer.TrainConfig(
-            epochs=2, batch_size=4, learning_rate=1e-2, loss="mse",
+            epochs=2, batch_size=8, learning_rate=1e-2, loss="mse",
             packed=True, fuse_step=True, spmm="kernel_interpret",
             seed=317, shuffle=False, log_path=None)
         _, _, _, hist = trainer.train(cfg, tcfg, gs, gs)
