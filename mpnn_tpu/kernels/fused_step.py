@@ -55,8 +55,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpnn_tpu.kernels.recurrence import (_bn_fwd_t, _dot,
-                                         _gru_fwd_t, reference_recurrence,
+from mpnn_tpu.kernels.recurrence import (_bn_fwd_t, _dot, _gru_fwd_t,
+                                         _norm_denoms, _norm_fwd_t,
+                                         reference_recurrence,
                                          vmem_reverse_walk)
 from mpnn_tpu.kernels.spmm import spmm_reference
 
@@ -175,7 +176,8 @@ def attach_fused_plan(batch: dict, block_edges: int = 512,
 
 def reference_fused_step(amat, a0, mbias, h0, mask, node_graph, gru, ma_bn,
                          bn, ro, labels, gmask, vid, src, dst, *,
-                         steps: int):
+                         steps: int, msg_norm: str = "bn1d",
+                         state_norm: str = "bn1d"):
     """h0 must be PRE-MASKED. Returns (loss, out, ma_stats, step_stats)."""
     from mpnn_tpu.models.sparse import sparse_graph_level_output
 
@@ -185,7 +187,8 @@ def reference_fused_step(amat, a0, mbias, h0, mask, node_graph, gru, ma_bn,
     base = s[node_graph] @ a0.T
     msgs = agg + base + mbias
     h, ma_stats, step_stats = reference_recurrence(
-        msgs, h0, mask, gru, ma_bn, bn, steps=steps)
+        msgs, h0, mask, gru, ma_bn, bn, steps=steps,
+        msg_norm=msg_norm, state_norm=state_norm)
     x = jnp.concatenate([h, h0], axis=-1)
     out = sparse_graph_level_output(ro, x, mask, node_graph, num_graphs)
     per = ((out - labels[:, None]) ** 2) * gmask[:, None]
@@ -237,7 +240,8 @@ def _fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                 msgs, s_ref, sems,
                 *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
                 be: int, window: int, nblk: int, nw: int, gb: int,
-                keep_gates: bool):
+                keep_gates: bool, msg_norm: str = "bn1d",
+                state_norm: str = "bn1d"):
     p = pl.program_id(0)
     dt = jnp.float32
     gw = GRAPH_BLOCK
@@ -311,8 +315,8 @@ def _fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
 
         msgs_m = (msgs[:] + mbias_ref[:]) * mask_l
         stash(msgs_m, 0)
-        mbv, ma_mean, ma_var = _bn_fwd_t(msgs_m, mask_l, mw_ref[:],
-                                         mb_ref[:], c)
+        mbv, ma_mean, ma_var = _norm_fwd_t(msgs_m, mask_l, mw_ref[:],
+                                           mb_ref[:], c, msg_norm)
         stats_out[0:fp, 0:1] = ma_mean
         stats_out[0:fp, 1:2] = ma_var
         h = h0_ref[:] * mask_l
@@ -331,7 +335,8 @@ def _fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                              whn_ref[:], bhr_ref[:], bhz_ref[:],
                              bhn_ref[:], mask_l)
             stash(htl, t)
-            h, mean, var = _bn_fwd_t(htl, mask_l, sw_ref[:], sb_ref[:], c)
+            h, mean, var = _norm_fwd_t(htl, mask_l, sw_ref[:], sb_ref[:],
+                                       c, state_norm)
             stats_out[t * fp:(t + 1) * fp, 0:1] = mean
             stats_out[t * fp:(t + 1) * fp, 1:2] = var
         pending[0].wait()     # last stash must land before the kernel ends
@@ -376,9 +381,14 @@ def _eval_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                  out_t,
                  msgs, s_ref,
                  *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
-                 be: int, window: int, nblk: int, nw: int, gb: int):
+                 be: int, window: int, nblk: int, nw: int, gb: int,
+                 state_norm: str = "bn1d"):
     """maw/mab and sw/sb arrive pre-FOLDED: scale = w/(rv**0.5+eps),
-    shift = b − rm·scale (bn1d_apply's eval branch, eps outside sqrt)."""
+    shift = b − rm·scale (bn1d_apply's eval branch, eps outside sqrt).
+    msg_norm='none' folds to scale 1 / shift 0 on the host, so only the
+    STATE mode reaches the kernel: the stateless MaskBatchNorm has no
+    running stats — eval normalizes by the eval batch's own masked stats,
+    computed inline per step (state_norm='stateless')."""
     p = pl.program_id(0)
     dt = jnp.float32
     gw = GRAPH_BLOCK
@@ -425,11 +435,16 @@ def _eval_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
         gz = _dot(wiz_ref[:].T, mbv) + biz_ref[:]
         gn = _dot(win2_ref[:].T, mbv) + bin_ref[:]
         h = h0_ref[:] * mask_l
+        c = jnp.sum(mask_l)
         for _t in range(steps):
             htl = _gru_fwd_t(h, gr, gz, gn, whr_ref[:], whz_ref[:],
                              whn_ref[:], bhr_ref[:], bhz_ref[:],
                              bhn_ref[:], mask_l)
-            h = (sw_ref[:] * htl + sb_ref[:]) * mask_l
+            if state_norm == "stateless":
+                h, _, _ = _norm_fwd_t(htl, mask_l, sw_ref[:], sb_ref[:],
+                                      c, "stateless")
+            else:
+                h = (sw_ref[:] * htl + sb_ref[:]) * mask_l
         # msgs is free after the recurrence: park the final state there so
         # the readout can ref-slice node windows (values can't pl.ds)
         msgs[:] = h
@@ -455,7 +470,8 @@ def _eval_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
 def make_fused_eval_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                        k_vocab: int, *, block_edges: int = 512,
                        window: int = 512, node_window: int = 2048,
-                       interpret: bool = False, bn_eps: float = 1e-5):
+                       interpret: bool = False, bn_eps: float = 1e-5,
+                       msg_norm: str = "bn1d", state_norm: str = "bn1d"):
     """Whole-step INFERENCE op (eval-mode BN = running-stat affines):
 
     op(amat, a0, mbias, h0 PRE-MASKED, mask, node_graph, gru,
@@ -464,7 +480,11 @@ def make_fused_eval_op(steps: int, f: int, n: int, od: int, n_graphs: int,
 
     Semantics: sparse_mpnn_apply(..., training=False) on the flagship
     config, minus the loss (the serving path). Not differentiable —
-    inference only."""
+    inference only. msg_norm 'none' folds to the identity affine;
+    state_norm 'stateless' normalizes by the eval batch's own stats
+    in-kernel (the reference MaskBatchNorm has no running stats); the
+    ma_bn/bn params+state args are ignored for non-bn1d modes (pass
+    dummies)."""
     npad = _round_up(n, 128)
     fp = _round_up(f, 16)
     odp = _round_up(od, 16)
@@ -500,7 +520,10 @@ def make_fused_eval_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         def col(v):
             return jnp.pad(v.astype(dt)[:, None], ((0, fp - f), (0, 0)))
 
-        def fold(p_bn, s_bn):
+        def fold(p_bn, s_bn, mode):
+            if mode != "bn1d":      # none/stateless: identity affine (the
+                #                     stateless normalize runs in-kernel)
+                return (col(jnp.ones((f,), dt)), col(jnp.zeros((f,), dt)))
             scale = p_bn["weight"] / (s_bn["running_var"] ** 0.5 + bn_eps)
             return col(scale), col(p_bn["bias"]
                                    - s_bn["running_mean"] * scale)
@@ -516,8 +539,8 @@ def make_fused_eval_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         wh = blocks(gru["w_hh"])
         bi = col3(gru["b_ih"])
         bh = col3(gru["b_hh"])
-        maw, mab = fold(ma_bn, ma_state)
-        sw, sb = fold(bn, bn_state)
+        maw, mab = fold(ma_bn, ma_state, msg_norm)
+        sw, sb = fold(bn, bn_state, state_norm)
 
         def ro_w(w):
             wt = w.astype(dt)
@@ -545,7 +568,8 @@ def make_fused_eval_op(steps: int, f: int, n: int, od: int, n_graphs: int,
         src2, dst2, vid2 = padr(src, -1), padr(dst, -1), padr(vid)
         kernel = functools.partial(
             _eval_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
-            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
+            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb,
+            state_norm=state_norm)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nblk + 1,),
@@ -662,7 +686,8 @@ def _full_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                      da2t_out, da0_out, dmbias_out,
                      gh_s, dh0s, dout_s, dmsgs_s, s_ref, das_ref,
                      *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
-                     be: int, window: int, nblk: int, nw: int, gb: int):
+                     be: int, window: int, nblk: int, nw: int, gb: int,
+                     msg_norm: str = "bn1d", state_norm: str = "bn1d"):
     """The ENTIRE backward in one pallas_call, grid (nblk + 1):
       program 0        readout+loss bwd fused with the VMEM-resident
                        recurrence reverse walk (gh and dmsgs never leave
@@ -733,7 +758,7 @@ def _full_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
             bir_ref[:], biz_ref[:], bin_ref[:],
             bhr_ref[:], bhz_ref[:], bhn_ref[:],
             mw_ref[:], mbias_ref[:], sw_ref[:], sb_ref[:], gh_s[:],
-            steps=steps, fp=fp)
+            steps=steps, fp=fp, msg_norm=msg_norm, state_norm=state_norm)
         dmsgs_s[:] = dmsgs
         dh0_out[:] = dh0 + dh0s[:]
         (dwir_out[:], dwiz_out[:], dwin_out[:],
@@ -857,7 +882,8 @@ def _msg_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
 def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                        k_vocab: int, *, block_edges: int = 512,
                        window: int = 512, node_window: int = 2048,
-                       interpret: bool = False, keep_gates=None):
+                       interpret: bool = False, keep_gates=None,
+                       msg_norm: str = "bn1d", state_norm: str = "bn1d"):
     """Whole-step fused op for the flagship config.
 
     op(amat (K,f,f), a0 (f,f), mbias (f,), h0 (N,f) PRE-MASKED, mask (N,1),
@@ -868,7 +894,16 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
 
     Cotangents are honored for loss and out; stats feed running EMAs (their
     cotangents are ignored, as in kernels/recurrence.py). labels/gmask are
-    treated as non-differentiable data."""
+    treated as non-differentiable data.
+
+    msg_norm ∈ {bn1d, none} / state_norm ∈ {bn1d, stateless, none} select
+    the in-recurrence norm flavor (MPNNConfig.msg_norm/state_norm): the
+    no-norm basic family and the stateless-MaskBatchNorm graph_norm family
+    ride the same kernel as the flagship. For non-bn1d modes the ma_bn/bn
+    param dicts are ignored (pass dummies; their grads return zero) and
+    the backward must take the VMEM-resident walk — the streaming merged
+    reverse is bn1d-only, so these modes are capped at the node count
+    where _vmem_bwd_fits holds."""
     npad = _round_up(n, 128)
     # the htil residual rides in the merged-recurrence backward's layout:
     # allocate it at that kernel's block-rounded lane count up front so the
@@ -878,6 +913,7 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
     # DMA-wait chains, no 16384-rounding pad compute)
     from mpnn_tpu.kernels.recurrence import pick_stream_blk
     blk_m = pick_stream_blk(n)
+    default_norms = msg_norm == "bn1d" and state_norm == "bn1d"
 
     def _vmem_params(n_live_panels: int):
         """Per-kernel VMEM budget: the fwd/bwd kernels hold whole (fp,
@@ -990,7 +1026,8 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
             _fwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
             be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb,
             keep_gates=(npad <= 16384 if keep_gates is None
-                        else keep_gates))
+                        else keep_gates),
+            msg_norm=msg_norm, state_norm=state_norm)
         # the htil residual buffer must live in HBM ((steps+1)·fp·npad is
         # 23.5 MB at batch 4096 — scoped VMEM is 16 MB): with a mixed
         # VMEM/ANY output tuple Mosaic stack-allocates the ANY output in
@@ -1138,7 +1175,7 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
             comb_kernel = functools.partial(
                 _full_bwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf,
                 kmfp=kmfp, be=block_edges, window=window, nblk=nblk,
-                nw=nw, gb=gb)
+                nw=nw, gb=gb, msg_norm=msg_norm, state_norm=state_norm)
             comb_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(nblk + 1,),
@@ -1256,8 +1293,14 @@ def make_fused_step_op(steps: int, f: int, n: int, od: int, n_graphs: int,
                 dmsgs_t, dh0_chain_t, dgru, dma, dbn = _vmem_backward_call(
                     (msgs_dummy, h0, mask, gru, ma_bn, bn, htil, stats),
                     gh_t, steps=steps, f=f, n=n, npad=npad_m,
-                    interpret=interpret, transposed_io=True)
+                    interpret=interpret, transposed_io=True,
+                    msg_norm=msg_norm, state_norm=state_norm)
             else:
+                if not default_norms:
+                    raise NotImplementedError(
+                        "the streaming merged reverse walk is bn1d-only; "
+                        "non-bn1d norm modes require the VMEM-resident "
+                        "backward (eligibility caps the node count)")
                 dmsgs_t, dh0_chain_t, dgru, dma, dbn = \
                     _merged_backward_call(
                         (msgs_dummy, h0, mask, gru, ma_bn, bn, htil,

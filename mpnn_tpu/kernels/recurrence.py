@@ -51,15 +51,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 BN_EPS = 1e-5
 VAR_CLAMP = 1e-12
+# the stateless masked BN (reference MaskBatchNorm, mask_batch_norm.py:5-15
+# via ops/norm.py::mask_batch_norm): eps INSIDE the sqrt, no affine, no
+# running stats, no clamp
+STATELESS_EPS = 1e-6
 
 
 # ---------------------------------------------------------------------------
 # pure-JAX reference (parity oracle; same math as sparse_mpnn_apply's loop)
 # ---------------------------------------------------------------------------
 
-def reference_recurrence(msgs, h0, mask, gru, ma_bn, bn, *, steps: int):
+def reference_recurrence(msgs, h0, mask, gru, ma_bn, bn, *, steps: int,
+                         msg_norm: str = "bn1d", state_norm: str = "bn1d"):
     """msgs, h0: (N, f); mask: (N, 1). Returns (hT, (ma_mean, ma_var),
-    [(mean_t, var_t)]×steps) — stats for the caller's running EMAs."""
+    [(mean_t, var_t)]×steps) — stats for the caller's running EMAs (zeros
+    for 'stateless'/'none' norms, which keep none).
+
+    msg_norm ∈ {bn1d, none}; state_norm ∈ {bn1d, stateless, none} — the
+    config space of the reference model zoo (MPNNConfig.msg_norm /
+    state_norm): the lipo family is bn1d/bn1d, basic/single_target/
+    autoencoder are none/none, graph_norm's state norm is the stateless
+    MaskBatchNorm."""
+    from mpnn_tpu.ops.norm import mask_batch_norm
     from mpnn_tpu.ops.update import gru_apply
 
     def bn_fwd(p, x):
@@ -72,12 +85,22 @@ def reference_recurrence(msgs, h0, mask, gru, ma_bn, bn, *, steps: int):
         out = (p["weight"] * out + p["bias"]) * m
         return out, (mean, var)
 
-    mb, ma_stats = bn_fwd(ma_bn, msgs)
+    zstat = (jnp.zeros(msgs.shape[-1], msgs.dtype),
+             jnp.zeros(msgs.shape[-1], msgs.dtype))
+    if msg_norm == "bn1d":
+        mb, ma_stats = bn_fwd(ma_bn, msgs)
+    else:
+        mb, ma_stats = msgs * mask, zstat
     h = h0 * mask
     step_stats = []
     for _ in range(steps):
         h = gru_apply(gru, mb[None], h[None], mask[None])[0]
-        h, st = bn_fwd(bn, h)
+        if state_norm == "bn1d":
+            h, st = bn_fwd(bn, h)
+        elif state_norm == "stateless":
+            h, st = mask_batch_norm(h, mask), zstat
+        else:
+            st = zstat
         step_stats.append(st)
     return h, ma_stats, step_stats
 
@@ -92,6 +115,34 @@ def _bn_fwd_t(x, mask_l, w_col, b_col, c):
     var = jnp.sum(cen * cen, axis=1, keepdims=True) / c
     xhat = cen / (jnp.sqrt(jnp.maximum(var, VAR_CLAMP)) + BN_EPS)
     return (w_col * xhat + b_col) * mask_l, mean, var
+
+
+def _norm_fwd_t(x, mask_l, w_col, b_col, c, mode: str):
+    """Mode-dispatching masked norm, transposed layout. x must be
+    PRE-MASKED. Returns (out, mean, var) — mean/var zeros for 'none'
+    (slots stay allocated so residual layouts are mode-uniform)."""
+    if mode == "bn1d":
+        return _bn_fwd_t(x, mask_l, w_col, b_col, c)
+    if mode == "none":
+        z = jnp.zeros((x.shape[0], 1), x.dtype)
+        return x, z, z
+    # stateless MaskBatchNorm: no affine, eps inside the sqrt
+    mean = jnp.sum(x * mask_l, axis=1, keepdims=True) / c
+    cen = (x - mean) * mask_l
+    var = jnp.sum(cen * cen, axis=1, keepdims=True) / c
+    return cen / jnp.sqrt(var + STATELESS_EPS), mean, var
+
+
+def _norm_denoms(var, mode: str):
+    """(s, d) for the closed-form masked-norm backward
+    dx = (dx̂ − m·S1/c)/d − m·x̂·S2/(c·s): bn1d normalizes by
+    d = √max(var,clamp) + ε with s = √var; the stateless norm by
+    d = s = √(var + ε₆) (both factors coincide — dD/dσ² = 1/(2D))."""
+    if mode == "stateless":
+        s = jnp.sqrt(var + STATELESS_EPS)
+        return s, s
+    s = jnp.sqrt(jnp.maximum(var, VAR_CLAMP))
+    return s, s + BN_EPS
 
 
 def _bn_bwd_t(gy, x, mask_l, w_col, c):
@@ -1440,38 +1491,57 @@ def _vmem_bwd_fits(steps: int, f: int, npad: int) -> bool:
 def vmem_reverse_walk(h0, htil_ref, stats_ref, m, c,
                       wir, wiz, win, whr, whz, whn,
                       bir, biz, bin_c, bhr, bhz, bhn,
-                      mw, mbias, sw, sb, gh0, *, steps: int, fp: int):
+                      mw, mbias, sw, sb, gh0, *, steps: int, fp: int,
+                      msg_norm: str = "bn1d", state_norm: str = "bn1d"):
     """The VMEM-resident reverse walk as a VALUE-level function (refs only
     for the sliced htil/stats residuals), shared by _vmem_bwd_kernel and
     the fused-step combined readout+recurrence backward
     (kernels/fused_step.py). Returns
     (dh0, dmsgs, (dwir, dwiz, dwin, dwhr, dwhz, dwhn),
-     (dbr, dbz, dbn, dbnh), (dmw, dmbias, dsw, dsb))."""
+     (dbr, dbz, dbn, dbnh), (dmw, dmbias, dsw, dsb)).
+
+    msg_norm/state_norm branches are STATIC (Python-level): the bn1d/bn1d
+    flagship path compiles to exactly the round-3 kernel; 'stateless'
+    swaps the denominators (_norm_denoms) and drops the affine;
+    'none' short-circuits the norm entirely (dhtil = gh, hprev = htil)."""
 
     def srow(t):
         return (stats_ref[t * fp:(t + 1) * fp, 0:1],
                 stats_ref[t * fp:(t + 1) * fp, 1:2])
 
+    zc0 = jnp.zeros((fp, 1), h0.dtype)
     # hoisted step constants: mb from htil slot 0 + the three input gates
-    ma_mean, ma_var = srow(0)
-    ma_s = jnp.sqrt(jnp.maximum(ma_var, VAR_CLAMP))
-    ma_d = ma_s + BN_EPS
-    xhat0 = (htil_ref[0:fp, :] - ma_mean) * m / ma_d
-    mb = (mw * xhat0 + mbias) * m
+    if msg_norm == "bn1d":
+        ma_mean, ma_var = srow(0)
+        ma_s = jnp.sqrt(jnp.maximum(ma_var, VAR_CLAMP))
+        ma_d = ma_s + BN_EPS
+        xhat0 = (htil_ref[0:fp, :] - ma_mean) * m / ma_d
+        mb = (mw * xhat0 + mbias) * m
+    else:
+        mb = htil_ref[0:fp, :]          # slot 0 = masked msgs, no norm
     gr = _dot(wir.T, mb) + bir
     gz = _dot(wiz.T, mb) + biz
     gn = _dot(win.T, mb) + bin_c
 
-    # step-T BN reduction (the final state's normalize)
-    mean_T, var_T = srow(steps)
-    d_T = jnp.sqrt(jnp.maximum(var_T, VAR_CLAMP)) + BN_EPS
-    xhat_t = (htil_ref[steps * fp:(steps + 1) * fp, :] - mean_T) * m / d_T
+    # step-T norm reduction (the final state's normalize)
     gym = gh0 * m
-    dsw = jnp.sum(gym * xhat_t, axis=1, keepdims=True)
-    dsb = jnp.sum(gym, axis=1, keepdims=True)
-    dxhat = gym * sw
-    S1 = jnp.sum(dxhat, axis=1, keepdims=True)
-    S2 = jnp.sum(dxhat * xhat_t, axis=1, keepdims=True)
+    if state_norm == "none":
+        dsw = dsb = zc0
+        dxhat = xhat_t = S1 = S2 = None
+    else:
+        mean_T, var_T = srow(steps)
+        _s_T, d_T = _norm_denoms(var_T, state_norm)
+        xhat_t = (htil_ref[steps * fp:(steps + 1) * fp, :] - mean_T) \
+            * m / d_T
+        if state_norm == "bn1d":
+            dsw = jnp.sum(gym * xhat_t, axis=1, keepdims=True)
+            dsb = jnp.sum(gym, axis=1, keepdims=True)
+            dxhat = gym * sw
+        else:
+            dsw = dsb = zc0
+            dxhat = gym
+        S1 = jnp.sum(dxhat, axis=1, keepdims=True)
+        S2 = jnp.sum(dxhat * xhat_t, axis=1, keepdims=True)
 
     zf = jnp.zeros((fp, fp), mb.dtype)
     zc = jnp.zeros((fp, 1), mb.dtype)
@@ -1480,18 +1550,28 @@ def vmem_reverse_walk(h0, htil_ref, stats_ref, m, c,
     dmb_acc = jnp.zeros_like(mb)
     dh0 = dmsgs = None
     dmw_o = dmbias_o = None
+    gh = gym                            # state_norm 'none': dhtil = gh
 
     for t in range(steps, 0, -1):
-        mean_t, var_t = srow(t)
-        s_t = jnp.sqrt(jnp.maximum(var_t, VAR_CLAMP))
-        d_t = s_t + BN_EPS
-        dhtil = (dxhat - m * S1 / c) / d_t - m * xhat_t * S2 / (c * s_t)
+        if state_norm == "none":
+            dhtil = gh
+        else:
+            _, var_t = srow(t)
+            s_t, d_t = _norm_denoms(var_t, state_norm)
+            dhtil = (dxhat - m * S1 / c) / d_t \
+                - m * xhat_t * S2 / (c * s_t)
         dhp = dhtil * m
         if t > 1:
-            pmean, pvar = srow(t - 1)
-            pd = jnp.sqrt(jnp.maximum(pvar, VAR_CLAMP)) + BN_EPS
-            xh_prev = (htil_ref[(t - 1) * fp:t * fp, :] - pmean) * m / pd
-            hprev = (sw * xh_prev + sb) * m
+            if state_norm == "none":
+                hprev = htil_ref[(t - 1) * fp:t * fp, :]
+                xh_prev = None
+            else:
+                pmean, pvar = srow(t - 1)
+                _ps, pd = _norm_denoms(pvar, state_norm)
+                xh_prev = (htil_ref[(t - 1) * fp:t * fp, :] - pmean) \
+                    * m / pd
+                hprev = (sw * xh_prev + sb) * m \
+                    if state_norm == "bn1d" else xh_prev
         else:
             hprev = h0
         rh = _dot(whr.T, hprev) + bhr
@@ -1524,22 +1604,32 @@ def vmem_reverse_walk(h0, htil_ref, stats_ref, m, c,
         dmb_acc += _dot(wir, da_r) + _dot(wiz, da_z) + _dot(win, da_n)
         if t > 1:
             gym2 = gh_new * m
-            dsw += jnp.sum(gym2 * xh_prev, axis=1, keepdims=True)
-            dsb += jnp.sum(gym2, axis=1, keepdims=True)
-            dxhat = gym2 * sw
-            S1 = jnp.sum(dxhat, axis=1, keepdims=True)
-            S2 = jnp.sum(dxhat * xh_prev, axis=1, keepdims=True)
-            xhat_t = xh_prev
+            if state_norm == "none":
+                gh = gym2
+            else:
+                if state_norm == "bn1d":
+                    dsw += jnp.sum(gym2 * xh_prev, axis=1, keepdims=True)
+                    dsb += jnp.sum(gym2, axis=1, keepdims=True)
+                    dxhat = gym2 * sw
+                else:
+                    dxhat = gym2
+                S1 = jnp.sum(dxhat, axis=1, keepdims=True)
+                S2 = jnp.sum(dxhat * xh_prev, axis=1, keepdims=True)
+                xhat_t = xh_prev
         else:
             dh0 = gh_new * m
             gym_m = dmb_acc * m
-            dmw_o = jnp.sum(gym_m * xhat0, axis=1, keepdims=True)
-            dmbias_o = jnp.sum(gym_m, axis=1, keepdims=True)
-            dxm = gym_m * mw
-            S1m = jnp.sum(dxm, axis=1, keepdims=True)
-            S2m = jnp.sum(dxm * xhat0, axis=1, keepdims=True)
-            dmsgs = ((dxm - m * S1m / c) / ma_d
-                     - m * xhat0 * S2m / (c * ma_s)) * m
+            if msg_norm == "bn1d":
+                dmw_o = jnp.sum(gym_m * xhat0, axis=1, keepdims=True)
+                dmbias_o = jnp.sum(gym_m, axis=1, keepdims=True)
+                dxm = gym_m * mw
+                S1m = jnp.sum(dxm, axis=1, keepdims=True)
+                S2m = jnp.sum(dxm * xhat0, axis=1, keepdims=True)
+                dmsgs = ((dxm - m * S1m / c) / ma_d
+                         - m * xhat0 * S2m / (c * ma_s)) * m
+            else:
+                dmw_o = dmbias_o = zc0
+                dmsgs = gym_m
     # r/z gates: da feeds both bias banks; the n gate differs — b_ih's n
     # bias sees da_n, b_hh's sees dnh (the reset gate multiplies nh)
     return (dh0, dmsgs,
@@ -1558,7 +1648,8 @@ def _vmem_bwd_kernel(h0_ref, htil_ref, mask_ref, c_ref,
                      dbir_out, dbiz_out, dbin_out,
                      dbhr_out, dbhz_out, dbhn_out,
                      dmw_out, dmbias_out, dsw_out, dsb_out,
-                     *, steps: int, fp: int):
+                     *, steps: int, fp: int, msg_norm: str = "bn1d",
+                     state_norm: str = "bn1d"):
     m = mask_ref[:]
     c = c_ref[0, 0]
     dh0, dmsgs, dws, dbs, dns = vmem_reverse_walk(
@@ -1568,7 +1659,7 @@ def _vmem_bwd_kernel(h0_ref, htil_ref, mask_ref, c_ref,
         bir_ref[:], biz_ref[:], bin_ref[:],
         bhr_ref[:], bhz_ref[:], bhn_ref[:],
         mw_ref[:], mbias_ref[:], sw_ref[:], sb_ref[:], g_ref[:],
-        steps=steps, fp=fp)
+        steps=steps, fp=fp, msg_norm=msg_norm, state_norm=state_norm)
     dh0_out[:] = dh0
     dmsgs_out[:] = dmsgs
     (dwir_out[:], dwiz_out[:], dwin_out[:],
@@ -1584,7 +1675,8 @@ def _vmem_bwd_kernel(h0_ref, htil_ref, mask_ref, c_ref,
 
 
 def _vmem_backward_call(res, g_ht, *, steps, f, n, npad, interpret,
-                        transposed_io):
+                        transposed_io, msg_norm: str = "bn1d",
+                        state_norm: str = "bn1d"):
     (msgs, h0, mask, gru, ma_bn, bn, htil, stats) = res
     fp = _round_up(f, 16)
     dt = jnp.float32
@@ -1603,7 +1695,8 @@ def _vmem_backward_call(res, g_ht, *, steps, f, n, npad, interpret,
     def _vm():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_vmem_bwd_kernel, steps=steps, fp=fp)
+    kernel = functools.partial(_vmem_bwd_kernel, steps=steps, fp=fp,
+                               msg_norm=msg_norm, state_norm=state_norm)
     fpn = jax.ShapeDtypeStruct((fp, npad), dt)
     fpf = jax.ShapeDtypeStruct((fp, fp), dt)
     fc = jax.ShapeDtypeStruct((fp, 1), dt)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpnn_tpu.models.config import MPNNConfig
-from mpnn_tpu.models.sparse import _edge_penultimates, recurrence_eligible
+from mpnn_tpu.models.sparse import _edge_penultimates
 
 
 # the monolithic forward holds the full (features, N) state in VMEM; its
@@ -41,13 +41,46 @@ from mpnn_tpu.models.sparse import _edge_penultimates, recurrence_eligible
 FUSED_STEP_NODE_CAP = 65536
 
 
+def _shared_family_shape(cfg: MPNNConfig) -> bool:
+    """The SHARED-weights recurrence family shape: messages constant
+    across steps (message_input='initial' + shared weights), GRU over the
+    evolving state, any norm flavor the generalized kernel supports —
+    bn1d/bn1d (the lipo flagship), none/none (basic / single_target /
+    autoencoder, reference basic_model.py:34-58), and the stateless
+    MaskBatchNorm state norm. Supersedes recurrence_eligible's bn1d-only
+    gate for the WHOLE-STEP kernel (the standalone recurrence kernel
+    stays bn1d-only)."""
+    return (cfg.message_fn in ("edge_network", "ggnn")
+            and cfg.message_features == cfg.node_features
+            and cfg.share_message_weights
+            and cfg.message_input == "initial"
+            and cfg.update_hidden == "state"
+            and cfg.msg_norm in ("bn1d", "none")
+            and cfg.state_norm in ("bn1d", "stateless", "none")
+            and not cfg.per_step_norms
+            and not cfg.concat_state_history
+            and not cfg.remat)
+
+
+def _norm_mode_node_cap_ok(cfg: MPNNConfig, n: int) -> bool:
+    """Non-bn1d norm modes require the VMEM-resident reverse walk (the
+    streaming merged backward is bn1d-only) — cap their node count at the
+    walk's VMEM fit instead of FUSED_STEP_NODE_CAP."""
+    if cfg.msg_norm == "bn1d" and cfg.state_norm == "bn1d":
+        return n <= FUSED_STEP_NODE_CAP
+    from mpnn_tpu.kernels.recurrence import (_round_up, _vmem_bwd_fits,
+                                             pick_stream_blk)
+    npad_m = _round_up(n, pick_stream_blk(n))
+    return _vmem_bwd_fits(cfg.message_steps, cfg.node_features, npad_m)
+
+
 def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
     """True when the whole-step fused kernel computes exactly this config's
-    MPNN step: the fused-recurrence constraints plus graph-level readout,
-    a batch that carries the per-edge A-matrix ids (the edge VOCAB for
-    edge_network; the integer bond types for GGNN, which is natively
-    A-form with A_0 = 0) and the fused-step window plan, and a node count
-    whose forward live set fits scoped VMEM.
+    MPNN step: the shared-family (or per-step-family) shape constraints
+    plus graph-level readout, a batch that carries the per-edge A-matrix
+    ids (the edge VOCAB for edge_network; the integer bond types for GGNN,
+    which is natively A-form with A_0 = 0) and the fused-step window plan,
+    and a node count whose forward live set fits scoped VMEM.
 
     The ENCODED family (frozen atom/bond encoders + input BN — the
     reference's normed_encoded_* models) qualifies: its input pipeline is
@@ -75,12 +108,12 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
                    or cfg.bond_encoder is not None)
     if cfg.message_fn == "att_edge_network":
         return _att_family_eligible(cfg, batch)
-    return (recurrence_eligible(cfg, training=training, axis_name=None)
+    return (training and _shared_family_shape(cfg)
             and cfg.readout == "graph_level"
             and not (has_encoder and not cfg.input_norm)
             and vid_key in batch and "fs_win" in batch
-            and int(np.asarray(batch["node_feats"]).shape[0])
-            <= FUSED_STEP_NODE_CAP)
+            and _norm_mode_node_cap_ok(
+                cfg, int(np.asarray(batch["node_feats"]).shape[0])))
 
 
 def _psteps_shape(cfg: MPNNConfig) -> bool:
@@ -187,7 +220,8 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
         block_edges=int(batch["fs_block_edges"]),
         window=int(batch["fs_window"]),
         node_window=int(batch["fs_node_window"]),
-        interpret=interpret)
+        interpret=interpret,
+        msg_norm=cfg.msg_norm, state_norm=cfg.state_norm)
 
 
 def _input_transforms(params, state, cfg: MPNNConfig, batch, *,
@@ -366,6 +400,28 @@ def _build_a_form_psteps(params, cfg: MPNNConfig, batch, edge_feats=None,
             batch["edge_vid"])
 
 
+def _bn_param_or_dummy(params, key: str, width: int):
+    """params[key][0], or an identity-affine stand-in when the config has
+    no such norm (msg/state mode 'none'/'stateless' — the kernel ignores
+    the values; the custom VJP returns zeros for them, which JAX drops
+    since no real parameter rides the cotangent)."""
+    lst = params.get(key)
+    if lst:
+        return lst[0]
+    import jax.numpy as _jnp
+    return {"weight": _jnp.ones((width,), _jnp.float32),
+            "bias": _jnp.zeros((width,), _jnp.float32)}
+
+
+def _bn_state_or_dummy(state, key: str, width: int):
+    lst = state.get(key)
+    if lst:
+        return lst[0]
+    import jax.numpy as _jnp
+    return {"running_mean": _jnp.zeros((width,), _jnp.float32),
+            "running_var": _jnp.ones((width,), _jnp.float32)}
+
+
 def _ema(st, stats, momentum=0.1):
     """One running-stat update from one batch's (mean, var) — exactly what
     bn1d_apply's training branch records (ops/norm.py)."""
@@ -409,14 +465,21 @@ def fused_psteps_apply(params, state, cfg: MPNNConfig, batch, op, *,
 
 def _fold_emas(state, cfg: MPNNConfig, ma_stats, step_stats):
     """Apply the same running-stat EMA updates the sequential step loop
-    would have applied (shared helper: models/sparse.py)."""
+    would have applied (shared helper: models/sparse.py). Norm modes
+    without running stats (none/stateless) fold nothing."""
     from mpnn_tpu.models.sparse import fold_recurrence_emas
     new_state = dict(state)
+    if cfg.msg_norm != "bn1d" and cfg.state_norm != "bn1d":
+        return new_state
+    nf, mf = cfg.node_features, cfg.message_features
+    ma0 = _bn_state_or_dummy(state, "ma_bn", mf)
+    bn0 = _bn_state_or_dummy(state, "bn", nf)
     ma_s, bn_s = fold_recurrence_emas(
-        state["ma_bn"][0], state["bn"][0], cfg.message_steps,
-        ma_stats, step_stats)
-    new_state["ma_bn"] = [ma_s] + list(state["ma_bn"][1:])
-    new_state["bn"] = [bn_s] + list(state["bn"][1:])
+        ma0, bn0, cfg.message_steps, ma_stats, step_stats)
+    if cfg.msg_norm == "bn1d":
+        new_state["ma_bn"] = [ma_s] + list(state["ma_bn"][1:])
+    if cfg.state_norm == "bn1d":
+        new_state["bn"] = [bn_s] + list(state["bn"][1:])
     return new_state
 
 
@@ -439,7 +502,9 @@ def fused_flagship_loss(params, state, cfg: MPNNConfig, batch, labels,
     loss, out, ma_stats, step_stats = fused_op(
         amat, a0, params["message"][0]["message_bias"], h0,
         batch["node_mask"], batch["node_graph"], params["gru"],
-        params["ma_bn"][0], params["bn"][0], params["readout"], labels,
+        _bn_param_or_dummy(params, "ma_bn", cfg.message_features),
+        _bn_param_or_dummy(params, "bn", cfg.node_features),
+        params["readout"], labels,
         batch["graph_mask"], vid, batch["edge_src"], batch["edge_dst"],
         batch["fs_win"], batch["fs_ns"])
     new_state = _fold_emas(state, cfg, ma_stats, step_stats)
@@ -491,7 +556,8 @@ def make_fused_eval_for_batch(cfg: MPNNConfig, batch,
         block_edges=int(batch["fs_block_edges"]),
         window=int(batch["fs_window"]),
         node_window=int(batch["fs_node_window"]),
-        interpret=interpret)
+        interpret=interpret,
+        msg_norm=cfg.msg_norm, state_norm=cfg.state_norm)
 
 
 def fused_mpnn_eval(params, state, cfg: MPNNConfig, batch, eval_op,
@@ -524,8 +590,11 @@ def fused_mpnn_eval(params, state, cfg: MPNNConfig, batch, eval_op,
     out = eval_op(
         amat, a0, params["message"][0]["message_bias"], h0,
         batch["node_mask"], batch["node_graph"], params["gru"],
-        params["ma_bn"][0], state["ma_bn"][0], params["bn"][0],
-        state["bn"][0], params["readout"], vid, batch["edge_src"],
+        _bn_param_or_dummy(params, "ma_bn", cfg.message_features),
+        _bn_state_or_dummy(state, "ma_bn", cfg.message_features),
+        _bn_param_or_dummy(params, "bn", cfg.node_features),
+        _bn_state_or_dummy(state, "bn", cfg.node_features),
+        params["readout"], vid, batch["edge_src"],
         batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
     out, _ = _output_norm(params, state, cfg, out, batch["graph_mask"],
                           training=False)
@@ -560,7 +629,9 @@ def fused_mpnn_out(params, state, cfg: MPNNConfig, batch, fused_op,
     _, out, ma_stats, step_stats = fused_op(
         amat, a0, params["message"][0]["message_bias"], h0,
         batch["node_mask"], batch["node_graph"], params["gru"],
-        params["ma_bn"][0], params["bn"][0], params["readout"],
+        _bn_param_or_dummy(params, "ma_bn", cfg.message_features),
+        _bn_param_or_dummy(params, "bn", cfg.node_features),
+        params["readout"],
         zero_labels, batch["graph_mask"], vid, batch["edge_src"],
         batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
     out, obn_upd = _output_norm(params, state, cfg, out,

@@ -1,0 +1,182 @@
+"""Norm-mode generalization of the whole-step fused kernel
+(kernels/fused_step.py msg_norm/state_norm ∈ {bn1d, none} ×
+{bn1d, stateless, none}) — the round-3 verdict's top item: the no-norm
+basic family (reference basic_model.py:34-58, used by test.py /
+test_single_target.py / basic_graph_autoencoder.py) and the stateless
+MaskBatchNorm flavor now ride the SAME whole-step kernel as the flagship.
+
+Parity in interpret mode against sparse_mpnn_apply (itself dense-parity
+tested): loss, out, every gradient leaf, EMA state, and the serving
+(eval) kernel."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+SMILES = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "CC(C)O",
+          "NC(=O)c1ccccc1", "CCCN", "OC(=O)c1ccccc1O", "CCOC", "CCCC",
+          "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "c1ccccc1N"]
+
+
+def _setup(msg_norm, state_norm, message_fn="edge_network"):
+    from mpnn_tpu import graphs as G
+    from mpnn_tpu import models
+    from mpnn_tpu.kernels.fused_step import attach_fused_plan
+    raw = G.generate_molgraphs(SMILES, [0.1 * len(s) for s in SMILES])
+    kw = {}
+    if message_fn == "ggnn":
+        raw = G.attach_edge_types(raw)
+        kw = dict(ggnn_num_edge_types=4, edge_features=4)
+    gs, ge = G.encode_molgraphs(raw)
+    nf = ge.atom_width()
+    cfg = models.MPNNConfig(
+        node_features=nf,
+        edge_features=kw.pop("edge_features", ge.bond_width()),
+        message_features=nf, output_dim=3, message_steps=3,
+        message_fn=message_fn, msg_norm=msg_norm, state_norm=state_norm,
+        edge_mlp_tail_repeats=2, **kw)
+    params, state = models.mpnn_init(jax.random.PRNGKey(1), cfg)
+    packed = G.collate_packed(gs).as_dict()
+    if message_fn == "ggnn":
+        packed = G.with_edge_types(packed, gs)
+    packed = G.attach_edge_vocab(packed, vocab_cap=16)
+    packed = attach_fused_plan(packed, block_edges=128)
+    assert "fs_win" in packed
+    jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+          for k, v in packed.items()}
+    labels = jnp.asarray(np.random.RandomState(0).randn(
+        packed["graph_mask"].shape[0]).astype(np.float32))
+    return cfg, params, state, jb, labels
+
+
+MODES = [("none", "none"),          # basic / single_target / autoencoder
+         ("none", "stateless"),
+         ("bn1d", "none"),
+         ("bn1d", "stateless"),
+         ("bn1d", "bn1d")]          # flagship regression guard
+
+
+class TestNormModeParity:
+    @pytest.mark.parametrize("msg_norm,state_norm", MODES)
+    def test_train_loss_grads_state(self, msg_norm, state_norm):
+        from mpnn_tpu.models.fused_train import (fused_flagship_loss,
+                                                 fused_step_eligible,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = _setup(msg_norm, state_norm)
+        assert fused_step_eligible(cfg, jb, training=True)
+        op = make_fused_step_for_batch(cfg, jb, interpret=True)
+
+        def loss_k(p, s):
+            l, out, ns = fused_flagship_loss(p, s, cfg, jb, labels, op)
+            return l, (out, ns)
+
+        def loss_r(p, s):
+            out, ns = sparse_mpnn_apply(p, s, cfg, jb, training=True)
+            per = ((out - labels[:, None]) ** 2) * jb["graph_mask"][:, None]
+            return per.sum() / jb["graph_mask"].sum(), (out, ns)
+
+        (lk, (ok_, nsk)), gk = jax.value_and_grad(
+            loss_k, has_aux=True)(params, state)
+        (lr, (or_, nsr)), gr = jax.value_and_grad(
+            loss_r, has_aux=True)(params, state)
+        np.testing.assert_allclose(float(lk), float(lr), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(ok_), np.asarray(or_),
+                                   rtol=2e-4, atol=1e-5)
+        fk, tk = jax.tree.flatten(gk)
+        fr, tr = jax.tree.flatten(gr)
+        assert tk == tr
+        for i, (a, b) in enumerate(zip(fk, fr)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-5,
+                err_msg=f"grad leaf {i}")
+        fk, tk = jax.tree.flatten(nsk)
+        fr, tr = jax.tree.flatten(nsr)
+        assert tk == tr
+        for a, b in zip(fk, fr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+    @pytest.mark.parametrize("msg_norm,state_norm",
+                             [("none", "none"), ("none", "stateless"),
+                              ("bn1d", "none")])
+    def test_eval_kernel(self, msg_norm, state_norm):
+        from mpnn_tpu.models.fused_train import (fused_eval_eligible,
+                                                 fused_mpnn_eval,
+                                                 make_fused_eval_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, _ = _setup(msg_norm, state_norm)
+        assert fused_eval_eligible(cfg, jb)
+        ev = make_fused_eval_for_batch(cfg, jb, interpret=True)
+        out_k = fused_mpnn_eval(params, state, cfg, jb, ev)
+        out_r, _ = sparse_mpnn_apply(params, state, cfg, jb,
+                                     training=False)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_ggnn_no_norms(self):
+        """GGNN messages with no norms (the basic shape on the GGNN
+        message family) ride the same generalized kernel."""
+        from mpnn_tpu.models.fused_train import (fused_flagship_loss,
+                                                 fused_step_eligible,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = _setup("none", "none",
+                                                message_fn="ggnn")
+        assert fused_step_eligible(cfg, jb, training=True)
+        op = make_fused_step_for_batch(cfg, jb, interpret=True)
+        lk, ok_, _ = fused_flagship_loss(params, state, cfg, jb, labels,
+                                         op)
+        out_r, _ = sparse_mpnn_apply(params, state, cfg, jb,
+                                     training=True)
+        per = ((out_r - labels[:, None]) ** 2) * jb["graph_mask"][:, None]
+        lr = per.sum() / jb["graph_mask"].sum()
+        np.testing.assert_allclose(float(lk), float(lr), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(ok_), np.asarray(out_r),
+                                   rtol=2e-4, atol=1e-5)
+
+
+class TestZooConfigsEligible:
+    def test_basic_single_target_autoencoder_fuse(self):
+        """The VERDICT's literal 'Done': the basic / single_target /
+        autoencoder zoo configs pass fused_step_eligible."""
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.kernels.fused_step import attach_fused_plan
+        from mpnn_tpu.models import zoo
+        from mpnn_tpu.models.fused_train import fused_step_eligible
+        gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+            SMILES, list(range(len(SMILES)))))
+        packed = G.collate_packed(gs).as_dict()
+        packed = G.attach_edge_vocab(packed, vocab_cap=16)
+        packed = attach_fused_plan(packed, block_edges=128)
+        for name in ("basic", "single_target", "autoencoder"):
+            net = zoo.build(name, afm=ge.atom_width(),
+                            bfm=ge.bond_width())
+            assert fused_step_eligible(net.mpnn, packed, training=True), \
+                name
+
+    def test_trainer_selects_fused_for_basic(self):
+        """End-to-end: the basic config (CE loss + linear head) trains
+        through the fused whole-step kernel via fused_mpnn_out."""
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import zoo
+        from mpnn_tpu.train import trainer
+        gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+            SMILES, [i % 3 for i in range(len(SMILES))]))
+        net = zoo.build("basic", afm=ge.atom_width(), bfm=ge.bond_width(),
+                        n_out=3)
+        net = dataclasses.replace(
+            net, mpnn=dataclasses.replace(net.mpnn,
+                                          edge_mlp_tail_repeats=2))
+        tcfg = trainer.TrainConfig(
+            epochs=2, batch_size=len(SMILES), learning_rate=1e-2,
+            loss="ce", packed=True, fuse_step=True,
+            spmm="kernel_interpret", seed=317, shuffle=False,
+            log_path=None)
+        _, _, _, hist = trainer.train(net, tcfg, gs)
+        assert np.isfinite(hist[-1]["train_loss"])
