@@ -43,7 +43,8 @@ from mpnn_tpu.kernels.fused_step import (_edge_onehots, _graph_onehot,
                                          _vmem_params_of, GRAPH_BLOCK,
                                          _BIG_NEG)
 from mpnn_tpu.kernels.recurrence import (BN_EPS, VAR_CLAMP, _bn_fwd_t,
-                                         _dot, _gru_fwd_t)
+                                         _dot, _gru_fwd_t, _norm_denoms,
+                                         _norm_fwd_t)
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +202,8 @@ def _ps_fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                    loss_out, out_t, h_out, stats_out, htil_out,
                    msgs, s_ref,
                    *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
-                   be: int, window: int, nblk: int, nw: int, gb: int):
+                   be: int, window: int, nblk: int, nw: int, gb: int,
+                   msg_norm: str = "bn1d", state_norm: str = "bn1d"):
     p = pl.program_id(0)
     dt = jnp.float32
     gw = GRAPH_BLOCK
@@ -228,9 +230,9 @@ def _ps_fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
             msgs_m = (msgs[t * fp:(t + 1) * fp, :]
                       + mbias_ref[t * fp:(t + 1) * fp, :]) * mask_l
             htil_out[t * fp:(t + 1) * fp, :] = msgs_m
-            mbv, ma_mean, ma_var = _bn_fwd_t(
+            mbv, ma_mean, ma_var = _norm_fwd_t(
                 msgs_m, mask_l, mw_ref[t * fp:(t + 1) * fp, :],
-                mb_ref[t * fp:(t + 1) * fp, :], c)
+                mb_ref[t * fp:(t + 1) * fp, :], c, msg_norm)
             stats_out[t * fp:(t + 1) * fp, 0:1] = ma_mean
             stats_out[t * fp:(t + 1) * fp, 1:2] = ma_var
             gr = _dot(wir_ref[:].T, mbv) + bir_ref[:]
@@ -240,9 +242,9 @@ def _ps_fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                              whn_ref[:], bhr_ref[:], bhz_ref[:],
                              bhn_ref[:], mask_l)
             htil_out[(steps + t) * fp:(steps + t + 1) * fp, :] = htl
-            h, mean, var = _bn_fwd_t(
+            h, mean, var = _norm_fwd_t(
                 htl, mask_l, sw_ref[t * fp:(t + 1) * fp, :],
-                sb_ref[t * fp:(t + 1) * fp, :], c)
+                sb_ref[t * fp:(t + 1) * fp, :], c, state_norm)
             stats_out[(steps + t) * fp:(steps + t + 1) * fp, 0:1] = mean
             stats_out[(steps + t) * fp:(steps + t + 1) * fp, 1:2] = var
         h_out[:] = h
@@ -289,26 +291,33 @@ def psteps_reverse_walk(h0, htil_ref, stats_ref, m, c,
                         wir, wiz, win, whr, whz, whn,
                         bir, biz, bin_c, bhr, bhz, bhn,
                         mw, mb_c, sw, sb, gh0, dmsgs_s,
-                        *, steps: int, fp: int):
+                        *, steps: int, fp: int, msg_norm: str = "bn1d",
+                        state_norm: str = "bn1d"):
     """Reverse the per-step [ma_bn_t → GRU → bn_t] chain. Writes each
     step's dmsgs into dmsgs_s (a (T·fp, npad) scratch ref) and returns
     (dh0, dgru 6-tuple, gru-bias 4-tuple,
      (dmw (T·fp,1), dmbias (T·fp,1), dsw, dsb)). Per-step norm params
-    arrive stacked as (T·fp, 1) columns."""
+    arrive stacked as (T·fp, 1) columns.
+
+    msg_norm/state_norm branches are STATIC (kernels/fused_step.py
+    convention): 'stateless' drops the affine and swaps the denominators
+    (_norm_denoms); 'none' short-circuits the norm (graph_norm's shape is
+    msg 'none' + state 'stateless', reference normed_basic_model.py)."""
 
     def srow(i):
         return (stats_ref[i * fp:(i + 1) * fp, 0:1],
                 stats_ref[i * fp:(i + 1) * fp, 1:2])
 
-    def xhat_of(slot, i):
+    def xhat_of(slot, i, mode):
         mean, var = srow(i)
-        s = jnp.sqrt(jnp.maximum(var, VAR_CLAMP))
-        d = s + BN_EPS
+        s, d = _norm_denoms(var, mode)
         return (htil_ref[slot * fp:(slot + 1) * fp, :] - mean) * m / d, \
             s, d
 
     def mb_of(t):
-        xh, s, d = xhat_of(t, t)
+        if msg_norm != "bn1d":
+            return htil_ref[t * fp:(t + 1) * fp, :], None, None, None
+        xh, s, d = xhat_of(t, t, "bn1d")
         w = mw[t * fp:(t + 1) * fp, :]
         b = mb_c[t * fp:(t + 1) * fp, :]
         return (w * xh + b) * m, xh, s, d
@@ -324,18 +333,33 @@ def psteps_reverse_walk(h0, htil_ref, stats_ref, m, c,
 
     gh = gh0 * m
     for t in range(steps, 0, -1):
-        # state BN_t backward: gh → dhtil
-        xh_t, s_t, d_t = xhat_of(steps + t - 1, steps + t - 1)
-        swt = sw[(t - 1) * fp:t * fp, :]
-        dw_t, db_t, dhtil = _bn_bwd_parts(gh, xh_t, m, swt, s_t, d_t, c)
-        dsw_o = _col_add(dsw_o, dw_t, t - 1, fp)
-        dsb_o = _col_add(dsb_o, db_t, t - 1, fp)
+        # state norm_t backward: gh → dhtil
+        if state_norm == "none":
+            dhtil = gh
+        else:
+            xh_t, s_t, d_t = xhat_of(steps + t - 1, steps + t - 1,
+                                     state_norm)
+            if state_norm == "bn1d":
+                swt = sw[(t - 1) * fp:t * fp, :]
+                dw_t, db_t, dhtil = _bn_bwd_parts(gh, xh_t, m, swt, s_t,
+                                                  d_t, c)
+                dsw_o = _col_add(dsw_o, dw_t, t - 1, fp)
+                dsb_o = _col_add(dsb_o, db_t, t - 1, fp)
+            else:
+                _dw, _db, dhtil = _bn_bwd_parts(
+                    gh, xh_t, m, jnp.ones_like(gh[:, 0:1]), s_t, d_t, c)
         dhp = dhtil * m
         # recompute GRU step t internals
         if t > 1:
-            xh_p, _sp, _dp = xhat_of(steps + t - 2, steps + t - 2)
-            hprev = (sw[(t - 2) * fp:(t - 1) * fp, :] * xh_p
-                     + sb[(t - 2) * fp:(t - 1) * fp, :]) * m
+            if state_norm == "none":
+                hprev = htil_ref[(steps + t - 2) * fp:
+                                 (steps + t - 1) * fp, :]
+            else:
+                xh_p, _sp, _dp = xhat_of(steps + t - 2, steps + t - 2,
+                                         state_norm)
+                hprev = (sw[(t - 2) * fp:(t - 1) * fp, :] * xh_p
+                         + sb[(t - 2) * fp:(t - 1) * fp, :]) * m \
+                    if state_norm == "bn1d" else xh_p
         else:
             hprev = h0
         mbv, xh_m, s_m, d_m = mb_of(t - 1)
@@ -371,11 +395,15 @@ def psteps_reverse_walk(h0, htil_ref, stats_ref, m, c,
         dbnh += jnp.sum(dnh, axis=1, keepdims=True)
         # ma_bn_t backward: dmb → dmsgs_t
         dmb = _dot(wir, da_r) + _dot(wiz, da_z) + _dot(win, da_n)
-        mwt = mw[(t - 1) * fp:t * fp, :]
-        dw_m, db_m, dmsg = _bn_bwd_parts(dmb, xh_m, m, mwt, s_m, d_m, c)
-        dmw_o = _col_add(dmw_o, dw_m, t - 1, fp)
-        dmbias_o = _col_add(dmbias_o, db_m, t - 1, fp)
-        dmsgs_s[(t - 1) * fp:t * fp, :] = dmsg * m
+        if msg_norm == "bn1d":
+            mwt = mw[(t - 1) * fp:t * fp, :]
+            dw_m, db_m, dmsg = _bn_bwd_parts(dmb, xh_m, m, mwt, s_m,
+                                             d_m, c)
+            dmw_o = _col_add(dmw_o, dw_m, t - 1, fp)
+            dmbias_o = _col_add(dmbias_o, db_m, t - 1, fp)
+            dmsgs_s[(t - 1) * fp:t * fp, :] = dmsg * m
+        else:
+            dmsgs_s[(t - 1) * fp:t * fp, :] = dmb * m
     dh0 = gh * m
     return (dh0,
             (dwir_a, dwiz_a, dwin_a, dwhr_a, dwhz_a, dwhn_a),
@@ -419,7 +447,8 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                    gh_s, dh0s, dout_s, dmsgs_s, s_ref, das_ref,
                    *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
                    be: int, window: int, nblk: int, nw: int, gb: int,
-                   skip: frozenset = frozenset()):
+                   skip: frozenset = frozenset(),
+                   msg_norm: str = "bn1d", state_norm: str = "bn1d"):
     p = pl.program_id(0)
     dt = jnp.float32
     gw = GRAPH_BLOCK
@@ -489,7 +518,8 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                 bir_ref[:], biz_ref[:], bin_ref[:],
                 bhr_ref[:], bhz_ref[:], bhn_ref[:],
                 mw_ref[:], mbc_ref[:], sw_ref[:], sb_ref[:], gh_s[:],
-                dmsgs_s, steps=steps, fp=fp)
+                dmsgs_s, steps=steps, fp=fp, msg_norm=msg_norm,
+                state_norm=state_norm)
             dh0_out[:] = dh0 + dh0s[:]
             (dwir_out[:], dwiz_out[:], dwin_out[:],
              dwhr_out[:], dwhz_out[:], dwhn_out[:]) = dws
@@ -576,9 +606,13 @@ def _ps_eval_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                     out_t,
                     msgs, s_ref,
                     *, steps: int, f: int, fp: int, kmf: int, kmfp: int,
-                    be: int, window: int, nblk: int, nw: int, gb: int):
+                    be: int, window: int, nblk: int, nw: int, gb: int,
+                    state_norm: str = "bn1d"):
     """maw/mab and sw/sb arrive pre-FOLDED per step, stacked (T·fp, 1):
-    scale_t = w_t/(rv_t**0.5+eps), shift_t = b_t − rm_t·scale_t."""
+    scale_t = w_t/(rv_t**0.5+eps), shift_t = b_t − rm_t·scale_t.
+    msg 'none' folds to the identity affine on the host; state
+    'stateless' normalizes by the eval batch's own masked stats inline
+    (the reference MaskBatchNorm has no running stats)."""
     p = pl.program_id(0)
     dt = jnp.float32
     gw = GRAPH_BLOCK
@@ -600,6 +634,7 @@ def _ps_eval_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
                          steps=steps, fp=fp, nw=nw, gb=gb)
 
         h = h0_ref[:] * mask_l
+        c = jnp.sum(mask_l)
         for t in range(steps):
             msgs_m = (msgs[t * fp:(t + 1) * fp, :]
                       + mbias_ref[t * fp:(t + 1) * fp, :]) * mask_l
@@ -611,8 +646,13 @@ def _ps_eval_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
             htl = _gru_fwd_t(h, gr, gz, gn, whr_ref[:], whz_ref[:],
                              whn_ref[:], bhr_ref[:], bhz_ref[:],
                              bhn_ref[:], mask_l)
-            h = (sw_ref[t * fp:(t + 1) * fp, :] * htl
-                 + sb_ref[t * fp:(t + 1) * fp, :]) * mask_l
+            if state_norm == "stateless":
+                h, _, _ = _norm_fwd_t(
+                    htl, mask_l, sw_ref[t * fp:(t + 1) * fp, :],
+                    sb_ref[t * fp:(t + 1) * fp, :], c, "stateless")
+            else:
+                h = (sw_ref[t * fp:(t + 1) * fp, :] * htl
+                     + sb_ref[t * fp:(t + 1) * fp, :]) * mask_l
         # msgs rows [0:fp] are free after the recurrence: park the final
         # state there so the readout can ref-slice node windows
         msgs[0:fp, :] = h
@@ -640,7 +680,9 @@ def make_fused_psteps_eval_op(steps: int, f: int, n: int, od: int,
                               block_edges: int = 512, window: int = 512,
                               node_window: int = 2048,
                               interpret: bool = False,
-                              bn_eps: float = 1e-5):
+                              bn_eps: float = 1e-5,
+                              msg_norm: str = "bn1d",
+                              state_norm: str = "bn1d"):
     """Per-step-parameter whole-step INFERENCE op (the encoded family's
     serving path — eval-mode BN = per-step running-stat affines):
 
@@ -670,7 +712,12 @@ def make_fused_psteps_eval_op(steps: int, f: int, n: int, od: int,
                           n_graphs=n_graphs, gp=gp, od=od, odp=odp,
                           kmf=kmf, kmfp=kmfp)
 
-        def fold_t(p_bns, s_bns):
+        def fold_t(p_bns, s_bns, mode):
+            if mode != "bn1d":      # identity affine; stateless runs
+                #                     its normalize in-kernel
+                ones = [jnp.ones((f,), dt)] * steps
+                zeros = [jnp.zeros((f,), dt)] * steps
+                return _cols_t(ones, f, fp), _cols_t(zeros, f, fp)
             scales, shifts = [], []
             for p_bn, s_bn in zip(p_bns, s_bns):
                 scale = p_bn["weight"] / (s_bn["running_var"] ** 0.5
@@ -679,13 +726,14 @@ def make_fused_psteps_eval_op(steps: int, f: int, n: int, od: int,
                 shifts.append(p_bn["bias"] - s_bn["running_mean"] * scale)
             return _cols_t(scales, f, fp), _cols_t(shifts, f, fp)
 
-        maw, mab = fold_t(ma_bns, ma_states)
-        sw, sb = fold_t(bns, bn_states)
+        maw, mab = fold_t(ma_bns, ma_states, msg_norm)
+        sw, sb = fold_t(bns, bn_states, state_norm)
         src2, dst2, vid2, nblk = _pack_edge_blocks(vid, src, dst,
                                                    block_edges)
         kernel = functools.partial(
             _ps_eval_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
-            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
+            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb,
+            state_norm=state_norm)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nblk + 1,),
@@ -726,7 +774,9 @@ def make_fused_psteps_op(steps: int, f: int, n: int, od: int,
                          n_graphs: int, k_vocab: int, *,
                          block_edges: int = 512, window: int = 512,
                          node_window: int = 2048,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         msg_norm: str = "bn1d",
+                         state_norm: str = "bn1d"):
     """Per-step-parameter whole-step op.
 
     op(amat (T,K,f,f), a0 (T,f,f), mbias (T,f), h0 (N,f) PRE-MASKED,
@@ -780,7 +830,8 @@ def make_fused_psteps_op(steps: int, f: int, n: int, od: int,
         src2, dst2, vid2, nblk = pack_edges(vid, src, dst)
         kernel = functools.partial(
             _ps_fwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
-            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
+            be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb,
+            msg_norm=msg_norm, state_norm=state_norm)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nblk + 1,),
@@ -860,7 +911,7 @@ def make_fused_psteps_op(steps: int, f: int, n: int, od: int,
         kernel = functools.partial(
             _ps_bwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
             be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb,
-            skip=skip)
+            skip=skip, msg_norm=msg_norm, state_norm=state_norm)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nblk + 1,),

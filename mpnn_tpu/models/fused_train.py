@@ -117,16 +117,23 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
 
 
 def _psteps_shape(cfg: MPNNConfig) -> bool:
-    """The PER-STEP-parameter family shape (the reference's
-    normed_encoded_* models: per-step message weights + per-step bn1d
-    pairs, messages from the INITIAL state) — served by
-    kernels/fused_psteps.py instead of the shared-parameter kernel."""
+    """The PER-STEP-parameter family shape (per-step message weights,
+    messages from the INITIAL state) — served by kernels/fused_psteps.py
+    instead of the shared-parameter kernel. Norm flavors: per-step bn1d
+    pairs (the reference's normed_encoded_* models), 'none', and the
+    stateless MaskBatchNorm (graph_norm = per-step messages + msg 'none'
+    + state 'stateless', reference normed_basic_model.py:30-59;
+    encoded_ecfp = per-step msg bn1d + state 'none'). A bn1d norm in this
+    family must be per-step (a SHARED pair across per-step messages has
+    no reference analog and would need cross-step grad summing)."""
+    any_bn1d = cfg.msg_norm == "bn1d" or cfg.state_norm == "bn1d"
     return (cfg.message_fn == "edge_network"
             and not cfg.share_message_weights
-            and cfg.per_step_norms
+            and (cfg.per_step_norms or not any_bn1d)
             and cfg.message_input == "initial"
             and cfg.update_hidden == "state"
-            and cfg.msg_norm == "bn1d" and cfg.state_norm == "bn1d"
+            and cfg.msg_norm in ("bn1d", "none")
+            and cfg.state_norm in ("bn1d", "stateless", "none")
             and cfg.message_features == cfg.node_features
             and not cfg.concat_state_history
             and not cfg.remat)
@@ -188,7 +195,8 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
             block_edges=int(batch["fs_block_edges"]),
             window=int(batch["fs_window"]),
             node_window=int(batch["fs_node_window"]),
-            interpret=interpret)
+            interpret=interpret,
+            msg_norm=cfg.msg_norm, state_norm=cfg.state_norm)
     if cfg.message_fn == "att_edge_network":
         from mpnn_tpu.kernels.fused_att import make_fused_att_op
         k = int(np.asarray(batch["edge_vfirst"]).shape[0])
@@ -400,6 +408,24 @@ def _build_a_form_psteps(params, cfg: MPNNConfig, batch, edge_feats=None,
             batch["edge_vid"])
 
 
+def _bn_params_list_or_dummy(tree, key: str, width: int, steps: int,
+                             state: bool = False):
+    """tree[key] (a T-list of per-step norm dicts), or T identity
+    stand-ins when the config has no such norms (mode 'none'/'stateless'
+    — the kernel ignores the values)."""
+    lst = tree.get(key)
+    if lst:
+        return lst
+    import jax.numpy as _jnp
+    if state:
+        d = {"running_mean": _jnp.zeros((width,), _jnp.float32),
+             "running_var": _jnp.ones((width,), _jnp.float32)}
+    else:
+        d = {"weight": _jnp.ones((width,), _jnp.float32),
+             "bias": _jnp.zeros((width,), _jnp.float32)}
+    return [d] * steps
+
+
 def _bn_param_or_dummy(params, key: str, width: int):
     """params[key][0], or an identity-affine stand-in when the config has
     no such norm (msg/state mode 'none'/'stateless' — the kernel ignores
@@ -444,16 +470,22 @@ def fused_psteps_apply(params, state, cfg: MPNNConfig, batch, op, *,
                                                 edge_feats, edge_mlp_fn)
     y = labels if labels is not None \
         else jnp.zeros_like(batch["graph_mask"])
+    nf, mf, T = cfg.node_features, cfg.message_features, cfg.message_steps
     loss, out, ma_stats, bn_stats = op(
         amat, a0, mbias, h0, batch["node_mask"], batch["node_graph"],
-        params["gru"], params["ma_bn"], params["bn"], params["readout"],
+        params["gru"],
+        _bn_params_list_or_dummy(params, "ma_bn", mf, T),
+        _bn_params_list_or_dummy(params, "bn", nf, T),
+        params["readout"],
         y, batch["graph_mask"], vid, batch["edge_src"],
         batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
     new_state = dict(state)
-    new_state["ma_bn"] = [_ema(s, st) for s, st
-                          in zip(state["ma_bn"], ma_stats)]
-    new_state["bn"] = [_ema(s, st) for s, st in zip(state["bn"],
-                                                    bn_stats)]
+    if cfg.msg_norm == "bn1d":
+        new_state["ma_bn"] = [_ema(s, st) for s, st
+                              in zip(state["ma_bn"], ma_stats)]
+    if cfg.state_norm == "bn1d":
+        new_state["bn"] = [_ema(s, st) for s, st in zip(state["bn"],
+                                                        bn_stats)]
     new_state.update(upd)
     if labels is not None:
         return loss, out, new_state
@@ -543,7 +575,8 @@ def make_fused_eval_for_batch(cfg: MPNNConfig, batch,
             block_edges=int(batch["fs_block_edges"]),
             window=int(batch["fs_window"]),
             node_window=int(batch["fs_node_window"]),
-            interpret=interpret)
+            interpret=interpret,
+            msg_norm=cfg.msg_norm, state_norm=cfg.state_norm)
     if cfg.message_fn == "att_edge_network":
         return make_fused_step_for_batch(cfg, batch, interpret=interpret)
     from mpnn_tpu.kernels.fused_step import make_fused_eval_op
@@ -575,10 +608,16 @@ def fused_mpnn_eval(params, state, cfg: MPNNConfig, batch, eval_op,
                                               training=False)
         amat, a0, mbias, vid = _build_a_form_psteps(
             params, cfg, batch, edge_feats, edge_mlp_fn)
+        nf, mf = cfg.node_features, cfg.message_features
+        T = cfg.message_steps
         out = eval_op(
             amat, a0, mbias, h0, batch["node_mask"], batch["node_graph"],
-            params["gru"], params["ma_bn"], state["ma_bn"], params["bn"],
-            state["bn"], params["readout"], vid, batch["edge_src"],
+            params["gru"],
+            _bn_params_list_or_dummy(params, "ma_bn", mf, T),
+            _bn_params_list_or_dummy(state, "ma_bn", mf, T, state=True),
+            _bn_params_list_or_dummy(params, "bn", nf, T),
+            _bn_params_list_or_dummy(state, "bn", nf, T, state=True),
+            params["readout"], vid, batch["edge_src"],
             batch["edge_dst"], batch["fs_win"], batch["fs_ns"])
         out, _ = _output_norm(params, state, cfg, out,
                               batch["graph_mask"], training=False)

@@ -141,6 +141,103 @@ class TestNormModeParity:
                                    rtol=2e-4, atol=1e-5)
 
 
+def _setup_psteps(msg_norm, state_norm, per_step_norms,
+                  output_norm=False):
+    """Per-step-message family shapes (kernels/fused_psteps.py):
+    graph_norm = msg 'none' + state 'stateless' (normed_basic_model.py),
+    encoded_ecfp = per-step msg bn1d + state 'none' + output BN."""
+    from mpnn_tpu import graphs as G
+    from mpnn_tpu import models
+    from mpnn_tpu.kernels.fused_step import attach_fused_plan
+    gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+        SMILES, [0.1 * len(s) for s in SMILES]))
+    nf = ge.atom_width()
+    cfg = models.MPNNConfig(
+        node_features=nf, edge_features=ge.bond_width(),
+        message_features=nf, output_dim=3, message_steps=3,
+        share_message_weights=False, per_step_norms=per_step_norms,
+        msg_norm=msg_norm, state_norm=state_norm,
+        output_norm=output_norm, edge_mlp_tail_repeats=2)
+    params, state = models.mpnn_init(jax.random.PRNGKey(1), cfg)
+    packed = G.collate_packed(gs).as_dict()
+    packed = G.attach_edge_vocab(packed, vocab_cap=16)
+    packed = attach_fused_plan(packed, block_edges=128)
+    jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+          for k, v in packed.items()}
+    labels = jnp.asarray(np.random.RandomState(0).randn(
+        packed["graph_mask"].shape[0]).astype(np.float32))
+    return cfg, params, state, jb, labels
+
+
+PSTEPS_MODES = [
+    ("none", "stateless", False, False),    # graph_norm
+    ("bn1d", "none", True, False),          # encoded_ecfp minus obn
+    ("bn1d", "none", True, True),           # encoded_ecfp
+    ("none", "none", False, False),
+    ("bn1d", "bn1d", True, False),          # encoded regression guard
+]
+
+
+class TestPstepsNormModes:
+    @pytest.mark.parametrize("msg_norm,state_norm,psn,obn", PSTEPS_MODES)
+    def test_train_and_eval_parity(self, msg_norm, state_norm, psn, obn):
+        from mpnn_tpu.models.fused_train import (fused_eval_eligible,
+                                                 fused_flagship_loss,
+                                                 fused_mpnn_eval,
+                                                 fused_mpnn_out,
+                                                 fused_step_eligible,
+                                                 make_fused_eval_for_batch,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = _setup_psteps(
+            msg_norm, state_norm, psn, obn)
+        assert fused_step_eligible(cfg, jb, training=True)
+        op = make_fused_step_for_batch(cfg, jb, interpret=True)
+
+        if obn:
+            def loss_k(p, s):
+                out, ns = fused_mpnn_out(p, s, cfg, jb, op)
+                per = ((out - labels[:, None]) ** 2) \
+                    * jb["graph_mask"][:, None]
+                return per.sum() / jb["graph_mask"].sum(), (out, ns)
+        else:
+            def loss_k(p, s):
+                l, out, ns = fused_flagship_loss(p, s, cfg, jb, labels,
+                                                 op)
+                return l, (out, ns)
+
+        def loss_r(p, s):
+            out, ns = sparse_mpnn_apply(p, s, cfg, jb, training=True)
+            per = ((out - labels[:, None]) ** 2) * jb["graph_mask"][:, None]
+            return per.sum() / jb["graph_mask"].sum(), (out, ns)
+
+        (lk, (_, nsk)), gk = jax.value_and_grad(
+            loss_k, has_aux=True)(params, state)
+        (lr, (_, nsr)), gr = jax.value_and_grad(
+            loss_r, has_aux=True)(params, state)
+        np.testing.assert_allclose(float(lk), float(lr), rtol=2e-5)
+        fk, tk = jax.tree.flatten(gk)
+        fr, tr = jax.tree.flatten(gr)
+        assert tk == tr
+        for i, (a, b) in enumerate(zip(fk, fr)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-5,
+                err_msg=f"grad leaf {i}")
+        fk, tk = jax.tree.flatten(nsk)
+        fr, tr = jax.tree.flatten(nsr)
+        assert tk == tr
+        for a, b in zip(fk, fr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+        assert fused_eval_eligible(cfg, jb)
+        ev = make_fused_eval_for_batch(cfg, jb, interpret=True)
+        out_e = fused_mpnn_eval(params, state, cfg, jb, ev)
+        out_er, _ = sparse_mpnn_apply(params, state, cfg, jb,
+                                      training=False)
+        np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_er),
+                                   rtol=2e-4, atol=1e-5)
+
+
 class TestZooConfigsEligible:
     def test_basic_single_target_autoencoder_fuse(self):
         """The VERDICT's literal 'Done': the basic / single_target /
@@ -154,7 +251,8 @@ class TestZooConfigsEligible:
         packed = G.collate_packed(gs).as_dict()
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
         packed = attach_fused_plan(packed, block_edges=128)
-        for name in ("basic", "single_target", "autoencoder"):
+        for name in ("basic", "single_target", "autoencoder",
+                     "graph_norm"):
             net = zoo.build(name, afm=ge.atom_width(),
                             bfm=ge.bond_width())
             assert fused_step_eligible(net.mpnn, packed, training=True), \
