@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 from mpnn_tpu.kernels.fused_step import (_edge_onehots, _graph_onehot,
                                          _round_up, _sel_t, _vmem_params_of,
                                          GRAPH_BLOCK)
-from mpnn_tpu.kernels.recurrence import _dot, _gru_fwd_t
+from mpnn_tpu.kernels.recurrence import (_dot, _gru_fwd_t, _norm_denoms,
+                                         _norm_fwd_t)
 
 _BIG_NEG = -1e9
 
@@ -502,6 +503,557 @@ def make_fused_att_op(f: int, n: int, n_graphs: int, k_vocab: int, *,
                 dqvt[:f, :k_vocab].T.astype(qv.dtype),
                 dq0c[:f, 0].astype(q0.dtype),
                 dwht[:f, :f].T.astype(wh.dtype),
+                dh0_t[:f, :n].T.astype(h0.dtype),
+                None, None, dgru, None, None, None, None, None)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+# ---------------------------------------------------------------------------
+# T-STEP variant: the att_model shape (reference models/att_model.py:6-59)
+# — per-step message fns (per-step A'/attn tables over the CONSTANT h0),
+# GRU over the EVOLVING state (update_hidden='state'), and the stateless
+# MaskBatchNorm after each update. The collapsed kernel above covers
+# update_hidden='initial' (every step identical); this one runs the real
+# T-step chain: per-step gated messages accumulate into a (Tm·fp, npad)
+# slot buffer (fused_psteps.py pattern), then [GRU → norm]×T at the node
+# level. Shared-weights configs (per_step_msgs=False) compute the edge
+# program ONCE (Tm = 1) and reuse slot 0 every step.
+#
+# Residuals: htil ((Tm+T)·fp, npad) = [masked msgs_t]×Tm ‖ [pre-norm
+# h̃_t]×T; stats (T·fp, 2) = the stateless norm's per-step (mean, var)
+# (zeros for state_norm='none').
+# ---------------------------------------------------------------------------
+
+def _att_steps_edge_fwd(p, win_ref, src_ref, dst_ref, vid_ref,
+                        a2t_ref, a0_ref, qvt_ref, q0_ref, wht_ref,
+                        h0_ref, msgs, fm, *, tm, f, fp, kp, kmf, kmfp,
+                        be, window, with_corr):
+    """One edge block's Tm per-step gated-message contributions; the
+    hd/hs gathers and the one-hots are shared across steps."""
+    dt = jnp.float32
+    ws = pl.multiple_of(win_ref[p], 128)
+    src = src_ref[p, :] - ws
+    dst = dst_ref[p, :] - ws
+    vid = vid_ref[p, :]
+    oh_src, oh_dst, ohm = _edge_onehots(
+        src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
+        dtype=dt)
+    ohv = _vocab_onehot(vid, kp=kp, be=be, dtype=dt)
+    hw = h0_ref[:, pl.ds(ws, window)]
+    hd = _dot(hw, oh_dst.T)
+    hs = _dot(hw, oh_src.T)
+    sel = _sel_t(f, fp, kmf, kmfp, dt)
+    for t in range(tm):
+        zh = _dot(wht_ref[t * fp:(t + 1) * fp, :], hd)
+        gate = _feat_softmax(
+            zh + _dot(qvt_ref[t * fp:(t + 1) * fp, :], ohv), fm)
+        g = gate * hs
+        bulk = _dot(a2t_ref[t * kmfp:(t + 1) * kmfp, :], g)
+        me = _dot(sel, ohm * bulk)
+        if with_corr:
+            g0e = _feat_softmax(zh + q0_ref[t * fp:(t + 1) * fp, :], fm)
+            me -= _dot(a0_ref[t * fp:(t + 1) * fp, :], g0e * hs)
+        msgs[t * fp:(t + 1) * fp, pl.ds(ws, window)] += _dot(me, oh_dst)
+
+
+def _att_steps_fwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
+                          a2t_ref, a0_ref, qvt_ref, q0_ref, wht_ref,
+                          h0_ref, mask_ref, ng_ref,
+                          wir_ref, wiz_ref, win2_ref, whr_ref, whz_ref,
+                          whn_ref, bir_ref, biz_ref, bin_ref, bhr_ref,
+                          bhz_ref, bhn_ref,
+                          h_out, htil_out, stats_out,
+                          msgs, s_ref,
+                          *, steps: int, tm: int, f: int, fp: int,
+                          kp: int, kmf: int, kmfp: int, be: int,
+                          window: int, nblk: int, nw: int, gb: int,
+                          with_corr: bool, state_norm: str):
+    p = pl.program_id(0)
+    dt = jnp.float32
+    gw = GRAPH_BLOCK
+    fm = (jax.lax.broadcasted_iota(jnp.int32, (fp, 1), 0) < f).astype(dt)
+
+    @pl.when(p == 0)
+    def _():
+        msgs[:] = jnp.zeros_like(msgs)
+
+    @pl.when(p < nblk)
+    def _():
+        _att_steps_edge_fwd(p, win_ref, src_ref, dst_ref, vid_ref,
+                            a2t_ref, a0_ref, qvt_ref, q0_ref, wht_ref,
+                            h0_ref, msgs, fm, tm=tm, f=f, fp=fp, kp=kp,
+                            kmf=kmf, kmfp=kmfp, be=be, window=window,
+                            with_corr=with_corr)
+
+    @pl.when(p == nblk)
+    def _():
+        mask_l = mask_ref[:]
+        c = jnp.sum(mask_l)
+        if with_corr:
+            # rank-1 non-edge term per message step: +A0_t·(g0_v ⊙ S_g(v))
+            s_ref[:] = jnp.zeros_like(s_ref)
+            for j in range(gb):
+                ns = pl.multiple_of(ns_ref[j], 128)
+                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                s_ref[:, j * gw:(j + 1) * gw] += \
+                    _dot(h0_ref[:, pl.ds(ns, nw)], og)
+            for t in range(tm):
+                for j in range(gb):
+                    ns = pl.multiple_of(ns_ref[j], 128)
+                    og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                    h0b = h0_ref[:, pl.ds(ns, nw)]
+                    snb = _dot(s_ref[:, j * gw:(j + 1) * gw], og.T)
+                    g0b = _feat_softmax(
+                        _dot(wht_ref[t * fp:(t + 1) * fp, :], h0b)
+                        + q0_ref[t * fp:(t + 1) * fp, :], fm)
+                    msgs[t * fp:(t + 1) * fp, pl.ds(ns, nw)] += \
+                        _dot(a0_ref[t * fp:(t + 1) * fp, :], g0b * snb)
+        for t in range(tm):
+            msgs_m = msgs[t * fp:(t + 1) * fp, :] * mask_l
+            msgs[t * fp:(t + 1) * fp, :] = msgs_m
+            htil_out[t * fp:(t + 1) * fp, :] = msgs_m
+        h = h0_ref[:] * mask_l
+        for t in range(steps):
+            ms = min(t, tm - 1)
+            mbv = msgs[ms * fp:(ms + 1) * fp, :]
+            gr = _dot(wir_ref[:].T, mbv) + bir_ref[:]
+            gz = _dot(wiz_ref[:].T, mbv) + biz_ref[:]
+            gn = _dot(win2_ref[:].T, mbv) + bin_ref[:]
+            htl = _gru_fwd_t(h, gr, gz, gn, whr_ref[:], whz_ref[:],
+                             whn_ref[:], bhr_ref[:], bhz_ref[:],
+                             bhn_ref[:], mask_l)
+            htil_out[(tm + t) * fp:(tm + t + 1) * fp, :] = htl
+            h, mean, var = _norm_fwd_t(htl, mask_l, fm, fm, c, state_norm)
+            stats_out[t * fp:(t + 1) * fp, 0:1] = mean
+            stats_out[t * fp:(t + 1) * fp, 1:2] = var
+        h_out[:] = h
+
+
+def _att_steps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
+                          a2tt_ref, a0_ref, qvt_ref, q0_ref, wht_ref,
+                          h0_ref, mask_ref, ng_ref,
+                          htil_ref, stats_ref, gh_ref,
+                          wir_ref, wiz_ref, win2_ref, whr_ref, whz_ref,
+                          whn_ref, bir_ref, biz_ref, bin_ref, bhr_ref,
+                          bhz_ref, bhn_ref,
+                          dh0_out, da2t_out, da0_out, dqvt_out, dq0_out,
+                          dwht_out,
+                          dwir_out, dwiz_out, dwin_out,
+                          dwhr_out, dwhz_out, dwhn_out,
+                          dbir_out, dbiz_out, dbin_out,
+                          dbhr_out, dbhz_out, dbhn_out,
+                          dmsgs_s, s_ref,
+                          *, steps: int, tm: int, f: int, fp: int,
+                          kp: int, kmf: int, kmfp: int, be: int,
+                          window: int, nblk: int, nw: int, gb: int,
+                          with_corr: bool, state_norm: str):
+    p = pl.program_id(0)
+    dt = jnp.float32
+    gw = GRAPH_BLOCK
+    fm = (jax.lax.broadcasted_iota(jnp.int32, (fp, 1), 0) < f).astype(dt)
+
+    @pl.when(p == 0)
+    def _():
+        m = mask_ref[:]
+        c = jnp.sum(m)
+        zf = jnp.zeros((fp, fp), dt)
+        zc = jnp.zeros((fp, 1), dt)
+        dwir_a = dwiz_a = dwin_a = dwhr_a = dwhz_a = dwhn_a = zf
+        dbr = dbz = dbn_ = dbnh = zc
+        dmsgs_s[:] = jnp.zeros_like(dmsgs_s)
+
+        def srow(t):
+            return (stats_ref[t * fp:(t + 1) * fp, 0:1],
+                    stats_ref[t * fp:(t + 1) * fp, 1:2])
+
+        gh = gh_ref[:] * m
+        for t in range(steps, 0, -1):
+            if state_norm == "none":
+                dhtil = gh
+            else:
+                mean_t, var_t = srow(t - 1)
+                s_t, d_t = _norm_denoms(var_t, state_norm)
+                xh_t = (htil_ref[(tm + t - 1) * fp:(tm + t) * fp, :]
+                        - mean_t) * m / d_t
+                gym = gh * m
+                S1 = jnp.sum(gym, axis=1, keepdims=True)
+                S2 = jnp.sum(gym * xh_t, axis=1, keepdims=True)
+                dhtil = (gym - m * S1 / c) / d_t \
+                    - m * xh_t * S2 / (c * s_t)
+            dhp = dhtil * m
+            if t > 1:
+                if state_norm == "none":
+                    hprev = htil_ref[(tm + t - 2) * fp:
+                                     (tm + t - 1) * fp, :]
+                else:
+                    pmean, pvar = srow(t - 2)
+                    _ps, pd = _norm_denoms(pvar, state_norm)
+                    hprev = (htil_ref[(tm + t - 2) * fp:
+                                      (tm + t - 1) * fp, :]
+                             - pmean) * m / pd
+            else:
+                hprev = h0_ref[:] * m
+            ms = min(t - 1, tm - 1)
+            mbv = htil_ref[ms * fp:(ms + 1) * fp, :]
+            gr = _dot(wir_ref[:].T, mbv) + bir_ref[:]
+            gz = _dot(wiz_ref[:].T, mbv) + biz_ref[:]
+            gn = _dot(win2_ref[:].T, mbv) + bin_ref[:]
+            rh = _dot(whr_ref[:].T, hprev) + bhr_ref[:]
+            zh2 = _dot(whz_ref[:].T, hprev) + bhz_ref[:]
+            nh2 = _dot(whn_ref[:].T, hprev) + bhn_ref[:]
+            sr = jax.nn.sigmoid(gr + rh)
+            sz = jax.nn.sigmoid(gz + zh2)
+            z = sz * m
+            tn = jnp.tanh(gn + (sr * m) * nh2)
+            n_ = tn * m
+            dz = dhp * (hprev - n_)
+            dn = dhp * (1.0 - z)
+            da_n = dn * m * (1.0 - tn * tn)
+            dr = da_n * nh2
+            dnh = da_n * (sr * m)
+            da_r = dr * m * sr * (1.0 - sr)
+            da_z = dz * m * sz * (1.0 - sz)
+            gh = dhp * z + _dot(whr_ref[:], da_r) \
+                + _dot(whz_ref[:], da_z) + _dot(whn_ref[:], dnh)
+            dwhr_a += _dot(hprev, da_r.T)
+            dwhz_a += _dot(hprev, da_z.T)
+            dwhn_a += _dot(hprev, dnh.T)
+            dwir_a += _dot(mbv, da_r.T)
+            dwiz_a += _dot(mbv, da_z.T)
+            dwin_a += _dot(mbv, da_n.T)
+            dbr += jnp.sum(da_r, axis=1, keepdims=True)
+            dbz += jnp.sum(da_z, axis=1, keepdims=True)
+            dbn_ += jnp.sum(da_n, axis=1, keepdims=True)
+            dbnh += jnp.sum(dnh, axis=1, keepdims=True)
+            dmb = (_dot(wir_ref[:], da_r) + _dot(wiz_ref[:], da_z)
+                   + _dot(win2_ref[:], da_n)) * m
+            dmsgs_s[ms * fp:(ms + 1) * fp, :] += dmb
+        dh0_out[:] = gh * m
+        dwir_out[:] = dwir_a
+        dwiz_out[:] = dwiz_a
+        dwin_out[:] = dwin_a
+        dwhr_out[:] = dwhr_a
+        dwhz_out[:] = dwhz_a
+        dwhn_out[:] = dwhn_a
+        dbir_out[:] = dbr
+        dbiz_out[:] = dbz
+        dbin_out[:] = dbn_
+        dbhr_out[:] = dbr
+        dbhz_out[:] = dbz
+        dbhn_out[:] = dbnh
+        da2t_out[:] = jnp.zeros_like(da2t_out)
+        da0_out[:] = jnp.zeros_like(da0_out)
+        dqvt_out[:] = jnp.zeros_like(dqvt_out)
+        dq0_out[:] = jnp.zeros_like(dq0_out)
+        dwht_out[:] = jnp.zeros_like(dwht_out)
+
+        # rank-1 'att' correction backward per message step, inlined in
+        # this branch (the Mosaic two-branch pathology note above)
+        if with_corr:
+            s_ref[:] = jnp.zeros_like(s_ref)
+            for j in range(gb):
+                ns = pl.multiple_of(ns_ref[j], 128)
+                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                s_ref[:, j * gw:(j + 1) * gw] += \
+                    _dot(h0_ref[:, pl.ds(ns, nw)], og)
+            for t in range(tm):
+                for j in range(gb):
+                    ns = pl.multiple_of(ns_ref[j], 128)
+                    og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                    h0b = h0_ref[:, pl.ds(ns, nw)]
+                    snb = _dot(s_ref[:, j * gw:(j + 1) * gw], og.T)
+                    g0b = _feat_softmax(
+                        _dot(wht_ref[t * fp:(t + 1) * fp, :], h0b)
+                        + q0_ref[t * fp:(t + 1) * fp, :], fm)
+                    dt_b = dmsgs_s[t * fp:(t + 1) * fp, pl.ds(ns, nw)]
+                    da0_out[t * fp:(t + 1) * fp, :] += \
+                        _dot(dt_b, (g0b * snb).T)
+                    dwn = _dot(a0_ref[t * fp:(t + 1) * fp, :].T, dt_b)
+                    dg0b = dwn * snb
+                    dsg = _dot(dwn * g0b, og)
+                    dh0_out[:, pl.ds(ns, nw)] += _dot(dsg, og.T)
+                    dz0b = g0b * (dg0b - jnp.sum(dg0b * g0b, axis=0,
+                                                 keepdims=True))
+                    dwht_out[t * fp:(t + 1) * fp, :] += _dot(dz0b, h0b.T)
+                    dq0_out[t * fp:(t + 1) * fp, :] += \
+                        jnp.sum(dz0b, axis=1, keepdims=True)
+                    dh0_out[:, pl.ds(ns, nw)] += _dot(
+                        wht_ref[t * fp:(t + 1) * fp, :].T, dz0b)
+
+    @pl.when(jnp.logical_and(p >= 1, p <= nblk))
+    def _():
+        i = p - 1
+        ws = pl.multiple_of(win_ref[i], 128)
+        src = src_ref[i, :] - ws
+        dst = dst_ref[i, :] - ws
+        vid = vid_ref[i, :]
+        oh_src, oh_dst, ohm = _edge_onehots(
+            src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
+            dtype=dt)
+        ohv = _vocab_onehot(vid, kp=kp, be=be, dtype=dt)
+        hw = h0_ref[:, pl.ds(ws, window)]
+        hd = _dot(hw, oh_dst.T)
+        hs = _dot(hw, oh_src.T)
+        sel = _sel_t(f, fp, kmf, kmfp, dt)
+        for t in range(tm):
+            zh = _dot(wht_ref[t * fp:(t + 1) * fp, :], hd)
+            gate = _feat_softmax(
+                zh + _dot(qvt_ref[t * fp:(t + 1) * fp, :], ohv), fm)
+            g = gate * hs
+            dmw = dmsgs_s[t * fp:(t + 1) * fp, pl.ds(ws, window)]
+            dm = _dot(dmw, oh_dst.T)
+            gdr = _dot(sel.T, dm)
+            da2t_out[t * kmfp:(t + 1) * kmfp, :] += _dot(ohm * gdr, g.T)
+            bulk2 = _dot(a2tt_ref[t * kmfp:(t + 1) * kmfp, :], dm)
+            dg = _dot(sel, ohm * bulk2)
+            dgate = dg * hs
+            dhs = dg * gate
+            dzg = gate * (dgate - jnp.sum(dgate * gate, axis=0,
+                                          keepdims=True))
+            dwht_out[t * fp:(t + 1) * fp, :] += _dot(dzg, hd.T)
+            dqvt_out[t * fp:(t + 1) * fp, :] += _dot(dzg, ohv.T)
+            dhd = _dot(wht_ref[t * fp:(t + 1) * fp, :].T, dzg)
+            if with_corr:
+                g0e = _feat_softmax(
+                    zh + q0_ref[t * fp:(t + 1) * fp, :], fm)
+                u = g0e * hs
+                da0_out[t * fp:(t + 1) * fp, :] += -_dot(dm, u.T)
+                du = -_dot(a0_ref[t * fp:(t + 1) * fp, :].T, dm)
+                dg0 = du * hs
+                dhs += du * g0e
+                dz0 = g0e * (dg0 - jnp.sum(dg0 * g0e, axis=0,
+                                           keepdims=True))
+                dwht_out[t * fp:(t + 1) * fp, :] += _dot(dz0, hd.T)
+                dq0_out[t * fp:(t + 1) * fp, :] += \
+                    jnp.sum(dz0, axis=1, keepdims=True)
+                dhd += _dot(wht_ref[t * fp:(t + 1) * fp, :].T, dz0)
+            dh0_out[:, pl.ds(ws, window)] += \
+                _dot(dhs, oh_src) + _dot(dhd, oh_dst)
+
+
+def make_fused_att_steps_op(steps: int, f: int, n: int, n_graphs: int,
+                            k_vocab: int, *, with_corr: bool = False,
+                            state_norm: str = "stateless",
+                            per_step_msgs: bool = True,
+                            block_edges: int = 512, window: int = 512,
+                            node_window: int = 2048,
+                            interpret: bool = False):
+    """T-step att-family op (the att_model shape — per-step message fns,
+    update_hidden='state', stateless MaskBatchNorm; reference
+    models/att_model.py:6-59).
+
+    op(aprime (Tm,K,f,f), a0 (Tm,f,f), qv (Tm,K,f), q0 (Tm,f),
+       wh (Tm,f,f), h0 (N,f) PRE-MASKED, mask, node_graph, gru,
+       vid/src/dst, win, ns) -> h (N, f)
+
+    Tm = steps for per_step_msgs else 1 (shared message weights: the edge
+    program runs once; the GRU chain reuses slot 0). The stateless norm
+    has no params/EMAs, so the same op serves train AND eval."""
+    npad = _round_up(n, 128)
+    fp = _round_up(f, 16)
+    kp = _round_up(k_vocab, 16)
+    gp = _round_up(max(n_graphs, 1), GRAPH_BLOCK)
+    gb = gp // GRAPH_BLOCK
+    kmf = k_vocab * f
+    kmfp = _round_up(kmf, 16)
+    nw = min(node_window, npad)
+    tm = steps if per_step_msgs else 1
+    dt = jnp.float32
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def pack(aprime, a0, qv, q0, wh, h0, mask, node_graph, gru):
+        padf = ((0, 0), (0, fp - f))
+
+        def mat_t(x):
+            xt = jnp.pad(x.astype(dt), padf).T
+            return xt if npad == n else jnp.pad(xt, ((0, 0),
+                                                     (0, npad - n)))
+
+        def blocks(w):
+            b = w.astype(dt).reshape(f, 3, f)
+            return [jnp.pad(b[:, i, :], ((0, fp - f), (0, fp - f)))
+                    for i in range(3)]
+
+        def col3(v):
+            b = v.astype(dt).reshape(3, f)
+            return [jnp.pad(b[i][:, None], ((0, fp - f), (0, 0)))
+                    for i in range(3)]
+
+        a2t = jnp.concatenate(
+            [jnp.pad(aprime[t].astype(dt).reshape(kmf, f),
+                     ((0, kmfp - kmf), (0, fp - f))) for t in range(tm)],
+            axis=0)
+        a2tt = jnp.concatenate(
+            [jnp.pad(jnp.transpose(aprime[t].astype(dt), (0, 2, 1))
+                     .reshape(kmf, f), ((0, kmfp - kmf), (0, fp - f)))
+             for t in range(tm)], axis=0)
+        a0p = jnp.concatenate(
+            [jnp.pad(a0[t].astype(dt), ((0, fp - f), (0, fp - f)))
+             for t in range(tm)], axis=0)
+        qvt = jnp.concatenate(
+            [jnp.pad(qv[t].astype(dt).T,
+                     ((0, fp - f), (0, kp - k_vocab)))
+             for t in range(tm)], axis=0)
+        q0c = jnp.concatenate(
+            [jnp.pad(q0[t].astype(dt)[:, None], ((0, fp - f), (0, 0)))
+             for t in range(tm)], axis=0)
+        wht = jnp.concatenate(
+            [jnp.pad(wh[t].astype(dt).T, ((0, fp - f), (0, fp - f)))
+             for t in range(tm)], axis=0)
+        mask_row = jnp.pad(mask.astype(dt).reshape(1, n),
+                           ((0, 0), (0, npad - n)))
+        ng_row = jnp.pad(node_graph.astype(jnp.int32).reshape(1, n),
+                         ((0, 0), (0, npad - n)),
+                         constant_values=n_graphs)
+        wi = blocks(gru["w_ih"])
+        whb = blocks(gru["w_hh"])
+        bi = col3(gru["b_ih"])
+        bh = col3(gru["b_hh"])
+        return (a2t, a2tt, a0p, qvt, q0c, wht, mat_t(h0), mask_row,
+                ng_row, wi, whb, bi, bh)
+
+    def pack_edges(vid, src, dst):
+        e = src.shape[0]
+        nblk = _round_up(e, block_edges) // block_edges
+        ep = nblk * block_edges
+
+        def padr(x, fill=0):
+            if x.shape[0] != ep:
+                x = jnp.concatenate(
+                    [x, jnp.full((ep - x.shape[0],), fill, x.dtype)])
+            return x.reshape(nblk, block_edges)
+        return padr(src, -1), padr(dst, -1), padr(vid), nblk
+
+    def run_fwd(aprime, a0, qv, q0, wh, h0, mask, node_graph, gru,
+                vid, src, dst, win, ns):
+        (a2t, _a2tt, a0p, qvt, q0c, wht, h0t, mask_row, ng_row,
+         wi, whb, bi, bh) = pack(aprime, a0, qv, q0, wh, h0, mask,
+                                 node_graph, gru)
+        src2, dst2, vid2, nblk = pack_edges(vid, src, dst)
+        kernel = functools.partial(
+            _att_steps_fwd_kernel, steps=steps, tm=tm, f=f, fp=fp, kp=kp,
+            kmf=kmf, kmfp=kmfp, be=block_edges, window=window, nblk=nblk,
+            nw=nw, gb=gb, with_corr=with_corr, state_norm=state_norm)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblk + 1,),
+            in_specs=[_vm()] * 23,
+            out_specs=tuple([_vm()] * 3),
+            scratch_shapes=[
+                pltpu.VMEM((tm * fp, npad), dt),   # per-step msgs acc
+                pltpu.VMEM((fp, gp), dt),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((fp, npad), dt),
+                       jax.ShapeDtypeStruct(((tm + steps) * fp, npad),
+                                            dt),
+                       jax.ShapeDtypeStruct((steps * fp, 2), dt)),
+            compiler_params=_vmem_params_of(fp, npad, 10 + 3 * tm
+                                            + steps),
+            interpret=interpret,
+        )(win, ns, src2, dst2, vid2,
+          a2t, a0p, qvt, q0c, wht, h0t, mask_row, ng_row,
+          *wi, *whb, *bi, *bh)
+
+    @jax.custom_vjp
+    def op(aprime, a0, qv, q0, wh, h0, mask, node_graph, gru,
+           vid, src, dst, win, ns):
+        h_t, _htil, _stats = run_fwd(aprime, a0, qv, q0, wh, h0, mask,
+                                     node_graph, gru, vid, src, dst,
+                                     win, ns)
+        return h_t[:f, :n].T.astype(h0.dtype)
+
+    def fwd(aprime, a0, qv, q0, wh, h0, mask, node_graph, gru,
+            vid, src, dst, win, ns):
+        h_t, htil, stats = run_fwd(aprime, a0, qv, q0, wh, h0, mask,
+                                   node_graph, gru, vid, src, dst,
+                                   win, ns)
+        res = (aprime, a0, qv, q0, wh, h0, mask, node_graph, gru,
+               vid, src, dst, win, ns, htil, stats)
+        return h_t[:f, :n].T.astype(h0.dtype), res
+
+    def bwd(res, gh):
+        (aprime, a0, qv, q0, wh, h0, mask, node_graph, gru,
+         vid, src, dst, win, ns, htil, stats) = res
+        (_a2t, a2tt, a0p, qvt, q0c, wht, h0t, mask_row, ng_row,
+         wi, whb, bi, bh) = pack(aprime, a0, qv, q0, wh, h0, mask,
+                                 node_graph, gru)
+        src2, dst2, vid2, nblk = pack_edges(vid, src, dst)
+        gh_t = jnp.pad(gh.astype(dt), ((0, 0), (0, fp - f))).T
+        if npad != n:
+            gh_t = jnp.pad(gh_t, ((0, 0), (0, npad - n)))
+        kernel = functools.partial(
+            _att_steps_bwd_kernel, steps=steps, tm=tm, f=f, fp=fp, kp=kp,
+            kmf=kmf, kmfp=kmfp, be=block_edges, window=window, nblk=nblk,
+            nw=nw, gb=gb, with_corr=with_corr, state_norm=state_norm)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblk + 1,),
+            in_specs=[_vm()] * 26,
+            out_specs=tuple([_vm()] * 18),
+            scratch_shapes=[
+                pltpu.VMEM((tm * fp, npad), dt),   # per-step dmsgs
+                pltpu.VMEM((fp, gp), dt),
+            ],
+        )
+        fpn = jax.ShapeDtypeStruct((fp, npad), dt)
+        fpf = jax.ShapeDtypeStruct((fp, fp), dt)
+        fc = jax.ShapeDtypeStruct((fp, 1), dt)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(fpn,
+                       jax.ShapeDtypeStruct((tm * kmfp, fp), dt),
+                       jax.ShapeDtypeStruct((tm * fp, fp), dt),
+                       jax.ShapeDtypeStruct((tm * fp, kp), dt),
+                       jax.ShapeDtypeStruct((tm * fp, 1), dt),
+                       jax.ShapeDtypeStruct((tm * fp, fp), dt),
+                       fpf, fpf, fpf, fpf, fpf, fpf,
+                       fc, fc, fc, fc, fc, fc),
+            compiler_params=_vmem_params_of(fp, npad, 16 + 4 * tm
+                                            + steps),
+            interpret=interpret,
+        )(win, ns, src2, dst2, vid2,
+          a2tt, a0p, qvt, q0c, wht, h0t, mask_row, ng_row, htil, stats,
+          gh_t, *wi, *whb, *bi, *bh)
+        (dh0_t, da2t, da0p, dqvt, dq0c, dwht,
+         dwir, dwiz, dwin, dwhr, dwhz, dwhn,
+         dbir, dbiz, dbin, dbhr, dbhz, dbhn) = outs
+
+        def _unblocks(ws_):
+            return jnp.stack([w[:f, :f] for w in ws_],
+                             axis=1).reshape(f, 3 * f)
+
+        def _uncol3(cs_):
+            return jnp.concatenate([cv[:f, 0] for cv in cs_])
+
+        dgru = {
+            "w_ih": _unblocks([dwir, dwiz, dwin]).astype(
+                gru["w_ih"].dtype),
+            "w_hh": _unblocks([dwhr, dwhz, dwhn]).astype(
+                gru["w_hh"].dtype),
+            "b_ih": _uncol3([dbir, dbiz, dbin]).astype(gru["b_ih"].dtype),
+            "b_hh": _uncol3([dbhr, dbhz, dbhn]).astype(gru["b_hh"].dtype),
+        }
+        da = jnp.stack(
+            [da2t[t * kmfp:t * kmfp + kmf, :f].reshape(k_vocab, f, f)
+             for t in range(tm)]).astype(aprime.dtype)
+        da0 = jnp.stack([da0p[t * fp:t * fp + f, :f]
+                         for t in range(tm)]).astype(a0.dtype)
+        dqv = jnp.stack([dqvt[t * fp:t * fp + f, :k_vocab].T
+                         for t in range(tm)]).astype(qv.dtype)
+        dq0 = jnp.stack([dq0c[t * fp:t * fp + f, 0]
+                         for t in range(tm)]).astype(q0.dtype)
+        dwh = jnp.stack([dwht[t * fp:t * fp + f, :f].T
+                         for t in range(tm)]).astype(wh.dtype)
+        return (da, da0, dqv, dq0, dwh,
                 dh0_t[:f, :n].T.astype(h0.dtype),
                 None, None, dgru, None, None, None, None, None)
 

@@ -157,28 +157,38 @@ def _psteps_eligible(cfg: MPNNConfig, batch) -> bool:
 
 
 def _att_family_eligible(cfg: MPNNConfig, batch) -> bool:
-    """Eligibility of the fused ATT kernel (kernels/fused_att.py): the
-    adv/att family shape — per-edge gated messages from the INITIAL state,
-    GRU hidden reset to the initial state (which collapses the step loop
-    exactly — every step is GRU(msgs, h0)), no in-recurrence norms. The
-    readout (set2vec or graph_level) stays in XLA around the kernel.
-    Encoders require input_norm for the same padded-rows-must-be-zero
-    reason as the main family; 'wadj' has no padding-free sparse form."""
+    """Eligibility of the fused ATT kernels: per-edge gated messages from
+    the INITIAL state with either
+
+      * update_hidden='initial' + shared weights + no norms — the
+        collapsed one-GRU kernel (kernels/fused_att.py::make_fused_att_op;
+        every step is GRU(msgs, h0) exactly — the adv family); or
+      * update_hidden='state' + state_norm ∈ {none, stateless} — the
+        T-step kernel (make_fused_att_steps_op), per-step OR shared
+        message weights (the att_model shape: per-step message fns +
+        stateless MaskBatchNorm, reference models/att_model.py:6-59).
+
+    The readout (set2vec or graph_level) stays in XLA around the kernel
+    (or the fused set2vec kernel). Encoders require input_norm for the
+    same padded-rows-must-be-zero reason as the main family; 'wadj' has
+    no padding-free sparse form."""
     has_encoder = (cfg.atom_encoder is not None
                    or cfg.bond_encoder is not None)
-    return (cfg.aggregation in ("att", "adj")
+    base = (cfg.aggregation in ("att", "adj")
             and cfg.message_features == cfg.node_features
-            and cfg.share_message_weights
             and cfg.message_input == "initial"
-            and cfg.update_hidden == "initial"
-            and cfg.msg_norm == "none" and cfg.state_norm == "none"
-            and not cfg.per_step_norms
+            and cfg.msg_norm == "none"
             and not cfg.concat_state_history
             and not (has_encoder and not cfg.input_norm)
             and not cfg.remat
             and "edge_vid" in batch and "fs_win" in batch
             and int(np.asarray(batch["node_feats"]).shape[0])
             <= FUSED_STEP_NODE_CAP)
+    if not base:
+        return False
+    if cfg.update_hidden == "initial":
+        return cfg.share_message_weights and cfg.state_norm == "none"
+    return cfg.state_norm in ("none", "stateless")
 
 
 def make_fused_step_for_batch(cfg: MPNNConfig, batch,
@@ -198,15 +208,29 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
             interpret=interpret,
             msg_norm=cfg.msg_norm, state_norm=cfg.state_norm)
     if cfg.message_fn == "att_edge_network":
-        from mpnn_tpu.kernels.fused_att import make_fused_att_op
+        from mpnn_tpu.kernels.fused_att import (make_fused_att_op,
+                                                make_fused_att_steps_op)
         k = int(np.asarray(batch["edge_vfirst"]).shape[0])
-        att_op = make_fused_att_op(
-            cfg.node_features, n, g, k,
-            with_corr=cfg.aggregation == "att",
-            block_edges=int(batch["fs_block_edges"]),
-            window=int(batch["fs_window"]),
-            node_window=int(batch["fs_node_window"]),
-            interpret=interpret)
+        if cfg.update_hidden == "state":
+            # the T-step variant (att_model shape): evolving GRU state,
+            # per-step (or shared) message tables, stateless/none norm
+            att_op = make_fused_att_steps_op(
+                cfg.message_steps, cfg.node_features, n, g, k,
+                with_corr=cfg.aggregation == "att",
+                state_norm=cfg.state_norm,
+                per_step_msgs=not cfg.share_message_weights,
+                block_edges=int(batch["fs_block_edges"]),
+                window=int(batch["fs_window"]),
+                node_window=int(batch["fs_node_window"]),
+                interpret=interpret)
+        else:
+            att_op = make_fused_att_op(
+                cfg.node_features, n, g, k,
+                with_corr=cfg.aggregation == "att",
+                block_edges=int(batch["fs_block_edges"]),
+                window=int(batch["fs_window"]),
+                node_window=int(batch["fs_node_window"]),
+                interpret=interpret)
         s2v_op = None
         if cfg.readout == "set2vec" and cfg.set2vec_batch_softmax:
             # the fused set2vec readout (kernels/set2vec.py) — the att
@@ -335,6 +359,34 @@ def _build_att_form(params, cfg: MPNNConfig, batch, edge_feats=None,
     return aprime, a0, qv, q0, wh
 
 
+def _build_att_form_steps(params, cfg: MPNNConfig, batch, edge_feats=None,
+                          edge_mlp_fn=None):
+    """Per-STEP stacked att operands for the T-step kernel: each of the
+    Tm message-param sets folds to its own (aprime, a0, qv, q0, wh); Tm =
+    steps for per-step weights, 1 for shared (the kernel reuses slot 0)."""
+    aps, a0s, qvs, q0s, whs = [], [], [], [], []
+    nf, mf = cfg.node_features, cfg.message_features
+    if edge_feats is None:
+        edge_feats = batch["edge_feats"] * batch["edge_mask"][:, None]
+    evocab = edge_feats[batch["edge_vfirst"]]
+    for mp in params["message"]:
+        pen, pen0, pen_vocab = _edge_penultimates(
+            mp, edge_feats, cfg, batch["edge_vid"], batch["edge_vfirst"],
+            edge_mlp_fn)
+        pf = pen0.shape[-1]
+        wf = mp["final"]["w"].reshape(pf, mf, nf)
+        bf = mp["final"]["b"].reshape(mf, nf)
+        aps.append(jnp.einsum("kp,pmf->kmf", pen_vocab, wf,
+                              preferred_element_type=edge_feats.dtype)
+                   + bf)
+        a0s.append(jnp.einsum("p,pmf->mf", pen0[0], wf) + bf)
+        whs.append(mp["attn"]["w"][:nf])
+        qvs.append(evocab @ mp["attn"]["w"][nf:] + mp["attn"]["b"])
+        q0s.append(mp["attn"]["b"])
+    return (jnp.stack(aps), jnp.stack(a0s), jnp.stack(qvs),
+            jnp.stack(q0s), jnp.stack(whs))
+
+
 def _att_readout(params, cfg: MPNNConfig, h, h0, batch):
     """The XLA readout around the att kernel (set2vec is ~0.2 ms of the
     old 5.6 ms att step — not worth fusing; its out-cotangent drives the
@@ -365,8 +417,12 @@ def fused_att_out(params, state, cfg: MPNNConfig, batch, att_op, *,
                                                    "s2v": None}
     h0, edge_feats, upd = _input_transforms(params, state, cfg, batch,
                                             training=training)
-    aprime, a0, qv, q0, wh = _build_att_form(params, cfg, batch,
-                                             edge_feats, edge_mlp_fn)
+    if cfg.update_hidden == "state":
+        aprime, a0, qv, q0, wh = _build_att_form_steps(
+            params, cfg, batch, edge_feats, edge_mlp_fn)
+    else:
+        aprime, a0, qv, q0, wh = _build_att_form(params, cfg, batch,
+                                                 edge_feats, edge_mlp_fn)
     h = ops["att"](aprime, a0, qv, q0, wh, h0, batch["node_mask"],
                    batch["node_graph"], params["gru"], batch["edge_vid"],
                    batch["edge_src"], batch["edge_dst"], batch["fs_win"],

@@ -54,6 +54,20 @@ def adv(afm: int, bfm: int, nafm: int = 0, n_out: int = 4) -> NetworkConfig:
         head="linear", head_output=n_out, kaiming_head=False)
 
 
+def att(afm: int, bfm: int, nafm: int = 0, n_out: int = 4) -> NetworkConfig:
+    """att_model (models/att_model.py:6-59): AttEdgeNetwork messages with
+    the adjacency aggregation, PER-STEP message fns, stateless masked BN
+    after each GRU update (hidden = evolving state), Set2Vec readout."""
+    return NetworkConfig(
+        mpnn=MPNNConfig(
+            node_features=afm, edge_features=bfm, message_features=afm,
+            output_dim=4 * afm, message_fn="att_edge_network",
+            aggregation="adj", message_steps=3,
+            share_message_weights=False, state_norm="stateless",
+            readout="set2vec"),
+        head="linear", head_output=n_out, kaiming_head=False)
+
+
 def lipo(afm: int, bfm: int, nafm: int, n_out: int = 1) -> NetworkConfig:
     """Lipophilicity regression (test_lipo.py): the flagship config."""
     nf = afm + nafm
@@ -179,6 +193,7 @@ ZOO: Dict[str, Callable[..., NetworkConfig]] = {
     "single_target": single_target,
     "basic": basic,
     "adv": adv,
+    "att": att,
     "lipo": lipo,
     "lipo_ggnn": lipo_ggnn,
     "graph_norm": graph_norm,

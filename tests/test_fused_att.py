@@ -118,12 +118,24 @@ class TestFusedAtt:
     def test_ineligible_shapes_fall_back(self):
         from mpnn_tpu.models.fused_train import fused_step_eligible
         cfg, params, state, jb, labels = _setup()
-        for kw in ({"update_hidden": "state"}, {"message_input": "state"},
-                   {"msg_norm": "bn1d"}, {"share_message_weights": False}):
+        for kw in ({"message_input": "state"}, {"msg_norm": "bn1d"}):
             bad = dataclasses.replace(cfg, **kw)
             assert not fused_step_eligible(bad, jb, training=True), kw
         assert not fused_step_eligible(
             dataclasses.replace(cfg, aggregation="wadj"), jb,
+            training=True)
+        # round 4: update_hidden='state' and per-step message weights are
+        # now ELIGIBLE — they route to the T-step kernel
+        # (make_fused_att_steps_op; tests/test_fused_norm_modes.py)
+        for kw in ({"update_hidden": "state"},
+                   {"update_hidden": "state",
+                    "share_message_weights": False}):
+            good = dataclasses.replace(cfg, **kw)
+            assert fused_step_eligible(good, jb, training=True), kw
+        # ...but per-step weights with the COLLAPSED 'initial' hidden stay
+        # on the XLA path (h_T = GRU(msgs_T, h0); no kernel models it)
+        assert not fused_step_eligible(
+            dataclasses.replace(cfg, share_message_weights=False), jb,
             training=True)
 
     def test_trainer_wiring(self):

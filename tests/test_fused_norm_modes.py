@@ -238,6 +238,88 @@ class TestPstepsNormModes:
                                    rtol=2e-4, atol=1e-5)
 
 
+def _setup_att_steps(share, state_norm, agg, readout):
+    """T-step att-family shapes (kernels/fused_att.py::
+    make_fused_att_steps_op): the att_model reference shape is per-step
+    message fns + adj aggregation + stateless BN + set2vec
+    (models/att_model.py:6-59)."""
+    from mpnn_tpu import graphs as G
+    from mpnn_tpu import models
+    from mpnn_tpu.kernels.fused_step import attach_fused_plan
+    gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+        SMILES, [0.1 * len(s) for s in SMILES]))
+    nf = ge.atom_width()
+    cfg = models.MPNNConfig(
+        node_features=nf, edge_features=ge.bond_width(),
+        message_features=nf, output_dim=3, message_steps=3,
+        message_fn="att_edge_network", aggregation=agg,
+        share_message_weights=share, update_hidden="state",
+        state_norm=state_norm, readout=readout, set2vec_steps=6,
+        edge_mlp_tail_repeats=2)
+    params, state = models.mpnn_init(jax.random.PRNGKey(1), cfg)
+    packed = G.collate_packed(gs).as_dict()
+    packed = G.attach_edge_vocab(packed, vocab_cap=16)
+    packed = attach_fused_plan(packed, block_edges=128)
+    jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
+          for k, v in packed.items()}
+    labels = jnp.asarray(np.random.RandomState(0).randn(
+        packed["graph_mask"].shape[0]).astype(np.float32))
+    return cfg, params, state, jb, labels
+
+
+ATT_STEPS_MODES = [
+    (False, "stateless", "adj", "set2vec"),   # the att_model shape
+    (False, "none", "adj", "graph_level"),
+    (True, "stateless", "adj", "graph_level"),
+    (False, "stateless", "att", "graph_level"),
+]
+
+
+class TestAttStepsNormModes:
+    @pytest.mark.parametrize("share,state_norm,agg,readout",
+                             ATT_STEPS_MODES)
+    def test_train_and_eval_parity(self, share, state_norm, agg, readout):
+        from mpnn_tpu.models.fused_train import (fused_mpnn_eval,
+                                                 fused_mpnn_out,
+                                                 fused_step_eligible,
+                                                 make_fused_eval_for_batch,
+                                                 make_fused_step_for_batch)
+        from mpnn_tpu.models.sparse import sparse_mpnn_apply
+        cfg, params, state, jb, labels = _setup_att_steps(
+            share, state_norm, agg, readout)
+        assert fused_step_eligible(cfg, jb, training=True)
+        op = make_fused_step_for_batch(cfg, jb, interpret=True)
+
+        def loss_k(p, s):
+            out, ns = fused_mpnn_out(p, s, cfg, jb, op)
+            per = ((out - labels[:, None]) ** 2) * jb["graph_mask"][:, None]
+            return per.sum() / jb["graph_mask"].sum(), (out, ns)
+
+        def loss_r(p, s):
+            out, ns = sparse_mpnn_apply(p, s, cfg, jb, training=True)
+            per = ((out - labels[:, None]) ** 2) * jb["graph_mask"][:, None]
+            return per.sum() / jb["graph_mask"].sum(), (out, ns)
+
+        (lk, _), gk = jax.value_and_grad(loss_k, has_aux=True)(params,
+                                                               state)
+        (lr, _), gr = jax.value_and_grad(loss_r, has_aux=True)(params,
+                                                               state)
+        np.testing.assert_allclose(float(lk), float(lr), rtol=3e-5)
+        fk, tk = jax.tree.flatten(gk)
+        fr, tr = jax.tree.flatten(gr)
+        assert tk == tr
+        for i, (a, b) in enumerate(zip(fk, fr)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=3e-5,
+                err_msg=f"grad leaf {i}")
+        ev = make_fused_eval_for_batch(cfg, jb, interpret=True)
+        out_e = fused_mpnn_eval(params, state, cfg, jb, ev)
+        out_er, _ = sparse_mpnn_apply(params, state, cfg, jb,
+                                      training=False)
+        np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_er),
+                                   rtol=3e-4, atol=2e-5)
+
+
 class TestZooConfigsEligible:
     def test_basic_single_target_autoencoder_fuse(self):
         """The VERDICT's literal 'Done': the basic / single_target /
@@ -252,7 +334,7 @@ class TestZooConfigsEligible:
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
         packed = attach_fused_plan(packed, block_edges=128)
         for name in ("basic", "single_target", "autoencoder",
-                     "graph_norm"):
+                     "graph_norm", "att"):
             net = zoo.build(name, afm=ge.atom_width(),
                             bfm=ge.bond_width())
             assert fused_step_eligible(net.mpnn, packed, training=True), \
