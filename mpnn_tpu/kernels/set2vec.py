@@ -73,7 +73,7 @@ def _s2v_fwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
                     mh_out, mr_out, mhs_out, mrs_out, cs_out, att_out,
                     e_s, mr_s,
                     *, steps: int, w: int, wp: int, nw: int, gb: int,
-                    npad: int):
+                    npad: int, batch_softmax: bool = True):
     dt = jnp.float32
     gw = GRAPH_BLOCK
     wt = {"i": wti_ref[:], "f": wtf_ref[:], "g": wtg_ref[:],
@@ -104,11 +104,34 @@ def _s2v_fwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
             eb = _dot(we_ref[:].T, th)                     # (1, nw)
             own = jnp.sum(og, axis=1, keepdims=True).T     # (1, nw)
             e_s[0:1, pl.ds(ns, nw)] += eb * own
-        e = e_s[0:1, :] + amask
-        att = jnp.exp(e - jnp.max(e))                      # global softmax
-        att = att / jnp.sum(att)
-        att_out[t - 1:t, :] = att
-        e_s[0:1, :] = att          # park att so blocks can ref-slice it
+        if batch_softmax:
+            e = e_s[0:1, :] + amask
+            att = jnp.exp(e - jnp.max(e))                  # global softmax
+            att = att / jnp.sum(att)
+            att_out[t - 1:t, :] = att
+            e_s[0:1, :] = att      # park att so blocks can ref-slice it
+        else:
+            # PER-GRAPH softmax: each graph lives wholly inside one
+            # 128-graph block's node window, so max/exp/denom/normalize
+            # all complete block-locally in ONE pass (more local than the
+            # batch-global quirk). Non-own lanes (window overlap, pad
+            # nodes outside every block) are pinned to −1e8 pre-exp so
+            # exp() underflows to exact 0 — no inf·0 hazards.
+            e_s[1:2, :] = e_s[0:1, :] + amask
+            e_s[0:1, :] = jnp.zeros_like(e_s[0:1, :])
+            for j in range(gb):
+                ns = pl.multiple_of(ns_ref[j], 128)
+                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                own = jnp.sum(og, axis=1, keepdims=True).T    # (1, nw)
+                eb = e_s[1:2, pl.ds(ns, nw)] * own \
+                    + (1.0 - own) * _BIG_NEG
+                mx = jnp.max(og * eb.T + (1.0 - og) * _BIG_NEG,
+                             axis=0, keepdims=True)           # (1, gw)
+                zb = jnp.exp(eb - _dot(mx, og.T)) * own
+                den = _dot(zb, og)                            # (1, gw)
+                attb = zb / (_dot(den, og.T) + (1.0 - own))
+                e_s[0:1, pl.ds(ns, nw)] += attb * own
+            att_out[t - 1:t, :] = e_s[0:1, :]
         for j in range(gb):
             ns = pl.multiple_of(ns_ref[j], 128)
             og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
@@ -138,7 +161,7 @@ def _s2v_bwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
                     dwqt_out, dwe_out,
                     datt_s, dq_s,
                     *, steps: int, w: int, wp: int, nw: int, gb: int,
-                    npad: int):
+                    npad: int, batch_softmax: bool = True):
     dt = jnp.float32
     gw = GRAPH_BLOCK
     wt = {"i": wti_ref[:], "f": wtf_ref[:], "g": wtg_ref[:],
@@ -177,8 +200,24 @@ def _s2v_bwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
             dab = jnp.sum(drb * xb, axis=0, keepdims=True) * own
             datt_s[0:1, pl.ds(ns, nw)] += dab
         datt = datt_s[0:1, :]
-        de = att * (datt - jnp.sum(datt * att))            # global softmax
-        datt_s[0:1, :] = de        # park de so blocks can ref-slice it
+        if batch_softmax:
+            de = att * (datt - jnp.sum(datt * att))        # global softmax
+            datt_s[0:1, :] = de    # park de so blocks can ref-slice it
+        else:
+            # per-graph softmax backward: de_v = att_v·(datt_v − s_g(v)),
+            # s_g = Σ_{v∈g} datt_v·att_v — one block-local pass
+            datt_s[2:3, :] = datt * att
+            datt_s[3:4, :] = datt
+            datt_s[0:1, :] = jnp.zeros_like(datt)
+            for j in range(gb):
+                ns = pl.multiple_of(ns_ref[j], 128)
+                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                own = jnp.sum(og, axis=1, keepdims=True).T
+                sg = _dot(datt_s[2:3, pl.ds(ns, nw)] * own, og)  # (1, gw)
+                ab = datt_s[1:2, pl.ds(ns, nw)]
+                deb = ab * (datt_s[3:4, pl.ds(ns, nw)]
+                            - _dot(sg, og.T))
+                datt_s[0:1, pl.ds(ns, nw)] += deb * own
         # --- energies backward: e = we^T tanh(q_bcast + x)
         for j in range(gb):
             ns = pl.multiple_of(ns_ref[j], 128)
@@ -254,15 +293,18 @@ def _s2v_vmem(wp: int, npad: int, gp: int, steps: int, n_node_panels: int):
 
 
 def make_set2vec_op(w: int, n: int, n_graphs: int, *, time_steps: int,
-                    node_window: int = 2048, interpret: bool = False):
+                    node_window: int = 2048, interpret: bool = False,
+                    batch_softmax: bool = True):
     """Fused set2vec readout op.
 
     op(rparams {'lstm': {w_hi..b_ho}, 'q_attn': {w}, 'e_attn': {w}},
        x (N, w), mask (N, 1), node_graph (N,) int32, ns) -> m (G, 2w)
 
-    Differentiable in rparams and x. batch-global softmax ('default'
-    inner product) — the reference configuration; per-graph softmax and
-    'dot' mode stay on the XLA path."""
+    Differentiable in rparams and x. batch_softmax=True is the reference
+    quirk (softmax over ALL nodes in the batch, set2vec.py:139); False is
+    the sane per-graph normalization — block-local in this kernel, since
+    each graph lives wholly inside one 128-graph block's node window.
+    'dot' energy mode stays on the XLA path."""
     npad = _round_up(n, 128)
     wp = _round_up(w, 16)
     gp = _round_up(max(n_graphs, 1), GRAPH_BLOCK)
@@ -313,7 +355,7 @@ def make_set2vec_op(w: int, n: int, n_graphs: int, *, time_steps: int,
         packed = pack(rparams, x, mask, node_graph)
         kernel = functools.partial(
             _s2v_fwd_kernel, steps=time_steps, w=w, wp=wp, nw=nw, gb=gb,
-            npad=npad)
+            npad=npad, batch_softmax=batch_softmax)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
@@ -360,7 +402,7 @@ def make_set2vec_op(w: int, n: int, n_graphs: int, *, time_steps: int,
                       ((0, wp - w), (0, gp - n_graphs)))
         kernel = functools.partial(
             _s2v_bwd_kernel, steps=time_steps, w=w, wp=wp, nw=nw, gb=gb,
-            npad=npad)
+            npad=npad, batch_softmax=batch_softmax)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),

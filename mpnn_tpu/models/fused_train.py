@@ -232,17 +232,18 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
                 node_window=int(batch["fs_node_window"]),
                 interpret=interpret)
         s2v_op = None
-        if cfg.readout == "set2vec" and cfg.set2vec_batch_softmax:
+        if cfg.readout == "set2vec":
             # the fused set2vec readout (kernels/set2vec.py) — the att
             # probe attributed 3.9 of the 4.4 ms att step to the XLA
-            # set2vec scan; per-graph softmax ('batch_softmax=False')
-            # stays on the XLA path
+            # set2vec scan; both softmax modes fuse (batch-global = the
+            # reference quirk; per-graph = the sane default)
             from mpnn_tpu.kernels.set2vec import make_set2vec_op
             s2v_op = make_set2vec_op(
                 2 * cfg.node_features, n, g,
                 time_steps=cfg.set2vec_steps,
                 node_window=int(batch["fs_node_window"]),
-                interpret=interpret)
+                interpret=interpret,
+                batch_softmax=cfg.set2vec_batch_softmax)
         return {"att": att_op, "s2v": s2v_op}
     from mpnn_tpu.kernels.fused_step import make_fused_step_op
     k = (cfg.ggnn_num_edge_types + 1 if cfg.message_fn == "ggnn"

@@ -174,9 +174,12 @@ class TestFusedAtt:
 
 
 class TestSet2VecKernel:
-    def test_forward_and_grads_match_sparse(self):
+    @pytest.mark.parametrize("batch_softmax", [True, False])
+    def test_forward_and_grads_match_sparse(self, batch_softmax):
         """The fused set2vec readout kernel (kernels/set2vec.py) vs
-        sparse_set2vec: values + gradients in rparams and x."""
+        sparse_set2vec: values + gradients in rparams and x — BOTH
+        softmax modes (batch-global = the reference quirk; per-graph =
+        the sane default, block-local in-kernel)."""
         from mpnn_tpu import graphs as G
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
         from mpnn_tpu.kernels.set2vec import make_set2vec_op
@@ -200,14 +203,15 @@ class TestSet2VecKernel:
         ns = jnp.asarray(packed["fs_ns"])
         op = make_set2vec_op(w, n, g, time_steps=6,
                              node_window=int(packed["fs_node_window"]),
-                             interpret=True)
+                             interpret=True,
+                             batch_softmax=batch_softmax)
 
         def out_k(rp, xx):
             return op(rp, xx, mask, ngr, ns)
 
         def out_r(rp, xx):
             return sparse_set2vec(rp, xx, mask, ngr, g, time_steps=6,
-                                  batch_softmax=True)
+                                  batch_softmax=batch_softmax)
 
         ok = out_k(rparams, x)
         orf = out_r(rparams, x)
