@@ -132,9 +132,17 @@ class PackedBatch:
     labels: np.ndarray
     graph_mask: np.ndarray
     num_graphs: int
+    # per-ATOM labels packed on the flat node axis (node_cap, nbits) —
+    # the ECFP task's per-atom bit matrices (reference
+    # collate_2d_ecfp_graphs pads them dense (B, N, nbits); packed they
+    # are node-space like node_feats). None for per-graph-label tasks.
+    node_labels: Optional[np.ndarray] = None
 
     def as_dict(self) -> Dict[str, np.ndarray]:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        if d.get("node_labels") is None:
+            d.pop("node_labels", None)
+        return d
 
 
 def collate_packed(graphs: List[MolGraph],
@@ -177,15 +185,29 @@ def collate_packed(graphs: List[MolGraph],
         n_off += a
         e_off += e
 
-    labels = np.stack([np.asarray(g.label) for g in graphs]) \
-        if graphs[0].label is not None else np.zeros((len(graphs),))
-    if labels.shape[0] < ng:
-        pad = np.zeros((ng - labels.shape[0],) + labels.shape[1:],
-                       labels.dtype)
-        labels = np.concatenate([labels, pad])
+    node_labels = None
+    first_label = graphs[0].label
+    if first_label is not None and np.asarray(first_label).ndim == 2 \
+            and np.asarray(first_label).shape[0] == graphs[0].num_atoms:
+        # per-ATOM matrix labels (the ECFP task): pack node-space
+        nbits = np.asarray(first_label).shape[-1]
+        node_labels = np.zeros((node_cap, nbits),
+                               np.asarray(first_label).dtype)
+        n_off = 0
+        for g in graphs:
+            node_labels[n_off:n_off + g.num_atoms] = g.label
+            n_off += g.num_atoms
+        labels = np.zeros((ng,), np.float32)
+    else:
+        labels = np.stack([np.asarray(g.label) for g in graphs]) \
+            if first_label is not None else np.zeros((len(graphs),))
+        if labels.shape[0] < ng:
+            pad = np.zeros((ng - labels.shape[0],) + labels.shape[1:],
+                           labels.dtype)
+            labels = np.concatenate([labels, pad])
     return PackedBatch(node_feats, node_nafm, node_mask, node_graph,
                        edge_src, edge_dst, edge_feats, edge_mask,
-                       labels, graph_mask, ng)
+                       labels, graph_mask, ng, node_labels)
 
 
 def build_edge_vocab(graphs, vocab_cap: int = 32):

@@ -54,9 +54,19 @@ class GraphLoader:
         self.buckets = buckets
         self.drop_last = drop_last
         self.with_nafm = with_nafm
+        # per-ATOM matrix labels (the ECFP task): packed batches carry
+        # them node-space as 'node_labels' (collate_packed); the native
+        # packers only know scalar/per-graph labels, so fall back to the
+        # python collate for this task
+        self._node_space_labels = bool(graphs) \
+            and graphs[0].label is not None \
+            and np.asarray(graphs[0].label).ndim == 2 \
+            and (np.asarray(graphs[0].label).shape[0]
+                 == graphs[0].num_atoms)
         if use_native:
             from mpnn_tpu import native
-            use_native = native.available()
+            use_native = native.available() \
+                and not self._node_space_labels
         self.use_native = use_native
         # ONE packed shape for the whole run: cap = the worst possible batch
         # (top-batch_size graphs by node/edge count). Per-batch caps would

@@ -82,6 +82,18 @@ _register(Experiment(
     notes="GGNN messages in the lipo shell (the reference's latent "
           "lipo_basic_model.py:4 composition)"))
 
+# models/att_model.py: AttEdgeNetwork + AdjMsgAgg + per-step fns +
+# stateless masked BN + Set2Vec — the reference composition has no
+# dedicated driver script; classification hyperparameters follow the
+# sibling attention driver (test_adv.py)
+_register(Experiment(
+    name="att_classification", task="classification", model="att",
+    loss="ce",
+    train=TrainConfig(epochs=500, batch_size=16, learning_rate=1e-3,
+                      loss="ce"),
+    notes="models/att_model.py: per-step AttEdge + stateless BN + "
+          "Set2Vec (driverless reference composition)"))
+
 # test_graph_norm.py: normed model classification
 _register(Experiment(
     name="graph_norm_classification", task="classification",
@@ -130,6 +142,18 @@ _register(Experiment(
                       weight_decay=1e-5, loss="ecfp_mse"),
     notes="test_graph_encode_norm_ecfp.py: 16384-bit Morgan multi-label"))
 
+
+# models/basic_model_ecfp.py: bilinear message + state-history readout on
+# the per-atom ECFP multi-label task — the reference composition has no
+# dedicated driver; hyperparameters follow the ECFP driver
+_register(Experiment(
+    name="ecfp_bilinear", task="ecfp", model="ecfp_bilinear",
+    loss="ecfp_mse",
+    train=TrainConfig(epochs=500, batch_size=128, learning_rate=1e-3,
+                      weight_decay=1e-5, loss="ecfp_mse"),
+    notes="models/basic_model_ecfp.py: BiLiniearEdgeNetwork + "
+          "concat-state-history readout (driverless reference "
+          "composition)"))
 
 # test_single_target.py: binary one-vs-rest on a hardcoded target class
 # (243), basic model + 4-layer MLP head

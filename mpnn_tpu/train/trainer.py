@@ -122,9 +122,24 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str,
                 (per * gm[:, None]).sum() / (gm.sum() * out.shape[-1])
         elif kind == "ecfp_mse":
             # MSE(sigmoid(out·mask), per-atom bits)
-            # (test_graph_encode_norm_ecfp.py:137); dense-only layout
-            pred = jax.nn.sigmoid(out[:, None, :] * batch["mask"])
-            loss = ((pred - labels) ** 2).mean()
+            # (test_graph_encode_norm_ecfp.py:137)
+            if "node_labels" in batch:
+                # PACKED layout: bits ride node-space (collate_packed).
+                # Mean over REAL atom entries — the dense reference's
+                # .mean() also averages constant (sigmoid(0)−0)² = 0.25
+                # terms at padded slots, which contribute zero gradient;
+                # the packed loss differs from it only by that constant
+                # offset and the denominator (documented convention).
+                ng_idx = jnp.clip(batch["node_graph"], 0,
+                                  out.shape[0] - 1)
+                pred = jax.nn.sigmoid(out[ng_idx])
+                nl = batch["node_labels"].astype(out.dtype)
+                nm = batch["node_mask"]
+                per = ((pred - nl) ** 2) * nm
+                loss = per.sum() / (nm.sum() * out.shape[-1])
+            else:
+                pred = jax.nn.sigmoid(out[:, None, :] * batch["mask"])
+                loss = ((pred - labels) ** 2).mean()
         else:
             raise ValueError(kind)
         return loss, (out, new_state)
@@ -368,10 +383,13 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
         #   * any wrapper / head BN / dense head / loss (e.g. the REAL
         #     lipo driver): the kernel emits `out`, the rest stays in XLA
         #     and drives the backward through the out cotangent
-        #     (fused_mpnn_out). ecfp_mse is dense-layout-only, excluded.
+        #     (fused_mpnn_out). ecfp_mse fuses when the batch carries the
+        #     packed node-space bit labels (node_labels).
         from mpnn_tpu.models.fused_train import fused_step_eligible
         probe = next(iter(train_loader), None)
-        if (probe is not None and cfg.loss != "ecfp_mse"
+        ecfp_ok = cfg.loss != "ecfp_mse" or (probe is not None
+                                             and "node_labels" in probe)
+        if (probe is not None and ecfp_ok
                 and fused_step_eligible(net_cfg.mpnn, probe,
                                         training=True)):
             use_fused_step = True

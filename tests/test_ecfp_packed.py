@@ -1,0 +1,140 @@
+"""Packed-layout ECFP task (round-3 VERDICT item 2): per-atom bit labels
+ride the flat node axis ('node_labels', collate_packed), the ecfp_mse loss
+gets a packed branch, and the encoded_ecfp config trains FUSED through the
+per-step whole-step kernel (the one reference task that had zero packed/
+fused story)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+SMILES = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "CC(C)O",
+          "NC(=O)c1ccccc1", "CCCN", "OC(=O)c1ccccc1O", "CCOC", "CCCC",
+          "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "c1ccccc1N"]
+NBITS = 64
+
+
+def _ecfp_graphs():
+    from mpnn_tpu import graphs as G
+    from mpnn_tpu.chem import mol_from_smiles
+    from mpnn_tpu.chem.ecfp import ecfp_bits_per_atom
+    from mpnn_tpu.graphs.graph import from_mol
+    raw = []
+    for s in SMILES:
+        mol = mol_from_smiles(s)
+        g = from_mol(mol, label=0.0)
+        g.label = ecfp_bits_per_atom(mol, radius=2, nbits=NBITS)
+        raw.append(g)
+    return G.encode_molgraphs(raw)
+
+
+class TestPackedCollation:
+    def test_node_labels_packed(self):
+        from mpnn_tpu import graphs as G
+        gs, ge = _ecfp_graphs()
+        loader = G.GraphLoader(gs, len(SMILES), collate="packed",
+                               fused_step_plan=True)
+        b = next(iter(loader))
+        assert "node_labels" in b
+        nl = np.asarray(b["node_labels"])
+        assert nl.shape[-1] == NBITS
+        # real rows match each graph's bits; padded rows are zero
+        off = 0
+        for g in gs:
+            np.testing.assert_array_equal(nl[off:off + g.num_atoms],
+                                          g.label)
+            off += g.num_atoms
+        assert not nl[off:].any()
+
+    def test_scalar_labels_unaffected(self):
+        from mpnn_tpu import graphs as G
+        gs, ge = G.encode_molgraphs(G.generate_molgraphs(
+            SMILES, [0.1 * len(s) for s in SMILES]))
+        b = next(iter(G.GraphLoader(gs, len(SMILES), collate="packed")))
+        assert "node_labels" not in b
+
+
+class TestPackedEcfpLoss:
+    def test_packed_vs_dense_gradient_relation(self):
+        """The packed loss averages over REAL atom entries; the dense
+        reference's .mean() also averages zero-gradient padding terms —
+        the gradients therefore agree up to the exact factor
+        count/(B·N)."""
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu import models
+        from mpnn_tpu.models.network import NetworkConfig, network_init
+        from mpnn_tpu.train.trainer import make_loss_fn
+        gs, ge = _ecfp_graphs()
+        nf = ge.atom_width()
+        mcfg = models.MPNNConfig(
+            node_features=nf, edge_features=ge.bond_width(),
+            message_features=nf, output_dim=8, message_steps=2,
+            edge_mlp_tail_repeats=2)
+        cfg = NetworkConfig(mpnn=mcfg, input_wrapper="plain",
+                            head="linear", head_output=NBITS)
+        params, state = network_init(jax.random.PRNGKey(0), cfg)
+        loss_fn = make_loss_fn(cfg, "ecfp_mse")
+        packed = next(iter(G.GraphLoader(gs, len(SMILES),
+                                         collate="packed")))
+        dense = next(iter(G.GraphLoader(gs, len(SMILES), collate="dense",
+                                        use_native=False)))
+        jp = {k: jnp.asarray(v) if not np.isscalar(v) else v
+              for k, v in packed.items()}
+        jd = {k: jnp.asarray(v) for k, v in dense.items()}
+
+        def lp(p, s):
+            return loss_fn(p, s, jp, True)[0]
+
+        def ld(p, s):
+            return loss_fn(p, s, jd, True)[0]
+
+        gp = jax.grad(lp)(params, state)
+        gd = jax.grad(ld)(params, state)
+        b, n = np.asarray(dense["mask"]).shape[:2]
+        count = float(np.asarray(packed["node_mask"]).sum())
+        scale = count / (b * n)
+        fp_, tp_ = jax.tree.flatten(gp)
+        fd_, td_ = jax.tree.flatten(gd)
+        assert tp_ == td_
+        for i, (a, c) in enumerate(zip(fp_, fd_)):
+            np.testing.assert_allclose(
+                np.asarray(a) * scale, np.asarray(c), rtol=2e-4,
+                atol=1e-6, err_msg=f"leaf {i}")
+
+
+class TestEncodedEcfpFusedTraining:
+    def test_trains_packed_and_fused(self):
+        """encoded_ecfp (per-step msg bn1d + state 'none' + output BN +
+        16384-style multi-label head) trains packed with fuse_step=True,
+        and the fused loss matches the unfused XLA run exactly."""
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu.models import zoo
+        from mpnn_tpu.models.fused_train import fused_step_eligible
+        from mpnn_tpu.train import trainer
+        gs, ge = _ecfp_graphs()
+        net = zoo.build("encoded_ecfp", afm=ge.atom_width(),
+                        bfm=ge.bond_width(), n_out=NBITS, enc_afm=8,
+                        enc_bfm=2)
+        net = dataclasses.replace(net, mpnn=dataclasses.replace(
+            net.mpnn, edge_mlp_tail_repeats=2, message_steps=2))
+        probe = next(iter(G.GraphLoader(gs, len(SMILES),
+                                        collate="packed",
+                                        fused_step_plan=True)))
+        assert fused_step_eligible(net.mpnn, probe, training=True)
+        tcfg = trainer.TrainConfig(
+            epochs=2, batch_size=len(SMILES), learning_rate=1e-3,
+            loss="ecfp_mse", packed=True, fuse_step=True,
+            spmm="kernel_interpret", seed=317, shuffle=False,
+            log_path=None)
+        _, _, _, hist = trainer.train(net, tcfg, gs)
+        tcfg2 = dataclasses.replace(tcfg, fuse_step=False, spmm="xla")
+        _, _, _, hist2 = trainer.train(net, tcfg2, gs)
+        for h, h2 in zip(hist, hist2):
+            assert np.isfinite(h["train_loss"])
+            np.testing.assert_allclose(h["train_loss"], h2["train_loss"],
+                                       rtol=1e-4)
