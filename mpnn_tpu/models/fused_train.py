@@ -258,7 +258,7 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
 
 
 def _input_transforms(params, state, cfg: MPNNConfig, batch, *,
-                      training: bool):
+                      training: bool, axis_name=None):
     """The encoded-family input pipeline in XLA, producing the kernel's h0
     and transformed edge features — mirrors sparse_mpnn_apply's prologue
     exactly (models/sparse.py: mask → encoders → input BN; reference
@@ -266,7 +266,9 @@ def _input_transforms(params, state, cfg: MPNNConfig, batch, *,
     state_updates) where state_updates carries the input-BN EMA advance
     ({} when cfg has no input norm). bn1d_apply re-masks its output, so
     padded node/edge rows come back exactly zero — the invariant the
-    kernel's grid padding relies on."""
+    kernel's grid padding relies on. Under data parallelism pass
+    `axis_name` so the input BN uses exact cross-replica stats
+    (parallel/fused_dp.py)."""
     from mpnn_tpu.ops import bn1d_apply
     from mpnn_tpu.ops.autoencoders import tanh_encoder_apply
     h0 = batch["node_feats"] * batch["node_mask"]
@@ -279,10 +281,11 @@ def _input_transforms(params, state, cfg: MPNNConfig, batch, *,
     if cfg.input_norm:
         h0, updates["aebn"] = bn1d_apply(
             params["aebn"], state["aebn"], h0, batch["node_mask"],
-            training=training)
+            training=training, axis_name=axis_name)
         edge_feats, updates["bebn"] = bn1d_apply(
             params["bebn"], state["bebn"], edge_feats,
-            batch["edge_mask"][:, None], training=training)
+            batch["edge_mask"][:, None], training=training,
+            axis_name=axis_name)
     return h0, edge_feats, updates
 
 

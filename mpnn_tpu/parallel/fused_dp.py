@@ -39,8 +39,18 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mpnn_tpu.models.config import MPNNConfig
-from mpnn_tpu.models.fused_train import (_build_a_form, _fold_emas,
+from mpnn_tpu.models.fused_train import (_att_readout, _bn_param_or_dummy,
+                                         _bn_params_list_or_dummy,
+                                         _build_a_form,
+                                         _build_a_form_psteps,
+                                         _build_att_form,
+                                         _build_att_form_steps, _ema,
+                                         _fold_emas, _input_transforms,
+                                         _psteps_shape,
+                                         fused_eval_eligible,
+                                         fused_mpnn_eval,
                                          fused_step_eligible,
+                                         make_fused_eval_for_batch,
                                          make_fused_step_for_batch)
 
 _STATIC_KEYS = ("fs_block_edges", "fs_window", "fs_node_window")
@@ -119,39 +129,99 @@ def shard0_view(superbatch: Dict) -> Dict:
 # the sharded train step
 # ---------------------------------------------------------------------------
 
+def _family_of(cfg: MPNNConfig) -> str:
+    if cfg.message_fn == "att_edge_network":
+        return "att"
+    return "psteps" if _psteps_shape(cfg) else "shared"
+
+
 def make_fused_dp_train_step(cfg: MPNNConfig, tx, mesh: Mesh,
                              example_superbatch: Dict, *,
                              axis: str = "data", interpret: bool = False):
-    """Build the DP train step over the whole-step fused kernel.
+    """Build the DP train step over the whole-step fused kernel — ANY
+    fused family: the shared-weights kernel (flagship/GGNN/basic shapes),
+    the per-step-parameter kernel (encoded family — per-step BN stats get
+    the same count-weighted global combine), and the att kernels
+    (collapsed or T-step; no in-recurrence stats). The encoded family's
+    input encoders + input BN run in XLA with exact CROSS-REPLICA stats
+    (bn1d_apply's axis_name psum) around the local kernels.
 
     `example_superbatch` fixes the compiled shapes (stack_shards output,
     arrays of shape (n_devices, ...)). The returned step takes
     (params, state, opt_state, superbatch_arrays) — strip statics with
     split_statics — and returns (loss, params, new_state, opt_state, out)
-    with `out` the (n_devices * G_shard, output_dim) global readout."""
+    with `out` the (n_devices * G_shard, output_dim) global readout.
+    Loss = the global graph-count-weighted masked MSE on the kernel's
+    readout (output_norm configs are out of scope — the obn affine would
+    need its own cross-replica story)."""
     shard0 = shard0_view(example_superbatch)
     if not fused_step_eligible(cfg, shard0, training=True):
         raise ValueError("config/batch not fused-step eligible")
+    if cfg.output_norm:
+        raise ValueError("fused DP does not cover output_norm configs")
     fused_op = make_fused_step_for_batch(cfg, shard0, interpret=interpret)
+    family = _family_of(cfg)
+    nf, mf, T = cfg.node_features, cfg.message_features, cfg.message_steps
 
-    def local_step(params, batch):
+    def local_step(params, state, batch):
         b = {k: v[0] for k, v in batch.items()}   # this device's shard
         labels = b.pop("labels")
         cnt = b["graph_mask"].sum()
         total = jax.lax.psum(cnt, axis)
 
         def lf(p):
-            h0 = b["node_feats"] * b["node_mask"]
-            amat, a0, vid = _build_a_form(p, cfg, b)
-            loss, out, ma_stats, step_stats = fused_op(
-                amat, a0, p["message"][0]["message_bias"], h0,
-                b["node_mask"], b["node_graph"], p["gru"],
-                p["ma_bn"][0], p["bn"][0], p["readout"], labels,
-                b["graph_mask"], vid, b["edge_src"], b["edge_dst"],
-                b["fs_win"], b["fs_ns"])
-            return loss * (cnt / total), (out, ma_stats, step_stats)
+            h0, efeats, in_upd = _input_transforms(
+                p, state, cfg, b, training=True, axis_name=axis)
+            if family == "shared":
+                amat, a0, vid = _build_a_form(p, cfg, b,
+                                              edge_feats=efeats)
+                loss, out, ma_stats, step_stats = fused_op(
+                    amat, a0, p["message"][0]["message_bias"], h0,
+                    b["node_mask"], b["node_graph"], p["gru"],
+                    _bn_param_or_dummy(p, "ma_bn", mf),
+                    _bn_param_or_dummy(p, "bn", nf),
+                    p["readout"], labels,
+                    b["graph_mask"], vid, b["edge_src"], b["edge_dst"],
+                    b["fs_win"], b["fs_ns"])
+                stats = (ma_stats, tuple(step_stats))
+            elif family == "psteps":
+                amat, a0, mbias, vid = _build_a_form_psteps(
+                    p, cfg, b, efeats)
+                loss, out, ma_stats, bn_stats = fused_op(
+                    amat, a0, mbias, h0, b["node_mask"],
+                    b["node_graph"], p["gru"],
+                    _bn_params_list_or_dummy(p, "ma_bn", mf, T),
+                    _bn_params_list_or_dummy(p, "bn", nf, T),
+                    p["readout"], labels, b["graph_mask"], vid,
+                    b["edge_src"], b["edge_dst"], b["fs_win"],
+                    b["fs_ns"])
+                stats = (tuple(ma_stats), tuple(bn_stats))
+            else:
+                ops = fused_op if isinstance(fused_op, dict) \
+                    else {"att": fused_op, "s2v": None}
+                if cfg.update_hidden == "state":
+                    aprime, a0, qv, q0, wh = _build_att_form_steps(
+                        p, cfg, b, efeats)
+                else:
+                    aprime, a0, qv, q0, wh = _build_att_form(
+                        p, cfg, b, efeats)
+                h = ops["att"](aprime, a0, qv, q0, wh, h0,
+                               b["node_mask"], b["node_graph"],
+                               p["gru"], b["edge_vid"], b["edge_src"],
+                               b["edge_dst"], b["fs_win"], b["fs_ns"])
+                if ops.get("s2v") is not None:
+                    x = jnp.concatenate([h, h0], axis=-1)
+                    out = ops["s2v"](p["readout"], x, b["node_mask"],
+                                     b["node_graph"], b["fs_ns"])
+                else:
+                    out = _att_readout(p, cfg, h, h0, b)
+                per = ((out - labels[:, None]) ** 2) \
+                    * b["graph_mask"][:, None]
+                loss = per.sum() / cnt
+                stats = ()
+            return loss * (cnt / total), (out, stats, in_upd)
 
-        (wloss, (out, ma_stats, step_stats)), grads = jax.value_and_grad(
+        (wloss, (out, stats, in_upd)), grads = jax.value_and_grad(
             lf, has_aux=True)(params)
         loss = jax.lax.psum(wloss, axis)
         grads = jax.lax.psum(grads, axis)
@@ -161,32 +231,82 @@ def make_fused_dp_train_step(cfg: MPNNConfig, tx, mesh: Mesh,
         nc = b["node_mask"].sum()
         nt = jax.lax.psum(nc, axis)
 
-        def comb(stats):
-            m, v = stats
+        def comb(s):
+            m, v = s
             gm = jax.lax.psum(m * nc, axis) / nt
             ex2 = jax.lax.psum((v + m * m) * nc, axis) / nt
             return gm, ex2 - gm * gm
 
-        ma_g = comb(ma_stats)
-        st_g = tuple(comb(s) for s in step_stats)
-        return loss, grads, out, ma_g, st_g
+        if family == "shared":
+            ma_stats, step_stats = stats
+            stats_g = (comb(ma_stats), tuple(comb(s) for s in step_stats))
+        elif family == "psteps":
+            ma_l, bn_l = stats
+            stats_g = (tuple(comb(s) for s in ma_l),
+                       tuple(comb(s) for s in bn_l))
+        else:
+            stats_g = ()
+        return loss, grads, out, stats_g, in_upd
 
     sharded, repl = P(axis), P()
     # check_vma=False: pallas_call's out_shapes carry no varying-across-
     # mesh annotation, so the static replication checker cannot see that
     # the psum'd outputs are replicated (they are — by construction)
     sm = shard_map(local_step, mesh=mesh,
-                   in_specs=(repl, sharded),
+                   in_specs=(repl, repl, sharded),
                    out_specs=(repl, repl, sharded, repl, repl),
                    check_vma=False)
 
     @jax.jit
     def step(params, state, opt_state, superbatch):
-        loss, grads, out, ma_g, st_g = sm(params, superbatch)
-        new_state = _fold_emas(state, cfg, ma_g, list(st_g))
+        loss, grads, out, stats_g, in_upd = sm(params, state, superbatch)
+        if family == "shared" and stats_g:
+            ma_g, st_g = stats_g
+            new_state = _fold_emas(state, cfg, ma_g, list(st_g))
+        elif family == "psteps":
+            ma_g, bn_g = stats_g
+            new_state = dict(state)
+            if cfg.msg_norm == "bn1d":
+                new_state["ma_bn"] = [_ema(s, st) for s, st
+                                      in zip(state["ma_bn"], ma_g)]
+            if cfg.state_norm == "bn1d":
+                new_state["bn"] = [_ema(s, st) for s, st
+                                   in zip(state["bn"], bn_g)]
+        else:
+            new_state = dict(state)
+        new_state.update(in_upd)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return loss, params, new_state, opt_state, out
+
+    return step
+
+
+def make_fused_dp_eval_step(cfg: MPNNConfig, mesh: Mesh,
+                            example_superbatch: Dict, *,
+                            axis: str = "data", interpret: bool = False):
+    """Sharded SERVING step: each device runs the whole-step INFERENCE
+    kernel on its own packed shard (eval-mode BN = running-stat affines —
+    no cross-device state at all, so DP serving is embarrassingly
+    parallel over ICI-free shards). Returns step(params, state,
+    superbatch_arrays) → out (n_devices · G_shard, output_dim)."""
+    shard0 = shard0_view(example_superbatch)
+    if not fused_eval_eligible(cfg, shard0):
+        raise ValueError("config/batch not fused-eval eligible")
+    eval_op = make_fused_eval_for_batch(cfg, shard0, interpret=interpret)
+
+    def local(params, state, batch):
+        b = {k: v[0] for k, v in batch.items()}
+        b.pop("labels", None)
+        return fused_mpnn_eval(params, state, cfg, b, eval_op)
+
+    sm = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(axis)),
+                   out_specs=P(axis), check_vma=False)
+
+    @jax.jit
+    def step(params, state, superbatch):
+        return sm(params, state, superbatch)
 
     return step
 
