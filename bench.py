@@ -80,6 +80,77 @@ def att_mpnn_cfg(ge):
         message_steps=3, edge_mlp_tail_repeats=50)
 
 
+def encoded_mpnn_cfg(ge):
+    """Encoded family (normed_encoded_basic_model semantics: frozen AEs
+    compress the input widths, input BN, PER-STEP message weights +
+    per-step bn1d pairs) — rides the per-step whole-step kernel
+    (kernels/fused_psteps.py)."""
+    from mpnn_tpu import models
+    enc = 8
+    return models.MPNNConfig(
+        node_features=enc, edge_features=2, message_features=enc,
+        output_dim=2 * enc, message_steps=3,
+        share_message_weights=False, per_step_norms=True,
+        msg_norm="bn1d", state_norm="bn1d",
+        atom_encoder="atom_ae", atom_encoder_in=ge.atom_width() + 3,
+        bond_encoder="bond_ae", bond_encoder_in=ge.bond_width(),
+        input_norm=True, edge_mlp_tail_repeats=50)
+
+
+def att_model_mpnn_cfg(ge):
+    """att_model (models/att_model.py semantics: per-step AttEdgeNetwork
+    + adj aggregation + stateless masked BN + set2vec, GRU over the
+    evolving state) — rides the T-step att kernel
+    (kernels/fused_att.py::make_fused_att_steps_op)."""
+    from mpnn_tpu import models
+    nf = ge.atom_width() + 3
+    return models.MPNNConfig(
+        node_features=nf, edge_features=ge.bond_width(),
+        message_features=nf, output_dim=4 * nf,
+        message_fn="att_edge_network", aggregation="adj",
+        share_message_weights=False, update_hidden="state",
+        state_norm="stateless", readout="set2vec", set2vec_steps=12,
+        message_steps=3, edge_mlp_tail_repeats=50)
+
+
+def basic_mpnn_cfg(ge):
+    """Basic family (basic_model.py semantics: shared EdgeNetwork, NO
+    norms, 3 steps — also the single_target / autoencoder shape) — rides
+    the norm-mode-generalized whole-step kernel."""
+    from mpnn_tpu import models
+    nf = ge.atom_width() + 3
+    return models.MPNNConfig(
+        node_features=nf, edge_features=ge.bond_width(),
+        message_features=nf, output_dim=4 * ge.atom_width(),
+        message_steps=3, edge_mlp_tail_repeats=50)
+
+
+def graph_norm_mpnn_cfg(ge):
+    """graph_norm family (normed_basic_model.py semantics: PER-STEP
+    message fns + stateless masked BN) — rides the per-step kernel with
+    the stateless norm mode."""
+    from mpnn_tpu import models
+    nf = ge.atom_width() + 3
+    return models.MPNNConfig(
+        node_features=nf, edge_features=ge.bond_width(),
+        message_features=nf, output_dim=4 * ge.atom_width(),
+        message_steps=3, share_message_weights=False,
+        state_norm="stateless", edge_mlp_tail_repeats=50)
+
+
+def bilinear_mpnn_cfg(ge):
+    """ecfp_bilinear family (basic_model_ecfp.py semantics: parameterless
+    bilinear message, ef == nf³ coherence, messages from the EVOLVING
+    state, concat-state-history readout) — XLA sparse path (no kernel:
+    per-edge bilinear chains have no A-form)."""
+    from mpnn_tpu import models
+    return models.MPNNConfig(
+        node_features=2, edge_features=8, message_features=2,
+        output_dim=32, message_fn="bilinear", aggregation="adj",
+        message_steps=2, message_input="state", update_hidden="initial",
+        concat_state_history=True)
+
+
 def ggnn_mpnn_cfg(ge):
     """GGNN message family (ggnn_msg_pass.py semantics: per-bond-type
     weight matrices, type 0 pinned to zero) in the flagship lipo shell —
@@ -111,7 +182,10 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
 
     gs, ge = build_batch(batch_size, edge_types=(model == "ggnn"))
     cfg = {"flagship": flagship_mpnn_cfg, "att": att_mpnn_cfg,
-           "ggnn": ggnn_mpnn_cfg}[model](ge)
+           "ggnn": ggnn_mpnn_cfg, "encoded": encoded_mpnn_cfg,
+           "att_model": att_model_mpnn_cfg, "basic": basic_mpnn_cfg,
+           "graph_norm": graph_norm_mpnn_cfg,
+           "bilinear": bilinear_mpnn_cfg}[model](ge)
     if tail is not None:        # component-isolation probe, not a real config
         import dataclasses
         cfg = dataclasses.replace(cfg, edge_mlp_tail_repeats=tail)
@@ -122,6 +196,17 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         # type 0 = the zero matrix); GGNN has no edge MLP, hence no vocab
         packed = G.with_edge_types(packed, gs)
         use_vocab = False
+    if model == "bilinear":
+        # parameterless bilinear chains need ef == nf³ (ops/message.py);
+        # shape the real features to the config's coherent widths (a
+        # synthetic-width THROUGHPUT row — the reference feeds encoder-
+        # compressed widths here, basic_model_ecfp.py:53-54)
+        use_vocab = False
+        nf3 = cfg.node_features ** 3
+        ef = packed["edge_feats"]
+        if ef.shape[-1] < nf3:
+            ef = np.pad(ef, ((0, 0), (0, nf3 - ef.shape[-1])))
+        packed["edge_feats"] = ef[:, :nf3]
     if use_vocab:
         # edge vocab: run the ×50 edge-MLP per DISTINCT bond-feature row
         # (≤16 here), not per edge — exact (graphs/batching.py)
@@ -134,7 +219,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         # node count exceeds the forward's scoped-VMEM cap.
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
         from mpnn_tpu.models.fused_train import fused_step_eligible
-        assert model in ("flagship", "ggnn", "att")
+        assert model in ("flagship", "ggnn", "att", "encoded",
+                         "att_model", "basic", "graph_norm")
         assert use_vocab or model == "ggnn"
         packed = attach_fused_plan(packed, block_edges=spmm_block)
         assert "fs_win" in packed, "fused-step window plan failed"
@@ -166,6 +252,9 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         packed = attach_segment_slots(packed)
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
+    if model == "bilinear":
+        packed["node_feats"] = \
+            packed["node_feats"][:, :cfg.node_features]
     edge_mlp_fn = None
     if tail_kernel:
         from mpnn_tpu.kernels.edge_mlp import make_edge_mlp_op
@@ -294,15 +383,26 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
 
     gs, ge = build_batch(batch_size, edge_types=(model == "ggnn"))
     cfg = {"flagship": flagship_mpnn_cfg, "att": att_mpnn_cfg,
-           "ggnn": ggnn_mpnn_cfg}[model](ge)
+           "ggnn": ggnn_mpnn_cfg, "encoded": encoded_mpnn_cfg,
+           "att_model": att_model_mpnn_cfg, "basic": basic_mpnn_cfg,
+           "graph_norm": graph_norm_mpnn_cfg,
+           "bilinear": bilinear_mpnn_cfg}[model](ge)
     params, state = mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
     if model == "ggnn":
         packed = G.with_edge_types(packed, gs)
+    elif model == "bilinear":
+        fuse = False        # no kernel; XLA sparse path (bench_sparse shim)
+        nf3 = cfg.node_features ** 3
+        ef = packed["edge_feats"]
+        if ef.shape[-1] < nf3:
+            ef = np.pad(ef, ((0, 0), (0, nf3 - ef.shape[-1])))
+        packed["edge_feats"] = ef[:, :nf3]
     else:
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
     eval_op = None
-    if fuse and model in ("flagship", "ggnn", "att"):
+    if fuse and model in ("flagship", "ggnn", "att", "encoded",
+                      "att_model", "basic", "graph_norm"):
         # whole-step INFERENCE kernel (running-stat BN folded to affines):
         # messages -> recurrence -> readout in ONE launch
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
@@ -314,6 +414,9 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
             eval_op = make_fused_eval_for_batch(cfg, packed)
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
+    if model == "bilinear":
+        packed["node_feats"] = \
+            packed["node_feats"][:, :cfg.node_features]
     real_edges = int(packed["edge_mask"].sum())
     jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
           for k, v in packed.items()}
@@ -461,11 +564,15 @@ def main(argv=None):
                         "50 left ~80 us/step of pure dispatch overhead, "
                         "500 cuts it to ~8: 0.481 -> 0.436 ms/step measured)")
     p.add_argument("--model", default="flagship",
-                   choices=["flagship", "att", "ggnn"],
-                   help="flagship (lipo EdgeNetwork), the attention "
-                        "family (AttEdgeNetwork + att agg + set2vec), or "
-                        "ggnn (per-bond-type matrices; rides the same "
-                        "whole-step fused kernel — natively A-form)")
+                   choices=["flagship", "att", "ggnn", "encoded",
+                            "att_model", "basic", "graph_norm",
+                            "bilinear"],
+                   help="flagship (lipo EdgeNetwork), att (AttEdgeNetwork "
+                        "+ att agg + set2vec, collapsed hidden), ggnn "
+                        "(per-bond-type matrices), encoded (frozen AEs + "
+                        "per-step weights/BN pairs — the psteps kernel), "
+                        "or att_model (per-step AttEdge + stateless BN + "
+                        "evolving state — the T-step att kernel)")
     args = p.parse_args(argv)
 
     # att now fuses too (kernels/fused_att.py) — fuse_step is the default
@@ -476,13 +583,16 @@ def main(argv=None):
         value, real_edges, last_loss = bench_sparse(
             args.batch, args.iters, args.dtype,
             use_vocab=not args.no_vocab,
-            spmm=("xla" if args.model == "att" else "kernel")
+            spmm=("xla" if args.model in ("att", "att_model",
+                                          "encoded", "graph_norm",
+                                          "bilinear") else "kernel")
             if args.spmm is None else args.spmm,
             spmm_block=args.spmm_block, model=args.model,
             fuse=recurrence_fusable if args.fuse is None
             else args.fuse, tail=args.tail, tail_kernel=args.tail_kernel,
             steps_per_call=args.steps_per_call, slots=args.slots,
-            fuse_step=(args.model == "ggnn" or not args.no_vocab)
+            fuse_step=(args.model != "bilinear"
+                       and (args.model == "ggnn" or not args.no_vocab))
             if args.fuse_step is None else args.fuse_step)
     elif args.mode == "eval":
         if args.dtype != "float32" or args.no_vocab:
