@@ -1,10 +1,12 @@
-"""Exact FLOP/byte accounting for the flagship sparse train step.
+"""Exact FLOP/byte accounting for the sparse train step, per family.
 
 Compiles the SAME multi-step program bench.py times (forward + backward +
 Adam, lax.scan over STEPS_PER_CALL steps) on the CPU backend and reads
 XLA's cost model (`compiled.cost_analysis()`), so the speed-of-light math
 in BASELINE.md rests on the compiler's own FLOP count rather than hand
-estimates. Usage: python scripts/sol_accounting.py [batch ...]
+estimates. Usage:
+    python scripts/sol_accounting.py [--model flagship|att|encoded|...]
+                                     [batch ...]
 """
 
 from __future__ import annotations
@@ -28,17 +30,23 @@ import optax  # noqa: E402
 
 
 def accounting(batch_size: int, dtype: str = "float32",
-               steps_per_call: int = 10):
+               steps_per_call: int = 10, model: str = "flagship"):
     import bench
     from mpnn_tpu import graphs as G
     from mpnn_tpu import models
     from mpnn_tpu.models.sparse import sparse_mpnn_apply
     from mpnn_tpu.train.optim import adam
 
-    gs, ge = bench.build_batch(batch_size)
-    cfg = bench.flagship_mpnn_cfg(ge)
+    gs, ge = bench.build_batch(batch_size, edge_types=(model == "ggnn"))
+    cfg = {"flagship": bench.flagship_mpnn_cfg, "att": bench.att_mpnn_cfg,
+           "ggnn": bench.ggnn_mpnn_cfg, "encoded": bench.encoded_mpnn_cfg,
+           "att_model": bench.att_model_mpnn_cfg,
+           "basic": bench.basic_mpnn_cfg,
+           "graph_norm": bench.graph_norm_mpnn_cfg}[model](ge)
     params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
+    if model == "ggnn":
+        packed = G.with_edge_types(packed, gs)
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
     real_edges = int(packed["edge_mask"].sum())
@@ -94,7 +102,8 @@ def accounting(batch_size: int, dtype: str = "float32",
     from mpnn_tpu.ops.message import edge_mlp_head_dims
     _, pf = edge_mlp_head_dims(cfg.edge_features, cfg.node_features,
                                cfg.message_features)
-    print(f"batch={batch_size} dtype={dtype} real_edges={real_edges} "
+    print(f"model={model} batch={batch_size} dtype={dtype} "
+          f"real_edges={real_edges} "
           f"node_cap={node_cap} edge_cap={edge_cap} "
           f"nf={cfg.node_features} mf={cfg.message_features} pf={pf}")
     print(f"  flops/train-step      = {flops_per_step:.3e}")
@@ -106,7 +115,13 @@ def accounting(batch_size: int, dtype: str = "float32",
 
 
 if __name__ == "__main__":
-    batches = [int(b) for b in sys.argv[1:]] or [1024, 4096]
+    args = sys.argv[1:]
+    model = "flagship"
+    if "--model" in args:
+        i = args.index("--model")
+        model = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    batches = [int(b) for b in args] or [1024, 4096]
     for b in batches:
         for dt in ("float32", "bfloat16"):
-            accounting(b, dt)
+            accounting(b, dt, model=model)
