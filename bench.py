@@ -97,6 +97,28 @@ def encoded_mpnn_cfg(ge):
         input_norm=True, edge_mlp_tail_repeats=50)
 
 
+ECFP_BITS = 16384     # reference Morgan width (load_dataset.py:112-120)
+
+
+def encoded_ecfp_mpnn_cfg(ge):
+    """encoded_ecfp family (normed_encoded_basic_model_ecfp semantics:
+    encoded core with per-step message weights + per-step msg BNs, NO
+    state norm, output BN, 32-wide readout; the Linear(32, 16384) head +
+    sigmoid-MSE against per-ATOM bit labels run in XLA around the psteps
+    kernel). Per-atom bits are node-space labels (collate_packed
+    node_labels) — the packed loss gathers each node's graph output."""
+    from mpnn_tpu import models
+    enc = 8
+    return models.MPNNConfig(
+        node_features=enc, edge_features=2, message_features=enc,
+        output_dim=32, message_steps=3,
+        share_message_weights=False, per_step_norms=True,
+        msg_norm="bn1d", state_norm="none", output_norm=True,
+        atom_encoder="atom_ae", atom_encoder_in=ge.atom_width() + 3,
+        bond_encoder="bond_ae", bond_encoder_in=ge.bond_width(),
+        input_norm=True, edge_mlp_tail_repeats=50)
+
+
 def att_model_mpnn_cfg(ge):
     """att_model (models/att_model.py semantics: per-step AttEdgeNetwork
     + adj aggregation + stateless masked BN + set2vec, GRU over the
@@ -185,6 +207,7 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
            "ggnn": ggnn_mpnn_cfg, "encoded": encoded_mpnn_cfg,
            "att_model": att_model_mpnn_cfg, "basic": basic_mpnn_cfg,
            "graph_norm": graph_norm_mpnn_cfg,
+           "encoded_ecfp": encoded_ecfp_mpnn_cfg,
            "bilinear": bilinear_mpnn_cfg}[model](ge)
     if tail is not None:        # component-isolation probe, not a real config
         import dataclasses
@@ -220,7 +243,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
         from mpnn_tpu.models.fused_train import fused_step_eligible
         assert model in ("flagship", "ggnn", "att", "encoded",
-                         "att_model", "basic", "graph_norm")
+                         "att_model", "basic", "graph_norm",
+                         "encoded_ecfp")
         assert use_vocab or model == "ggnn"
         packed = attach_fused_plan(packed, block_edges=spmm_block)
         assert "fs_win" in packed, "fused-step window plan failed"
@@ -283,6 +307,22 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
     labels0 = jnp.asarray(
         np.random.RandomState(0).randn(
             packed["graph_mask"].shape[0]).astype(np.float32))
+    node_bits = None
+    if model == "encoded_ecfp":
+        # per-ATOM Morgan bits as node-space labels (the collate_packed
+        # node_labels layout, ~2% density) riding uint8 on device, plus
+        # the reference's Linear(32, 16384) head
+        # (test_graph_encode_norm_ecfp.py:95-100) trained alongside
+        rs = np.random.RandomState(1)
+        node_bits = jnp.asarray(
+            (rs.rand(packed["node_feats"].shape[0], ECFP_BITS) < 0.02)
+            .astype(np.uint8) * packed["node_mask"].astype(np.uint8))
+        params = dict(params)
+        params["ecfp_head"] = {
+            "w": jnp.asarray(rs.randn(cfg.output_dim, ECFP_BITS)
+                             .astype(np.float32)
+                             * np.sqrt(2.0 / cfg.output_dim)),
+            "b": jnp.zeros((ECFP_BITS,), jnp.float32)}
     cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     if dtype == "bfloat16":
         # mixed precision: bf16 activations/compute, f32 master params
@@ -311,6 +351,27 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                     if dtype == "bfloat16" else p
                 cs = jax.tree.map(lambda x: x.astype(cdtype), s) \
                     if dtype == "bfloat16" else s
+                if model == "encoded_ecfp":
+                    # psteps kernel emits the 32-wide readout; output BN
+                    # + the 16384-wide head + node-gathered sigmoid-MSE
+                    # (train/trainer.py ecfp_mse semantics) ride in XLA
+                    from mpnn_tpu.models.fused_train import fused_mpnn_out
+                    if fused_op is not None:
+                        out, ns = fused_mpnn_out(cp, cs, cfg, jb, fused_op)
+                    else:
+                        out, ns = sparse_mpnn_apply(cp, cs, cfg, jb,
+                                                    training=True)
+                    hd = cp["ecfp_head"]
+                    pred = jax.nn.sigmoid(
+                        out.astype(jnp.float32) @ hd["w"] + hd["b"])
+                    ng_idx = jnp.clip(jb["node_graph"], 0,
+                                      pred.shape[0] - 1)
+                    # anti-replay: the target shifts per step like labels
+                    nl = node_bits.astype(jnp.float32) \
+                        + 1e-4 * (it * STEPS_PER_CALL + k)
+                    nm = jb["node_mask"]
+                    per = ((pred[ng_idx] - nl) ** 2) * nm
+                    return per.sum() / (nm.sum() * ECFP_BITS), ns
                 if fused_op is not None:
                     if cfg.message_fn == "att_edge_network":
                         # att-family kernel (kernels/fused_att.py): gated
@@ -386,6 +447,7 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
            "ggnn": ggnn_mpnn_cfg, "encoded": encoded_mpnn_cfg,
            "att_model": att_model_mpnn_cfg, "basic": basic_mpnn_cfg,
            "graph_norm": graph_norm_mpnn_cfg,
+           "encoded_ecfp": encoded_ecfp_mpnn_cfg,
            "bilinear": bilinear_mpnn_cfg}[model](ge)
     params, state = mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
@@ -402,7 +464,7 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
     eval_op = None
     if fuse and model in ("flagship", "ggnn", "att", "encoded",
-                      "att_model", "basic", "graph_norm"):
+                      "att_model", "basic", "graph_norm", "encoded_ecfp"):
         # whole-step INFERENCE kernel (running-stat BN folded to affines):
         # messages -> recurrence -> readout in ONE launch
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
@@ -420,6 +482,15 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
     real_edges = int(packed["edge_mask"].sum())
     jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
           for k, v in packed.items()}
+    if model == "encoded_ecfp":
+        # serving = core + output BN + the 16384-wide head + sigmoid
+        rs = np.random.RandomState(1)
+        params = dict(params)
+        params["ecfp_head"] = {
+            "w": jnp.asarray(rs.randn(cfg.output_dim, ECFP_BITS)
+                             .astype(np.float32)
+                             * np.sqrt(2.0 / cfg.output_dim)),
+            "b": jnp.zeros((ECFP_BITS,), jnp.float32)}
 
     @functools.partial(jax.jit, donate_argnums=())
     def multi_fwd(params, state, jb, it):
@@ -434,6 +505,10 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
             else:
                 out, _ = sparse_mpnn_apply(params, state, cfg, b,
                                            training=False)
+            if model == "encoded_ecfp":
+                hd = params["ecfp_head"]
+                out = jax.nn.sigmoid(
+                    out.astype(jnp.float32) @ hd["w"] + hd["b"])
             return acc + out.sum(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0),
                               jnp.arange(steps_per_call))
@@ -566,7 +641,7 @@ def main(argv=None):
     p.add_argument("--model", default="flagship",
                    choices=["flagship", "att", "ggnn", "encoded",
                             "att_model", "basic", "graph_norm",
-                            "bilinear"],
+                            "encoded_ecfp", "bilinear"],
                    help="flagship (lipo EdgeNetwork), att (AttEdgeNetwork "
                         "+ att agg + set2vec, collapsed hidden), ggnn "
                         "(per-bond-type matrices), encoded (frozen AEs + "
