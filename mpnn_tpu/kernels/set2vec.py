@@ -71,7 +71,7 @@ def _s2v_fwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
                     bi_ref, bf_ref, bg_ref, bo_ref,
                     wqt_ref, we_ref,
                     mh_out, mr_out, mhs_out, mrs_out, cs_out, att_out,
-                    e_s, mr_s, q_s,
+                    e_s, mr_s,
                     *, steps: int, w: int, wp: int, nw: int, gb: int,
                     npad: int, batch_softmax: bool = True):
     dt = jnp.float32
@@ -90,29 +90,20 @@ def _s2v_fwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
     cs_out[0:wp, :] = c
     for t in range(1, steps + 1):
         h, c, _gates = _lstm_fwd(mh, mr, c, wt, wb, bs)
-        q_s[:] = _dot(wqt_ref[:], h)                       # (wp, gp)
+        q = _dot(wqt_ref[:], h)                            # (wp, gp)
         # energies row, block by block (q broadcast via membership
         # one-hot). Consecutive blocks' node windows may overlap; `own`
         # (1 exactly at this block's nodes) makes each lane written by
         # its own block only, so the += across overlaps is exact.
-        # Graph blocks ride fori_loops (q parked in scratch so blocks
-        # can ref-slice it), NOT Python unrolls: the unrolled body grew
-        # O(batch) and its Mosaic compile blew past the compile tunnel's
-        # request timeout at batch 2048 (gb=16, >60 min).
         e_s[:] = jnp.zeros_like(e_s)
-
-        def _energies_blk(j, carry):
+        for j in range(gb):
             ns = pl.multiple_of(ns_ref[j], 128)
             og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-            gs = pl.multiple_of(j * gw, 128)
-            qb = _dot(q_s[:, pl.ds(gs, gw)], og.T)         # (wp, nw)
+            qb = _dot(q[:, j * gw:(j + 1) * gw], og.T)     # (wp, nw)
             th = jnp.tanh(qb + x_ref[:, pl.ds(ns, nw)])
             eb = _dot(we_ref[:].T, th)                     # (1, nw)
             own = jnp.sum(og, axis=1, keepdims=True).T     # (1, nw)
             e_s[0:1, pl.ds(ns, nw)] += eb * own
-            return carry
-
-        jax.lax.fori_loop(0, gb, _energies_blk, 0)
         if batch_softmax:
             e = e_s[0:1, :] + amask
             att = jnp.exp(e - jnp.max(e))                  # global softmax
@@ -128,8 +119,7 @@ def _s2v_fwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
             # exp() underflows to exact 0 — no inf·0 hazards.
             e_s[1:2, :] = e_s[0:1, :] + amask
             e_s[0:1, :] = jnp.zeros_like(e_s[0:1, :])
-
-            def _pg_softmax_blk(j, carry):
+            for j in range(gb):
                 ns = pl.multiple_of(ns_ref[j], 128)
                 og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
                 own = jnp.sum(og, axis=1, keepdims=True).T    # (1, nw)
@@ -141,21 +131,13 @@ def _s2v_fwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
                 den = _dot(zb, og)                            # (1, gw)
                 attb = zb / (_dot(den, og.T) + (1.0 - own))
                 e_s[0:1, pl.ds(ns, nw)] += attb * own
-                return carry
-
-            jax.lax.fori_loop(0, gb, _pg_softmax_blk, 0)
             att_out[t - 1:t, :] = e_s[0:1, :]
-
-        def _read_blk(j, carry):
+        for j in range(gb):
             ns = pl.multiple_of(ns_ref[j], 128)
             og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
             xb = x_ref[:, pl.ds(ns, nw)]
             ab = e_s[0:1, pl.ds(ns, nw)]
-            gs = pl.multiple_of(j * gw, 128)
-            mr_s[:, pl.ds(gs, gw)] = _dot(xb * ab, og)
-            return carry
-
-        jax.lax.fori_loop(0, gb, _read_blk, 0)
+            mr_s[:, j * gw:(j + 1) * gw] = _dot(xb * ab, og)
         mh = h
         mr = mr_s[:]
         mhs_out[t * wp:(t + 1) * wp, :] = mh
@@ -177,7 +159,7 @@ def _s2v_bwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
                     dwbi_out, dwbf_out, dwbg_out, dwbo_out,
                     dbi_out, dbf_out, dbg_out, dbo_out,
                     dwqt_out, dwe_out,
-                    datt_s, dq_s, q_s, v_s,
+                    datt_s, dq_s,
                     *, steps: int, w: int, wp: int, nw: int, gb: int,
                     npad: int, batch_softmax: bool = True):
     dt = jnp.float32
@@ -202,27 +184,21 @@ def _s2v_bwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
         c_p = cs_ref[(t - 1) * wp:t * wp, :]
         h, c_t, (i, f, g, o) = _lstm_fwd(mh_p, mr_p, c_p, wt, wb, bs)
         att = att_ref[t - 1:t, :]
-        q_s[:] = _dot(wqt_ref[:], h)
-        v_s[:] = dmr               # park dmr so blocks can ref-slice it
+        q = _dot(wqt_ref[:], h)
 
         # --- read backward: dread = dmr; datt; dx; de via global softmax
         datt_s[:] = jnp.zeros_like(datt_s)
         datt_s[1:2, :] = att       # park att so blocks can ref-slice it
-
-        def _readbwd_blk(j, carry):
+        for j in range(gb):
             ns = pl.multiple_of(ns_ref[j], 128)
             og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
             own = jnp.sum(og, axis=1, keepdims=True).T     # (1, nw)
             xb = x_ref[:, pl.ds(ns, nw)]
             ab = datt_s[1:2, pl.ds(ns, nw)]
-            gs = pl.multiple_of(j * gw, 128)
-            drb = _dot(v_s[:, pl.ds(gs, gw)], og.T)        # (wp, nw)
+            drb = _dot(dmr[:, j * gw:(j + 1) * gw], og.T)  # (wp, nw)
             dx_out[:, pl.ds(ns, nw)] += ab * drb * own
             dab = jnp.sum(drb * xb, axis=0, keepdims=True) * own
             datt_s[0:1, pl.ds(ns, nw)] += dab
-            return carry
-
-        jax.lax.fori_loop(0, gb, _readbwd_blk, 0)
         datt = datt_s[0:1, :]
         if batch_softmax:
             de = att * (datt - jnp.sum(datt * att))        # global softmax
@@ -233,8 +209,7 @@ def _s2v_bwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
             datt_s[2:3, :] = datt * att
             datt_s[3:4, :] = datt
             datt_s[0:1, :] = jnp.zeros_like(datt)
-
-            def _pgbwd_blk(j, carry):
+            for j in range(gb):
                 ns = pl.multiple_of(ns_ref[j], 128)
                 og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
                 own = jnp.sum(og, axis=1, keepdims=True).T
@@ -243,26 +218,18 @@ def _s2v_bwd_kernel(ns_ref, x_ref, amask_ref, ng_ref,
                 deb = ab * (datt_s[3:4, pl.ds(ns, nw)]
                             - _dot(sg, og.T))
                 datt_s[0:1, pl.ds(ns, nw)] += deb * own
-                return carry
-
-            jax.lax.fori_loop(0, gb, _pgbwd_blk, 0)
-
         # --- energies backward: e = we^T tanh(q_bcast + x)
-        def _ebwd_blk(j, dwe_c):
+        for j in range(gb):
             ns = pl.multiple_of(ns_ref[j], 128)
             og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
             own = jnp.sum(og, axis=1, keepdims=True).T
-            gs = pl.multiple_of(j * gw, 128)
-            qb = _dot(q_s[:, pl.ds(gs, gw)], og.T)
+            qb = _dot(q[:, j * gw:(j + 1) * gw], og.T)
             th = jnp.tanh(qb + x_ref[:, pl.ds(ns, nw)])
             deb = datt_s[0:1, pl.ds(ns, nw)] * own
-            dwe_c = dwe_c + jnp.sum(th * deb, axis=1, keepdims=True)
+            dwe += jnp.sum(th * deb, axis=1, keepdims=True)
             dth = we_ref[:] * deb * (1.0 - th * th)        # (wp, nw)
             dx_out[:, pl.ds(ns, nw)] += dth * own
-            dq_s[:, pl.ds(gs, gw)] = _dot(dth, og)
-            return dwe_c
-
-        dwe = jax.lax.fori_loop(0, gb, _ebwd_blk, dwe)
+            dq_s[:, j * gw:(j + 1) * gw] = _dot(dth, og)
         # --- q = wqt·h
         dq = dq_s[:]
         dwqt += _dot(dq, h.T)
@@ -319,7 +286,7 @@ def _s2v_vmem(wp: int, npad: int, gp: int, steps: int, n_node_panels: int):
     18.65 MB fwd / 28.88 MB bwd — the panel counts below bound both with
     ~25% headroom."""
     est = (n_node_panels * wp * npad + 6 * (steps + 1) * wp * gp
-           + 4 * wp * gp + 2 * (steps + 8) * npad) * 4 + 4 * 2 ** 20
+           + 2 * (steps + 8) * npad) * 4 + 4 * 2 ** 20
     if est <= 15 * 2 ** 20:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=min(110 * 2 ** 20, est))
@@ -397,7 +364,6 @@ def make_set2vec_op(w: int, n: int, n_graphs: int, *, time_steps: int,
             scratch_shapes=[
                 pltpu.VMEM((8, npad), dt),       # energies / att row
                 pltpu.VMEM((wp, gp), dt),        # read accumulator
-                pltpu.VMEM((wp, gp), dt),        # parked q panel
             ],
         )
         wg = jax.ShapeDtypeStruct((wp, gp), dt)
@@ -445,8 +411,6 @@ def make_set2vec_op(w: int, n: int, n_graphs: int, *, time_steps: int,
             scratch_shapes=[
                 pltpu.VMEM((8, npad), dt),       # datt / parked att / de
                 pltpu.VMEM((wp, gp), dt),        # dq accumulator
-                pltpu.VMEM((wp, gp), dt),        # parked q panel
-                pltpu.VMEM((wp, gp), dt),        # parked dmr panel
             ],
         )
         ww = jax.ShapeDtypeStruct((wp, wp), dt)
