@@ -364,13 +364,20 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                     hd = cp["ecfp_head"]
                     pred = jax.nn.sigmoid(
                         out.astype(jnp.float32) @ hd["w"] + hd["b"])
-                    ng_idx = jnp.clip(jb["node_graph"], 0,
-                                      pred.shape[0] - 1)
-                    # anti-replay: the target shifts per step like labels
-                    nl = node_bits.astype(jnp.float32) \
-                        + 1e-4 * (it * STEPS_PER_CALL + k)
+                    # per-graph EXACT collapse (train/trainer.py ecfp_mse
+                    # packed semantics): n_g·q² − 2·q·s1 + s1 with
+                    # q = σ − shift; the anti-replay target shift
+                    # (bits + c) folds into q since Σ(q−y)² needs only
+                    # the binary-bit aggregate s1 = Σ_{v∈g} y_vb.
                     nm = jb["node_mask"]
-                    per = ((pred[ng_idx] - nl) ** 2) * nm
+                    ng = jb["node_graph"]
+                    s1 = jax.ops.segment_sum(
+                        node_bits.astype(jnp.float32), ng,
+                        num_segments=pred.shape[0])
+                    n_g = jax.ops.segment_sum(
+                        nm[:, 0], ng, num_segments=pred.shape[0])
+                    q = pred - 1e-4 * (it * STEPS_PER_CALL + k)
+                    per = n_g[:, None] * (q * q) - 2.0 * q * s1 + s1
                     return per.sum() / (nm.sum() * ECFP_BITS), ns
                 if fused_op is not None:
                     if cfg.message_fn == "att_edge_network":
