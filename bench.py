@@ -371,11 +371,13 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                     # the binary-bit aggregate s1 = Σ_{v∈g} y_vb.
                     nm = jb["node_mask"]
                     ng = jb["node_graph"]
-                    s1 = jax.ops.segment_sum(
-                        node_bits.astype(jnp.float32), ng,
-                        num_segments=pred.shape[0])
+                    from mpnn_tpu.train.trainer import graph_label_sums
+                    s1 = graph_label_sums(
+                        node_bits, ng, jb, pred.shape[0], jnp.float32,
+                        node_window=jb.get("fs_node_window"))
                     n_g = jax.ops.segment_sum(
-                        nm[:, 0], ng, num_segments=pred.shape[0])
+                        nm[:, 0], ng, num_segments=pred.shape[0],
+                        indices_are_sorted=True)
                     q = pred - 1e-4 * (it * STEPS_PER_CALL + k)
                     per = n_g[:, None] * (q * q) - 2.0 * q * s1 + s1
                     return per.sum() / (nm.sum() * ECFP_BITS), ns

@@ -75,10 +75,51 @@ class TrainConfig:
 # losses
 # ---------------------------------------------------------------------------
 
+def graph_label_sums(nl, ng, batch, n_graphs: int, dtype,
+                     node_window: int | None = None):
+    """Per-graph sums of node-space labels: s1[g, b] = Σ_{v∈g} nl[v, b].
+
+    The XLA scatter form (segment_sum over a (nodes, 16384) matrix) is
+    row-serialized on TPU — measured 9.25 ms at batch 1024. When the
+    batch carries the fused-step window plan AND the caller supplies the
+    plan's STATIC node_window (it is traced inside jit, so it must be
+    threaded from step-creation time), each 128-graph block's nodes lie
+    inside [fs_ns[j], fs_ns[j]+node_window), so s1 becomes gb
+    membership-one-hot MATMULS over those windows — measured 0.77 ms for
+    the identical result (scripts/probe_ecfp_s1.py). Padded nodes carry
+    node_graph == n_graphs and zeroed labels, so they drop out of both
+    forms."""
+    if node_window is not None and "fs_ns" in batch:
+        n = nl.shape[0]
+        nw = min(int(node_window), n)
+        ns_arr = batch["fs_ns"]
+        gb = int(ns_arr.shape[0])
+        parts = []
+        for j in range(gb):
+            lo = j * GRAPH_LABEL_BLOCK
+            rows = min(GRAPH_LABEL_BLOCK, n_graphs - lo)
+            if rows <= 0:
+                break
+            ns = jnp.minimum(ns_arr[j].astype(jnp.int32), n - nw)
+            ngw = jax.lax.dynamic_slice(ng, (ns,), (nw,))
+            yw = jax.lax.dynamic_slice(
+                nl, (ns, 0), (nw, nl.shape[1])).astype(dtype)
+            og = (lo + jnp.arange(rows, dtype=ngw.dtype)[:, None]
+                  == ngw[None, :]).astype(dtype)       # (rows, nw)
+            parts.append(og @ yw)
+        return jnp.concatenate(parts, axis=0)
+    return jax.ops.segment_sum(nl.astype(dtype), ng,
+                               num_segments=n_graphs,
+                               indices_are_sorted=True)
+
+
+GRAPH_LABEL_BLOCK = 128      # the fused-step plan's graph-block size
+
+
 def make_loss_fn(net_cfg: NetworkConfig, kind: str,
                  spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None,
                  fused_op=None, fused_inkernel_loss: bool = False,
-                 eval_op=None):
+                 eval_op=None, ecfp_node_window: int | None = None):
     def loss_fn(params, state, batch, training: bool):
         packed = "node_feats" in batch
         if packed and training and fused_op is not None \
@@ -139,14 +180,16 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str,
                 # batch 1024 on the v5e. Padded nodes carry node_graph
                 # = n_graphs (out of range): segment_sum drops them
                 # structurally.
-                nl = batch["node_labels"].astype(out.dtype)
+                nl = batch["node_labels"]
                 nm = batch["node_mask"]
                 ng = batch["node_graph"]
                 n_graphs = out.shape[0]
-                s1 = jax.ops.segment_sum(nl, ng, num_segments=n_graphs)
+                s1 = graph_label_sums(nl, ng, batch, n_graphs,
+                                      out.dtype,
+                                      node_window=ecfp_node_window)
                 n_g = jax.ops.segment_sum(
                     nm[:, 0].astype(out.dtype), ng,
-                    num_segments=n_graphs)
+                    num_segments=n_graphs, indices_are_sorted=True)
                 p = jax.nn.sigmoid(out)
                 per = n_g[:, None] * (p * p) - 2.0 * p * s1 + s1
                 loss = per.sum() / (nm.sum() * out.shape[-1])
@@ -166,11 +209,13 @@ def make_loss_fn(net_cfg: NetworkConfig, kind: str,
 def make_train_step(net_cfg: NetworkConfig, tx, loss_kind: str,
                     compute_dtype: str = "float32",
                     spmm_vocab_fn=None, sddmm_fn=None, recurrence_fn=None,
-                    fused_op=None, fused_inkernel_loss: bool = False):
+                    fused_op=None, fused_inkernel_loss: bool = False,
+                    ecfp_node_window: int | None = None):
     loss_fn = make_loss_fn(net_cfg, loss_kind,
                            spmm_vocab_fn=spmm_vocab_fn, sddmm_fn=sddmm_fn,
                            recurrence_fn=recurrence_fn, fused_op=fused_op,
-                           fused_inkernel_loss=fused_inkernel_loss)
+                           fused_inkernel_loss=fused_inkernel_loss,
+                           ecfp_node_window=ecfp_node_window)
     mixed = compute_dtype == "bfloat16"
 
     def _cast(tree, dtype):
@@ -430,16 +475,25 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
     # falls back to the XLA/spmm-kernel step.
     _step_fns = {}
 
-    def _make_step(fused_op, inkernel):
+    def _make_step(fused_op, inkernel, ecfp_nw=None):
         return make_train_step(net_cfg, tx, cfg.loss, cfg.compute_dtype,
                                spmm_vocab_fn=spmm_vocab_fn,
                                sddmm_fn=sddmm_fn,
                                recurrence_fn=recurrence_fn,
                                fused_op=fused_op,
-                               fused_inkernel_loss=inkernel)
+                               fused_inkernel_loss=inkernel,
+                               ecfp_node_window=ecfp_nw)
 
     def _step_for_batch(batch):
         key = None
+        # the ecfp loss's block-matmul label aggregate needs the plan's
+        # STATIC node window (traced inside jit) — thread it from here
+        # and key the cached step on it so a batch planned at a
+        # different window can't reuse a step with the wrong bake
+        ecfp_nw = None
+        if cfg.loss == "ecfp_mse" and "fs_ns" in batch \
+                and "fs_node_window" in batch:
+            ecfp_nw = int(batch["fs_node_window"])
         if use_fused_step and "fs_win" in batch:
             # node AND graph counts are part of the key: the op bakes both
             # (h0 padding, per-graph one-hots, labels reshape), and the
@@ -451,16 +505,21 @@ def train(net_cfg: NetworkConfig, cfg: TrainConfig,
                    int(np.asarray(batch["fs_win"]).shape[0]),
                    int(np.asarray(batch["node_feats"]).shape[0]),
                    int(np.asarray(batch["graph_mask"]).shape[0]))
+        fused_key = key is not None
+        if key is None and ecfp_nw is not None:
+            key = ("ecfp_nw", ecfp_nw,
+                   int(np.asarray(batch["node_feats"]).shape[0]),
+                   int(np.asarray(batch["graph_mask"]).shape[0]))
         if key not in _step_fns:
             fop = None
-            if key is not None:
+            if fused_key:
                 from mpnn_tpu.models.fused_train import \
                     make_fused_step_for_batch
                 fop = make_fused_step_for_batch(
                     net_cfg.mpnn, batch,
                     interpret=cfg.spmm == "kernel_interpret")
-            _step_fns[key] = _make_step(fop, fused_inkernel
-                                        and key is not None)
+            _step_fns[key] = _make_step(fop, fused_inkernel and fused_key,
+                                        ecfp_nw)
         return _step_fns[key]
     # the val loader carries the fused plan too, so per-epoch evaluation
     # rides the whole-step INFERENCE kernel whenever training does the
