@@ -372,9 +372,11 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                     nm = jb["node_mask"]
                     ng = jb["node_graph"]
                     from mpnn_tpu.train.trainer import graph_label_sums
+                    # node_window must be the STATIC plan int (packed is
+                    # the host dict; jb's copy is traced inside this jit)
                     s1 = graph_label_sums(
                         node_bits, ng, jb, pred.shape[0], jnp.float32,
-                        node_window=jb.get("fs_node_window"))
+                        node_window=packed.get("fs_node_window"))
                     n_g = jax.ops.segment_sum(
                         nm[:, 0], ng, num_segments=pred.shape[0],
                         indices_are_sorted=True)

@@ -852,7 +852,10 @@ def make_fused_psteps_op(steps: int, f: int, n: int, od: int,
                 jax.ShapeDtypeStruct((2 * steps * fp, 2), dt),
                 jax.ShapeDtypeStruct((2 * steps * fp, npad), dt),
             ),
-            compiler_params=_vmem_params_of(fp, npad, 8 + 4 * steps),
+            # 10: hardware-calibrated — 8 left the forward 2.54 MiB short
+            # of the compiler's 70.36 MiB stack need at 53k padded nodes
+            # (T=3, round-4 PSTEPS_NODE_CAP probe)
+            compiler_params=_vmem_params_of(fp, npad, 10 + 4 * steps),
             interpret=interpret,
         )(win, ns, src2, dst2, vid2, *common)
 

@@ -140,9 +140,15 @@ def _psteps_shape(cfg: MPNNConfig) -> bool:
 
 
 # the psteps forward keeps T (fp, npad) message accumulators + the 2T-slot
-# htil residual in VMEM — cap the padded node count well inside the raised
-# per-kernel budget (validated in interpret mode; TPU-extrapolated)
-PSTEPS_NODE_CAP = 32768
+# htil residual in VMEM — cap the padded node count inside the backward's
+# VMEM budget. TPU-VALIDATED (round 4, scripts/probe_psteps_cap.py):
+# 28.4k-node batches compile and run; the old 32768 cap was NOT actually
+# achievable (the monolithic backward's measured stack need is
+# ~3.7 KiB/node: 122.23 MiB at 33k > the 110 MiB scoped clamp, and
+# 183.78 MiB at 52.5k > the v5e's 128 MiB PHYSICAL capacity). Raising
+# past ~29k needs a streaming psteps backward (the fused_step.py
+# pattern), not a budget tweak.
+PSTEPS_NODE_CAP = 28672
 
 
 def _psteps_eligible(cfg: MPNNConfig, batch) -> bool:
