@@ -479,11 +479,10 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
         # whole-step INFERENCE kernel (running-stat BN folded to affines):
         # messages -> recurrence -> readout in ONE launch
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
-        from mpnn_tpu.models.fused_train import (fused_step_eligible,
+        from mpnn_tpu.models.fused_train import (fused_eval_eligible,
                                                  make_fused_eval_for_batch)
         packed = attach_fused_plan(packed)
-        if "fs_win" in packed and fused_step_eligible(cfg, packed,
-                                                      training=True):
+        if "fs_win" in packed and fused_eval_eligible(cfg, packed):
             eval_op = make_fused_eval_for_batch(cfg, packed)
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)

@@ -150,16 +150,22 @@ def _psteps_shape(cfg: MPNNConfig) -> bool:
 # pattern), not a budget tweak.
 PSTEPS_NODE_CAP = 28672
 
+# the EVAL kernel keeps no residual stash and runs no backward — its live
+# set (~18 + 4·T panels) fits at 53k padded nodes, where the train
+# backward cannot (TPU-validated: batch 4096 eval runs fused, round 4)
+PSTEPS_EVAL_NODE_CAP = 65536
 
-def _psteps_eligible(cfg: MPNNConfig, batch) -> bool:
+
+def _psteps_eligible(cfg: MPNNConfig, batch, *,
+                     training: bool = True) -> bool:
     has_encoder = (cfg.atom_encoder is not None
                    or cfg.bond_encoder is not None)
+    cap = PSTEPS_NODE_CAP if training else PSTEPS_EVAL_NODE_CAP
     return (_psteps_shape(cfg)
             and cfg.readout == "graph_level"
             and not (has_encoder and not cfg.input_norm)
             and "edge_vid" in batch and "fs_win" in batch
-            and int(np.asarray(batch["node_feats"]).shape[0])
-            <= PSTEPS_NODE_CAP)
+            and int(np.asarray(batch["node_feats"]).shape[0]) <= cap)
 
 
 def _att_family_eligible(cfg: MPNNConfig, batch) -> bool:
@@ -622,7 +628,7 @@ def fused_eval_eligible(cfg: MPNNConfig, batch) -> bool:
     (kernels/fused_psteps.py::make_fused_psteps_eval_op) — per-step BN
     pairs fold to per-step affines from their OWN running stats."""
     if _psteps_shape(cfg):
-        return _psteps_eligible(cfg, batch)
+        return _psteps_eligible(cfg, batch, training=False)
     return fused_step_eligible(cfg, batch, training=True)
 
 
