@@ -12,7 +12,8 @@ from mpnn_tpu.kernels.set2vec import make_set2vec_op
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 13184
 G = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-w, T = 20, 12
+T = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+w = 20
 rs = np.random.RandomState(0)
 node_graph = np.sort(rs.randint(0, G, n)).astype(np.int32)
 x = jnp.asarray(rs.randn(n, w).astype(np.float32))
@@ -34,7 +35,7 @@ rp = {"lstm": {k: jnp.asarray(rs.randn(*s).astype(np.float32)) * 0.2
 op = make_set2vec_op(w, n, G, time_steps=T)
 ng = jnp.asarray(node_graph)
 
-print(f"[probe] n={n} G={G} gb={gb} dev={jax.devices()}", flush=True)
+print(f"[probe] n={n} G={G} gb={gb} T={T} dev={jax.devices()}", flush=True)
 t0 = time.time()
 fwd = jax.jit(lambda rp, x: jnp.sum(op(rp, x, mask, ng, ns)))
 v = jax.device_get(fwd(rp, x))
