@@ -191,7 +191,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                  spmm_block: int = 512, model: str = "flagship",
                  fuse: bool = False, tail: int | None = None,
                  tail_kernel: bool = False, steps_per_call: int = 50,
-                 slots: bool = False, fuse_step: bool = False):
+                 slots: bool = False, fuse_step: bool = False,
+                 s2v_steps: int | None = None):
     import functools
     import jax
     import jax.numpy as jnp
@@ -212,6 +213,9 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
     if tail is not None:        # component-isolation probe, not a real config
         import dataclasses
         cfg = dataclasses.replace(cfg, edge_mlp_tail_repeats=tail)
+    if s2v_steps is not None and cfg.readout == "set2vec":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, set2vec_steps=s2v_steps)
     params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
     if model == "ggnn":
@@ -442,7 +446,8 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
 
 
 def bench_eval(batch_size: int, iters: int, model: str = "flagship",
-               steps_per_call: int = 500, fuse: bool = True):
+               steps_per_call: int = 500, fuse: bool = True,
+               s2v_steps: int | None = None):
     """Inference/serving throughput: forward-only, eval mode (running-stat
     BN — the mode a deployed predictor runs), packed sparse path."""
     import functools
@@ -460,6 +465,9 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
            "graph_norm": graph_norm_mpnn_cfg,
            "encoded_ecfp": encoded_ecfp_mpnn_cfg,
            "bilinear": bilinear_mpnn_cfg}[model](ge)
+    if s2v_steps is not None and cfg.readout == "set2vec":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, set2vec_steps=s2v_steps)
     params, state = mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
     if model == "ggnn":
@@ -658,6 +666,11 @@ def main(argv=None):
                         "per-step weights/BN pairs — the psteps kernel), "
                         "or att_model (per-step AttEdge + stateless BN + "
                         "evolving state — the T-step att kernel)")
+    p.add_argument("--s2v-steps", type=int, default=None,
+                   help="override set2vec time_steps for the att families "
+                        "(the reference default is 100, set2vec.py:79; the "
+                        "family configs default to 12 for the legacy rows "
+                        "— pass 100 for reference-shape rows)")
     args = p.parse_args(argv)
 
     # att now fuses too (kernels/fused_att.py) — fuse_step is the default
@@ -678,14 +691,16 @@ def main(argv=None):
             steps_per_call=args.steps_per_call, slots=args.slots,
             fuse_step=(args.model != "bilinear"
                        and (args.model == "ggnn" or not args.no_vocab))
-            if args.fuse_step is None else args.fuse_step)
+            if args.fuse_step is None else args.fuse_step,
+            s2v_steps=args.s2v_steps)
     elif args.mode == "eval":
         if args.dtype != "float32" or args.no_vocab:
             p.error("--mode eval supports neither --dtype nor --no-vocab")
         value, real_edges, last_loss = bench_eval(
             args.batch, args.iters, model=args.model,
             steps_per_call=args.steps_per_call,
-            fuse=True if args.fuse_step is None else args.fuse_step)
+            fuse=True if args.fuse_step is None else args.fuse_step,
+            s2v_steps=args.s2v_steps)
     else:
         value, real_edges, last_loss = bench_dense(args.batch, args.iters)
     suffix = "" if args.model == "flagship" else f"_{args.model}"
