@@ -588,6 +588,508 @@ def _ps_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
 
 
 # ---------------------------------------------------------------------------
+# STREAMING backward (round 5): node-blocked reverse walk for node counts
+# past the monolithic walk's VMEM ceiling (~28.7k padded nodes measured:
+# the monolith keeps ~3.7 KiB/node of live recompute temporaries —
+# 183.78 MiB at 52.5k vs the v5e's 128 MiB physical VMEM). Pattern:
+# kernels/recurrence.py::_blocked_bwd_kernel, generalized to per-step
+# params and a per-step dmsgs output. Grid (steps, 3, node-blocks),
+# reversed step t = steps − ts:
+#   phase 0 (state-norm reduce): accumulate the masked-norm backward's
+#     global sums S1/S2 (+ per-step dsw/dsb) from gh and the stashed
+#     pre-norm h̃_t — skipped entirely when state_norm == 'none';
+#   phase 1 (apply + GRU + msg-norm reduce): closed-form state-norm input
+#     gradient, GRU backward with internals recomputed blockwise from the
+#     stashed residuals (hprev from slot steps+t−2 re-normalized; mb_t
+#     from slot t−1 + its stats), per-step GRU/norm grads accumulated in
+#     VMEM outputs, the dmb cotangent written to an HBM buffer, the new
+#     gh cotangent written back in place;
+#   phase 2 (msg-norm apply): closed-form ma_bn_t input gradient from the
+#     phase-1 sums → dmsgs_t slot of the HBM dmsgs buffer — when
+#     msg_norm == 'none', phase 1 writes dmsgs directly and this phase
+#     is skipped.
+# The A0/bias + edge backward then runs as its own (nblk+1)-grid kernel
+# reading the dmsgs buffer (kept whole in VMEM: T·fp rows — 12.6 MB at
+# 65k nodes), and the readout backward reuses fused_step._ro_bwd_kernel.
+# ---------------------------------------------------------------------------
+
+def _ps_stream_walk_kernel(h0_hbm, htil_hbm, mask_hbm, c_ref, stats_ref,
+                           wir_ref, wiz_ref, win_ref, whr_ref, whz_ref,
+                           whn_ref, bir_ref, biz_ref, bin_ref, bhr_ref,
+                           bhz_ref, bhn_ref,
+                           mw_ref, mbc_ref, sw_ref, sb_ref, gh_in,
+                           gh_hbm, dmb_hbm, dmsgs_hbm,
+                           dwir_out, dwiz_out, dwin_out,
+                           dwhr_out, dwhz_out, dwhn_out,
+                           dbir_out, dbiz_out, dbin_out, dbhn_out,
+                           dmw_out, dmbias_bn_out, dsw_out, dsb_out,
+                           hblk, mblk, ghblk, pblk, mbblk, dmbblk,
+                           accS, accM, sems,
+                           *, steps: int, fp: int, blk: int,
+                           msg_norm: str = "bn1d",
+                           state_norm: str = "bn1d"):
+    ts = pl.program_id(0)
+    p = pl.program_id(1)
+    b = pl.program_id(2)
+    t = steps - ts                       # reversed step (1-indexed)
+    off = b * blk
+    c = c_ref[0, 0]
+
+    def _load(src, dst, i):
+        cp = pltpu.make_async_copy(src, dst, sems.at[i])
+        cp.start()
+        return cp
+
+    def srow(i):
+        return (stats_ref[pl.ds(i * fp, fp), 0:1],
+                stats_ref[pl.ds(i * fp, fp), 1:2])
+
+    @pl.when(jnp.logical_and(jnp.logical_and(ts == 0, p == 0), b == 0))
+    def _():
+        for o in (dwir_out, dwiz_out, dwin_out, dwhr_out, dwhz_out,
+                  dwhn_out, dbir_out, dbiz_out, dbin_out, dbhn_out,
+                  dmw_out, dmbias_bn_out, dsw_out, dsb_out):
+            o[:] = jnp.zeros_like(o)
+
+    if state_norm != "none":
+        @pl.when(p == 0)
+        def _():
+            @pl.when(b == 0)
+            def _():
+                accS[:] = jnp.zeros_like(accS)
+            cps = [_load(htil_hbm.at[pl.ds((steps + t - 1) * fp, fp),
+                                     pl.ds(off, blk)], hblk, 0),
+                   _load(mask_hbm.at[:, pl.ds(off, blk)], mblk, 1),
+                   _load(gh_hbm.at[:, pl.ds(off, blk)], ghblk, 2)]
+            for cp in cps:
+                cp.wait()
+            m = mblk[:]
+            mean, var = srow(steps + t - 1)
+            s, d = _norm_denoms(var, state_norm)
+            xhat = (hblk[:] - mean) * m / d
+            gym = ghblk[:] * m
+            if state_norm == "bn1d":
+                dsw_out[pl.ds((t - 1) * fp, fp), :] += \
+                    jnp.sum(gym * xhat, axis=1, keepdims=True)
+                dsb_out[pl.ds((t - 1) * fp, fp), :] += \
+                    jnp.sum(gym, axis=1, keepdims=True)
+                dxhat = gym * sw_ref[pl.ds((t - 1) * fp, fp), :]
+            else:
+                dxhat = gym
+            accS[:, 0:1] += jnp.sum(dxhat, axis=1, keepdims=True)
+            accS[:, 1:2] += jnp.sum(dxhat * xhat, axis=1, keepdims=True)
+
+    @pl.when(p == 1)
+    def _():
+        @pl.when(b == 0)
+        def _():
+            accM[:] = jnp.zeros_like(accM)
+        cps = [_load(mask_hbm.at[:, pl.ds(off, blk)], mblk, 0),
+               _load(gh_hbm.at[:, pl.ds(off, blk)], ghblk, 1),
+               _load(htil_hbm.at[pl.ds((t - 1) * fp, fp),
+                                 pl.ds(off, blk)], mbblk, 2)]
+        if state_norm != "none":
+            cps.append(_load(htil_hbm.at[pl.ds((steps + t - 1) * fp, fp),
+                                         pl.ds(off, blk)], hblk, 3))
+        for cp in cps:
+            cp.wait()
+
+        # hprev source: h0 at t == 1, else the stashed pre-norm h̃_{t-1}
+        @pl.when(t == 1)
+        def _():
+            _load(h0_hbm.at[:, pl.ds(off, blk)], pblk, 4).wait()
+
+        @pl.when(t > 1)
+        def _():
+            _load(htil_hbm.at[pl.ds((steps + t - 2) * fp, fp),
+                              pl.ds(off, blk)], pblk, 4).wait()
+        m = mblk[:]
+        gh = ghblk[:]
+        # state-norm input gradient (closed form; sums from phase 0)
+        if state_norm == "none":
+            dhtil = gh
+        else:
+            mean, var = srow(steps + t - 1)
+            s, d = _norm_denoms(var, state_norm)
+            xhat = (hblk[:] - mean) * m / d
+            gym = gh * m
+            if state_norm == "bn1d":
+                dxhat = gym * sw_ref[pl.ds((t - 1) * fp, fp), :]
+            else:
+                dxhat = gym
+            S1 = accS[:, 0:1]
+            S2 = accS[:, 1:2]
+            dhtil = (dxhat - m * S1 / c) / d - m * xhat * S2 / (c * s)
+        dhp = dhtil * m
+        # hprev recompute (the normalized state that entered GRU step t).
+        # At t == 1 hprev is h0 (pblk holds it); the clamped indices keep
+        # the discarded recompute branch in-bounds (pl.ds with a negative
+        # start would read out of range).
+        tp2 = jnp.maximum(t - 2, 0)
+        if state_norm == "bn1d":
+            mean_p, var_p = srow(steps + tp2)
+            _sp, d_p = _norm_denoms(var_p, "bn1d")
+            xh_p = (pblk[:] - mean_p) * m / d_p
+            hprev_n = (sw_ref[pl.ds(tp2 * fp, fp), :] * xh_p
+                       + sb_ref[pl.ds(tp2 * fp, fp), :]) * m
+        elif state_norm == "stateless":
+            mean_p, var_p = srow(steps + tp2)
+            s_p, _dp = _norm_denoms(var_p, "stateless")
+            hprev_n = (pblk[:] - mean_p) * m / s_p
+        else:
+            hprev_n = pblk[:]
+        hprev = jnp.where(t == 1, pblk[:], hprev_n)
+        # mb_t recompute (the normalized messages that entered GRU step t)
+        if msg_norm == "bn1d":
+            mean_m, var_m = srow(t - 1)
+            s_m, d_m = _norm_denoms(var_m, "bn1d")
+            xhat_m = (mbblk[:] - mean_m) * m / d_m
+            mb = (mw_ref[pl.ds((t - 1) * fp, fp), :] * xhat_m
+                  + mbc_ref[pl.ds((t - 1) * fp, fp), :]) * m
+        else:
+            mb = mbblk[:]
+        # GRU backward (monolithic psteps_reverse_walk formulas)
+        gr = _dot(wir_ref[:].T, mb) + bir_ref[:]
+        gz = _dot(wiz_ref[:].T, mb) + biz_ref[:]
+        gn = _dot(win_ref[:].T, mb) + bin_ref[:]
+        rh = _dot(whr_ref[:].T, hprev) + bhr_ref[:]
+        zh = _dot(whz_ref[:].T, hprev) + bhz_ref[:]
+        nh = _dot(whn_ref[:].T, hprev) + bhn_ref[:]
+        sr = jax.nn.sigmoid(gr + rh)
+        sz = jax.nn.sigmoid(gz + zh)
+        z = sz * m
+        tn = jnp.tanh(gn + (sr * m) * nh)
+        n_ = tn * m
+        dz = dhp * (hprev - n_)
+        dn = dhp * (1.0 - z)
+        da_n = dn * m * (1.0 - tn * tn)
+        dr = da_n * nh
+        dnh = da_n * (sr * m)
+        da_r = dr * m * sr * (1.0 - sr)
+        da_z = dz * m * sz * (1.0 - sz)
+        gh_new = dhp * z + _dot(whr_ref[:], da_r) \
+            + _dot(whz_ref[:], da_z) + _dot(whn_ref[:], dnh)
+        lastmul = jnp.where(t == 1, m, jnp.ones_like(m))
+        ghblk[:] = gh_new * lastmul
+        dwhr_out[:] += _dot(hprev, da_r.T)
+        dwhz_out[:] += _dot(hprev, da_z.T)
+        dwhn_out[:] += _dot(hprev, dnh.T)
+        dwir_out[:] += _dot(mb, da_r.T)
+        dwiz_out[:] += _dot(mb, da_z.T)
+        dwin_out[:] += _dot(mb, da_n.T)
+        dbir_out[:] += jnp.sum(da_r, axis=1, keepdims=True)
+        dbiz_out[:] += jnp.sum(da_z, axis=1, keepdims=True)
+        dbin_out[:] += jnp.sum(da_n, axis=1, keepdims=True)
+        dbhn_out[:] += jnp.sum(dnh, axis=1, keepdims=True)
+        dmb = _dot(wir_ref[:], da_r) + _dot(wiz_ref[:], da_z) \
+            + _dot(win_ref[:], da_n)
+        wb1 = pltpu.make_async_copy(
+            ghblk, gh_hbm.at[:, pl.ds(off, blk)], sems.at[0])
+        wb1.start()
+        if msg_norm == "bn1d":
+            xhat_m2 = xhat_m
+            gym_m = dmb * m
+            dmw_out[pl.ds((t - 1) * fp, fp), :] += \
+                jnp.sum(gym_m * xhat_m2, axis=1, keepdims=True)
+            dmbias_bn_out[pl.ds((t - 1) * fp, fp), :] += \
+                jnp.sum(gym_m, axis=1, keepdims=True)
+            dxhat_m = gym_m * mw_ref[pl.ds((t - 1) * fp, fp), :]
+            accM[:, 0:1] += jnp.sum(dxhat_m, axis=1, keepdims=True)
+            accM[:, 1:2] += jnp.sum(dxhat_m * xhat_m2, axis=1,
+                                    keepdims=True)
+            dmbblk[:] = dmb
+            wb2 = pltpu.make_async_copy(
+                dmbblk, dmb_hbm.at[:, pl.ds(off, blk)], sems.at[1])
+            wb2.start()
+            wb2.wait()
+        else:
+            dmbblk[:] = dmb * m
+            wb2 = pltpu.make_async_copy(
+                dmbblk, dmsgs_hbm.at[pl.ds((t - 1) * fp, fp),
+                                     pl.ds(off, blk)], sems.at[1])
+            wb2.start()
+            wb2.wait()
+        wb1.wait()
+
+    if msg_norm == "bn1d":
+        @pl.when(p == 2)
+        def _():
+            cps = [_load(mask_hbm.at[:, pl.ds(off, blk)], mblk, 0),
+                   _load(dmb_hbm.at[:, pl.ds(off, blk)], dmbblk, 1),
+                   _load(htil_hbm.at[pl.ds((t - 1) * fp, fp),
+                                     pl.ds(off, blk)], mbblk, 2)]
+            for cp in cps:
+                cp.wait()
+            m = mblk[:]
+            mean_m, var_m = srow(t - 1)
+            s_m, d_m = _norm_denoms(var_m, "bn1d")
+            xhat_m = (mbblk[:] - mean_m) * m / d_m
+            dxhat = dmbblk[:] * m * mw_ref[pl.ds((t - 1) * fp, fp), :]
+            S1 = accM[:, 0:1]
+            S2 = accM[:, 1:2]
+            dmsg = ((dxhat - m * S1 / c) / d_m
+                    - m * xhat_m * S2 / (c * s_m)) * m
+            mbblk[:] = dmsg
+            wb = pltpu.make_async_copy(
+                mbblk, dmsgs_hbm.at[pl.ds((t - 1) * fp, fp),
+                                    pl.ds(off, blk)], sems.at[0])
+            wb.start()
+            wb.wait()
+
+
+# monolithic-walk ceiling: TPU-validated at 28.4k padded nodes (round 4,
+# scripts/probe_psteps_cap.py — ~3.7 KiB/node live); past this the
+# backward streams node blocks instead
+PS_MONO_BWD_NPAD_CAP = 28672
+
+
+def _streaming_bwd(res, cot, *, pack, pack_edges, steps, f, fp, od, odp,
+                   npad, n, gp, gb, nw, kmf, kmfp, k_vocab, n_graphs,
+                   block_edges, window, msg_norm, state_norm, interpret):
+    """Decomposed large-N backward: readout bwd (fused_step's kernel) →
+    node-blocked streaming walk → A0/edge bwd. Same contract as the
+    monolithic bwd."""
+    from mpnn_tpu.kernels.fused_step import _ro_bwd_kernel
+    from mpnn_tpu.kernels.recurrence import pick_stream_blk
+    (amat, a0, mbias, h0, mask, node_graph, gru, ma_bns, bns, ro,
+     labels, gmask, vid, src, dst, win, ns, out_t, h_t, htil,
+     stats) = res
+    dt = jnp.float32
+    gl, gout, _, _ = cot
+    src2, dst2, vid2, nblk = pack_edges(vid, src, dst)
+    gl2 = jnp.asarray(gl, dt).reshape(1, 1)
+    gout_t = jnp.pad(gout.astype(dt).T,
+                     ((0, odp - od), (0, gp - n_graphs)))
+    common, a2tt = pack(amat, a0, mbias, h0, mask, node_graph, gru,
+                        ma_bns, bns, ro, labels, gmask)
+    (_a2t_p, a0p, _mbias_c, h0t, mask_row, ng_row,
+     wir, wiz, win2, whr, whz, whn, bir, biz, bin_c, bhr, bhz, bhn,
+     mwp, mbp, swp, sbp,
+     wi1, wi2, wj1, wj2, bri, brj, odm, y_row, gm_row) = common
+    c_s = jnp.sum(mask_row).reshape(1, 1)
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def _any():
+        return pl.BlockSpec(memory_space=pltpu.ANY)
+
+    # --- readout + loss backward (VMEM-resident; ~8 (fp, npad) panels)
+    ro_kernel = functools.partial(_ro_bwd_kernel, f=f, fp=fp, nw=nw,
+                                  gb=gb)
+    ro_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[_vm()] * 16,
+        out_specs=tuple([_vm()] * 8),
+        scratch_shapes=[pltpu.VMEM((odp, gp), dt)],
+    )
+    rw = jax.ShapeDtypeStruct((odp, fp), dt)
+    rc = jax.ShapeDtypeStruct((odp, 1), dt)
+    (gh_t, dh0_ro, dwi1, dwi2, dwj1, dwj2, dbri, dbrj) = pl.pallas_call(
+        ro_kernel,
+        grid_spec=ro_spec,
+        out_shape=(jax.ShapeDtypeStruct((fp, npad), dt),
+                   jax.ShapeDtypeStruct((fp, npad), dt),
+                   rw, rw, rw, rw, rc, rc),
+        compiler_params=_vmem_params_of(fp, npad, 10),
+        interpret=interpret,
+    )(ns, h_t, h0t, mask_row, ng_row, wi1, wi2, wj1, wj2,
+      bri, brj, odm, y_row, gm_row, out_t, gl2, gout_t)
+
+    # --- streaming reverse walk over node blocks
+    blk = pick_stream_blk(npad)
+    nb = -(-npad // blk)
+    npad_b = nb * blk
+    padb = ((0, 0), (0, npad_b - npad))
+
+    def padl(x):
+        return x if npad_b == npad else jnp.pad(x, padb)
+
+    walk_kernel = functools.partial(
+        _ps_stream_walk_kernel, steps=steps, fp=fp, blk=blk,
+        msg_norm=msg_norm, state_norm=state_norm)
+    fpn_b = jax.ShapeDtypeStruct((fp, npad_b), dt)
+    fpf = jax.ShapeDtypeStruct((fp, fp), dt)
+    fc = jax.ShapeDtypeStruct((fp, 1), dt)
+    tcol = jax.ShapeDtypeStruct((steps * fp, 1), dt)
+    walk_outs = pl.pallas_call(
+        walk_kernel,
+        grid=(steps, 3, nb),
+        in_specs=[_any(), _any(), _any(),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), _vm()]
+        + [_vm()] * 16 + [_any()],
+        out_specs=tuple([_any()] * 3 + [_vm()] * 14),
+        out_shape=(fpn_b, fpn_b,
+                   jax.ShapeDtypeStruct((steps * fp, npad_b), dt),
+                   fpf, fpf, fpf, fpf, fpf, fpf,
+                   fc, fc, fc, fc,
+                   tcol, tcol, tcol, tcol),
+        input_output_aliases={21: 0},
+        scratch_shapes=[
+            pltpu.VMEM((fp, blk), dt),          # hblk (h̃_t slot)
+            pltpu.VMEM((1, blk), dt),           # mblk
+            pltpu.VMEM((fp, blk), dt),          # ghblk
+            pltpu.VMEM((fp, blk), dt),          # pblk (hprev source)
+            pltpu.VMEM((fp, blk), dt),          # mbblk (msgs slot)
+            pltpu.VMEM((fp, blk), dt),          # dmbblk
+            pltpu.VMEM((fp, 2), dt),            # accS
+            pltpu.VMEM((fp, 2), dt),            # accM
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(padl(h0t), padl(htil), padl(mask_row), c_s, stats,
+      wir, wiz, win2, whr, whz, whn, bir, biz, bin_c, bhr, bhz, bhn,
+      mwp, mbp, swp, sbp, padl(gh_t))
+    (dh0_chain, _dmb, dmsgs_b,
+     dwir_o, dwiz_o, dwin_o, dwhr_o, dwhz_o, dwhn_o,
+     dbir_o, dbiz_o, dbin_o, dbhn_o,
+     dmw_o, dmbb_o, dsw_o, dsb_o) = walk_outs
+    dmsgs = dmsgs_b[:, :npad]
+
+    # --- A0/bias + edge backward (dmsgs whole in VMEM: T·fp rows)
+    mb_kernel = functools.partial(
+        _ps_msg_bwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
+        be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
+    mb_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblk + 1,),
+        in_specs=[_vm()] * 8,
+        out_specs=tuple([_vm()] * 4),
+        scratch_shapes=[
+            pltpu.VMEM((fp, gp), dt),
+            pltpu.VMEM((fp, gp), dt),
+        ],
+    )
+    (dh0_msg, da2t, da0p_o, dmbias_o) = pl.pallas_call(
+        mb_kernel,
+        grid_spec=mb_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((fp, npad), dt),
+            jax.ShapeDtypeStruct((steps * kmfp, fp), dt),
+            jax.ShapeDtypeStruct((steps * fp, fp), dt),
+            jax.ShapeDtypeStruct((steps * fp, 1), dt),
+        ),
+        compiler_params=_vmem_params_of(fp, npad, 8 + 2 * steps),
+        interpret=interpret,
+    )(win, ns, src2, dst2, vid2, a2tt, a0p, h0t, ng_row, dmsgs)
+
+    def _unblocks(ws_):
+        return jnp.stack([w[:f, :f] for w in ws_],
+                         axis=1).reshape(f, 3 * f)
+
+    def _uncol3(cs_):
+        return jnp.concatenate([cv[:f, 0] for cv in cs_])
+
+    dgru = {
+        "w_ih": _unblocks([dwir_o, dwiz_o, dwin_o]).astype(
+            gru["w_ih"].dtype),
+        "w_hh": _unblocks([dwhr_o, dwhz_o, dwhn_o]).astype(
+            gru["w_hh"].dtype),
+        "b_ih": _uncol3([dbir_o, dbiz_o, dbin_o]).astype(
+            gru["b_ih"].dtype),
+        "b_hh": _uncol3([dbir_o, dbiz_o, dbhn_o]).astype(
+            gru["b_hh"].dtype),
+    }
+    dma = [{"weight": dmw_o[t * fp:t * fp + f, 0].astype(
+                ma_bns[t]["weight"].dtype),
+            "bias": dmbb_o[t * fp:t * fp + f, 0].astype(
+                ma_bns[t]["bias"].dtype)} for t in range(steps)]
+    dbn = [{"weight": dsw_o[t * fp:t * fp + f, 0].astype(
+                bns[t]["weight"].dtype),
+            "bias": dsb_o[t * fp:t * fp + f, 0].astype(
+                bns[t]["bias"].dtype)} for t in range(steps)]
+    damat = jnp.stack(
+        [da2t[t * kmfp:t * kmfp + kmf, :f].reshape(k_vocab, f, f)
+         for t in range(steps)]).astype(amat.dtype)
+    da0 = jnp.stack([da0p_o[t * fp:t * fp + f, :f]
+                     for t in range(steps)]).astype(a0.dtype)
+    dmbias = jnp.stack([dmbias_o[t * fp:t * fp + f, 0]
+                        for t in range(steps)]).astype(mbias.dtype)
+    dh0 = (dh0_chain[:f, :npad][:, :n] + dh0_ro[:f, :n]
+           + dh0_msg[:f, :n]).T.astype(h0.dtype)
+    dro = {"i": {"w": jnp.concatenate(
+                    [dwi1[:od, :f].T, dwi2[:od, :f].T], axis=0)
+                    .astype(ro["i"]["w"].dtype),
+                 "b": dbri[:od, 0].astype(ro["i"]["b"].dtype)},
+           "j": {"w": jnp.concatenate(
+                    [dwj1[:od, :f].T, dwj2[:od, :f].T], axis=0)
+                    .astype(ro["j"]["w"].dtype),
+                 "b": dbrj[:od, 0].astype(ro["j"]["b"].dtype)}}
+    return (damat, da0, dmbias, dh0, None, None, dgru, dma, dbn,
+            dro, None, None, None, None, None, None, None)
+
+
+def _ps_msg_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
+                       a2tt_ref, a0_ref, h0_ref, ng_ref, dmsgs_ref,
+                       dh0_out, da2t_out, da0_out, dmbias_out,
+                       s_ref, das_ref,
+                       *, steps: int, f: int, fp: int, kmf: int,
+                       kmfp: int, be: int, window: int, nblk: int,
+                       nw: int, gb: int):
+    """A0/bias + per-edge SpMM backward of the per-step family, fed the
+    streaming walk's dmsgs buffer (monolithic _ps_bwd_kernel's A0/edge
+    sections verbatim, with dmsgs as an input)."""
+    p = pl.program_id(0)
+    dt = jnp.float32
+    gw = GRAPH_BLOCK
+
+    @pl.when(p == 0)
+    def _():
+        dh0_out[:] = jnp.zeros_like(dh0_out)
+        da2t_out[:] = jnp.zeros_like(da2t_out)
+        da0_out[:] = jnp.zeros_like(da0_out)
+        dmbias_out[:] = jnp.zeros_like(dmbias_out)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        for j in range(gb):
+            ns = pl.multiple_of(ns_ref[j], 128)
+            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+            s_ref[:, j * gw:(j + 1) * gw] += \
+                _dot(h0_ref[:, pl.ds(ns, nw)], og)
+        for t in range(steps):
+            das_ref[:] = jnp.zeros_like(das_ref)
+            for j in range(gb):
+                ns = pl.multiple_of(ns_ref[j], 128)
+                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                das_ref[:, j * gw:(j + 1) * gw] += _dot(
+                    dmsgs_ref[t * fp:(t + 1) * fp, pl.ds(ns, nw)], og)
+            da0_out[t * fp:(t + 1) * fp, :] += \
+                _dot(das_ref[:], s_ref[:].T)
+            das_ref[:] = _dot(a0_ref[t * fp:(t + 1) * fp, :].T,
+                              das_ref[:])
+            for j in range(gb):
+                ns = pl.multiple_of(ns_ref[j], 128)
+                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+                dh0_out[:, pl.ds(ns, nw)] += \
+                    _dot(das_ref[:, j * gw:(j + 1) * gw], og.T)
+            dmbias_out[t * fp:(t + 1) * fp, :] += jnp.sum(
+                dmsgs_ref[t * fp:(t + 1) * fp, :], axis=1, keepdims=True)
+
+    @pl.when(jnp.logical_and(p >= 1, p <= nblk))
+    def _():
+        i = p - 1
+        ws = pl.multiple_of(win_ref[i], 128)
+        src = src_ref[i, :] - ws
+        dst = dst_ref[i, :] - ws
+        vid = vid_ref[i, :]
+        oh_src, oh_dst, ohm = _edge_onehots(
+            src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
+            dtype=dt)
+        sel = _sel_t(f, fp, kmf, kmfp, dt)
+        hw = h0_ref[:, pl.ds(ws, window)]
+        hse = _dot(hw, oh_src.T)
+        for t in range(steps):
+            gwn = dmsgs_ref[t * fp:(t + 1) * fp, pl.ds(ws, window)]
+            gd = _dot(gwn, oh_dst.T)
+            bulk2 = _dot(a2tt_ref[t * kmfp:(t + 1) * kmfp, :], gd)
+            dhe = _dot(sel, ohm * bulk2)
+            dh0_out[:, pl.ds(ws, window)] += _dot(dhe, oh_src)
+            gdr = _dot(sel.T, gd)
+            da2t_out[t * kmfp:(t + 1) * kmfp, :] += \
+                _dot(ohm * gdr, hse.T)
+
+
+# ---------------------------------------------------------------------------
 # EVAL (serving) kernel — the per-step family's inference forward: each
 # per-step bn1d pair folds to a per-step per-feature affine from its OWN
 # running stats (bn1d_apply's eval branch), so serving is T per-step SpMMs
@@ -911,6 +1413,21 @@ def make_fused_psteps_op(steps: int, f: int, n: int, od: int,
         # ZERO stand-ins. NEVER set in production.
         skip = frozenset(filter(None, os.environ.get(
             "MPNN_PS_BWD_SKIP", "").split(",")))
+        # node counts past the monolithic walk's measured VMEM ceiling
+        # stream the reverse walk over node blocks (kernel above); the
+        # env override exercises the streaming path at small shapes
+        stream = (npad > PS_MONO_BWD_NPAD_CAP
+                  or os.environ.get("MPNN_PS_BWD", "auto") == "stream") \
+            and not skip
+        if stream:
+            return _streaming_bwd(
+                res, cot, pack=pack, pack_edges=pack_edges,
+                steps=steps, f=f, fp=fp, od=od, odp=odp, npad=npad,
+                n=n, gp=gp, gb=gb, nw=nw, kmf=kmf, kmfp=kmfp,
+                k_vocab=k_vocab, n_graphs=n_graphs,
+                block_edges=block_edges, window=window,
+                msg_norm=msg_norm, state_norm=state_norm,
+                interpret=interpret)
         kernel = functools.partial(
             _ps_bwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
             be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb,

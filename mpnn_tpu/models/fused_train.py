@@ -140,15 +140,15 @@ def _psteps_shape(cfg: MPNNConfig) -> bool:
 
 
 # the psteps forward keeps T (fp, npad) message accumulators + the 2T-slot
-# htil residual in VMEM — cap the padded node count inside the backward's
-# VMEM budget. TPU-VALIDATED (round 4, scripts/probe_psteps_cap.py):
-# 28.4k-node batches compile and run; the old 32768 cap was NOT actually
-# achievable (the monolithic backward's measured stack need is
-# ~3.7 KiB/node: 122.23 MiB at 33k > the 110 MiB scoped clamp, and
-# 183.78 MiB at 52.5k > the v5e's 128 MiB PHYSICAL capacity). Raising
-# past ~29k needs a streaming psteps backward (the fused_step.py
-# pattern), not a budget tweak.
-PSTEPS_NODE_CAP = 28672
+# htil residual in VMEM. Round 4 capped this at 28672: the MONOLITHIC
+# backward's measured stack need was ~3.7 KiB/node (122.23 MiB at 33k >
+# the 110 MiB scoped clamp; 183.78 MiB at 52.5k > the v5e's 128 MiB
+# PHYSICAL capacity). Round 5 added the node-blocked STREAMING backward
+# (kernels/fused_psteps.py::_ps_stream_walk_kernel, auto-selected past
+# PS_MONO_BWD_NPAD_CAP), so the binding constraint is now the FORWARD's
+# htil stash — the same ceiling as the eval kernel's. TPU-validated at
+# batch 4096 ≈ 53k padded nodes (scripts/probe_psteps_cap.py, round 5).
+PSTEPS_NODE_CAP = 65536
 
 # the EVAL kernel keeps no residual stash and runs no backward — its live
 # set (~18 + 4·T panels) fits at 53k padded nodes, where the train

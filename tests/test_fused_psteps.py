@@ -209,3 +209,43 @@ class TestFusedPsteps:
         np.testing.assert_allclose(losses[True][0], losses[False][0],
                                    rtol=5e-3)
         np.testing.assert_allclose(losses[True], losses[False], rtol=0.30)
+
+
+class TestStreamingBwd:
+    """The node-blocked streaming backward (round 5: _ps_stream_walk_kernel
+    + _ps_msg_bwd_kernel, auto-selected past PS_MONO_BWD_NPAD_CAP) must
+    produce the monolithic backward's gradients bit-for-allclose at small
+    shapes, across the family's norm modes."""
+
+    @pytest.mark.parametrize("msg_norm,state_norm",
+                             [("bn1d", "bn1d"), ("none", "stateless"),
+                              ("bn1d", "none"), ("none", "none")])
+    def test_streaming_matches_monolith(self, msg_norm, state_norm,
+                                        monkeypatch):
+        from mpnn_tpu.models.fused_train import (fused_flagship_loss,
+                                                 make_fused_step_for_batch)
+        cfg, params, state, jb, labels = _setup(encoders=False)
+        cfg = dataclasses.replace(cfg, msg_norm=msg_norm,
+                                  state_norm=state_norm,
+                                  per_step_norms=msg_norm == "bn1d"
+                                  or state_norm == "bn1d")
+
+        def grads():
+            op = make_fused_step_for_batch(cfg, jb, interpret=True)
+
+            def loss_fused(p, s):
+                loss, out, ns = fused_flagship_loss(p, s, cfg, jb,
+                                                    labels, op)
+                return loss, (out, ns)
+
+            return jax.value_and_grad(loss_fused, has_aux=True)(
+                params, state)
+
+        monkeypatch.delenv("MPNN_PS_BWD", raising=False)
+        (lm, (om, nsm)), gm = grads()
+        monkeypatch.setenv("MPNN_PS_BWD", "stream")
+        (ls, (os_, nss)), gs = grads()
+        np.testing.assert_allclose(ls, lm, rtol=1e-6)
+        _tree_close(gs, gm,  1e-4, 1e-6,
+                    f"stream grad[{msg_norm},{state_norm}]")
+        _tree_close(nss, nsm, 1e-6, 1e-8, "stream state")
