@@ -40,6 +40,10 @@ ef = packed["edge_feats"]
 if ef.shape[-1] < nf3:
     ef = np.pad(ef, ((0, 0), (0, nf3 - ef.shape[-1])))
 packed["edge_feats"] = ef[:, :nf3]
+# bench_sparse's width shim: truncate node features to the config's nf
+packed["node_feats"] = np.concatenate(
+    [packed["node_feats"], packed["node_nafm"]],
+    axis=-1)[:, :cfg.node_features]
 jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
       for k, v in packed.items()}
 real_edges = int(packed["edge_mask"].sum())
