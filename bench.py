@@ -227,8 +227,9 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         # parameterless bilinear chains need ef == nf³ (ops/message.py);
         # shape the real features to the config's coherent widths (a
         # synthetic-width THROUGHPUT row — the reference feeds encoder-
-        # compressed widths here, basic_model_ecfp.py:53-54)
-        use_vocab = False
+        # compressed widths here, basic_model_ecfp.py:53-54). The edge
+        # vocab (attached below on the SHIMMED rows) indexes the fused
+        # kernel's A table (kernels/fused_bilinear.py, round 5).
         nf3 = cfg.node_features ** 3
         ef = packed["edge_feats"]
         if ef.shape[-1] < nf3:
@@ -248,7 +249,7 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         from mpnn_tpu.models.fused_train import fused_step_eligible
         assert model in ("flagship", "ggnn", "att", "encoded",
                          "att_model", "basic", "graph_norm",
-                         "encoded_ecfp")
+                         "encoded_ecfp", "bilinear")
         assert use_vocab or model == "ggnn"
         packed = attach_fused_plan(packed, block_edges=spmm_block)
         assert "fs_win" in packed, "fused-step window plan failed"
@@ -388,10 +389,10 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                     per = n_g[:, None] * (q * q) - 2.0 * q * s1 + s1
                     return per.sum() / (nm.sum() * ECFP_BITS), ns
                 if fused_op is not None:
-                    if cfg.message_fn == "att_edge_network":
-                        # att-family kernel (kernels/fused_att.py): gated
-                        # messages + GRU in one pallas_call, set2vec + the
-                        # masked MSE in XLA around it
+                    if cfg.message_fn in ("att_edge_network", "bilinear"):
+                        # kernel computes the messages+GRU chain in one
+                        # pallas_call; the readout (set2vec / concat-
+                        # history gated output) + masked MSE in XLA
                         from mpnn_tpu.models.fused_train import \
                             fused_mpnn_out
                         out, ns = fused_mpnn_out(cp, cs, cfg, jb,
@@ -473,17 +474,25 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
     if model == "ggnn":
         packed = G.with_edge_types(packed, gs)
     elif model == "bilinear":
-        fuse = False        # no kernel; XLA sparse path (bench_sparse shim)
+        # shim the widths (ef == nf³ coherence), then the vocab on the
+        # SHIMMED rows indexes the fused kernel's A table (round 5)
         nf3 = cfg.node_features ** 3
         ef = packed["edge_feats"]
         if ef.shape[-1] < nf3:
             ef = np.pad(ef, ((0, 0), (0, nf3 - ef.shape[-1])))
         packed["edge_feats"] = ef[:, :nf3]
+        packed = G.attach_edge_vocab(packed, vocab_cap=16)
     else:
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
     eval_op = None
+    if model == "bilinear":
+        # eligibility checks node width — truncate before the plan
+        packed["node_feats"] = np.concatenate(
+            [packed["node_feats"], packed["node_nafm"]],
+            axis=-1)[:, :cfg.node_features]
     if fuse and model in ("flagship", "ggnn", "att", "encoded",
-                      "att_model", "basic", "graph_norm", "encoded_ecfp"):
+                      "att_model", "basic", "graph_norm", "encoded_ecfp",
+                      "bilinear"):
         # whole-step INFERENCE kernel (running-stat BN folded to affines):
         # messages -> recurrence -> readout in ONE launch
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
@@ -492,11 +501,9 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
         packed = attach_fused_plan(packed)
         if "fs_win" in packed and fused_eval_eligible(cfg, packed):
             eval_op = make_fused_eval_for_batch(cfg, packed)
-    packed["node_feats"] = np.concatenate(
-        [packed["node_feats"], packed["node_nafm"]], axis=-1)
-    if model == "bilinear":
-        packed["node_feats"] = \
-            packed["node_feats"][:, :cfg.node_features]
+    if model != "bilinear":       # bilinear already shimmed above
+        packed["node_feats"] = np.concatenate(
+            [packed["node_feats"], packed["node_nafm"]], axis=-1)
     real_edges = int(packed["edge_mask"].sum())
     jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
           for k, v in packed.items()}
@@ -689,8 +696,7 @@ def main(argv=None):
             fuse=recurrence_fusable if args.fuse is None
             else args.fuse, tail=args.tail, tail_kernel=args.tail_kernel,
             steps_per_call=args.steps_per_call, slots=args.slots,
-            fuse_step=(args.model != "bilinear"
-                       and (args.model == "ggnn" or not args.no_vocab))
+            fuse_step=(args.model == "ggnn" or not args.no_vocab)
             if args.fuse_step is None else args.fuse_step,
             s2v_steps=args.s2v_steps)
     elif args.mode == "eval":

@@ -843,6 +843,67 @@ def _ps_stream_walk_kernel(h0_hbm, htil_hbm, mask_hbm, c_ref, stats_ref,
 PS_MONO_BWD_NPAD_CAP = 28672
 
 
+def _ps_a0_bwd_call(ns, a0p, h0t, ng_row, dmsgs, *, steps, fp, nw, gb,
+                    gp, npad, interpret):
+    dt = jnp.float32
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    a0_kernel = functools.partial(
+        _ps_a0_bwd_kernel, steps=steps, fp=fp, nw=nw, gb=gb)
+    a0_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(2 * steps + 1, gb),
+        in_specs=[_vm()] * 4,
+        out_specs=tuple([_vm()] * 3),
+        scratch_shapes=[
+            pltpu.VMEM((fp, gp), dt),
+            pltpu.VMEM((fp, gp), dt),
+        ],
+    )
+    return pl.pallas_call(
+        a0_kernel,
+        grid_spec=a0_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((fp, npad), dt),
+            jax.ShapeDtypeStruct((steps * fp, fp), dt),
+            jax.ShapeDtypeStruct((steps * fp, 1), dt),
+        ),
+        compiler_params=_vmem_params_of(fp, npad, 6 + 2 * steps),
+        interpret=interpret,
+    )(ns, a0p, h0t, ng_row, dmsgs)
+
+
+def _ps_edge_bwd_call(win, ns, src2, dst2, vid2, a2tt, h0t, dmsgs, *,
+                      steps, f, fp, kmf, kmfp, block_edges, window,
+                      nblk, npad, interpret):
+    dt = jnp.float32
+
+    def _vm():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    edge_kernel = functools.partial(
+        _ps_edge_bwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf,
+        kmfp=kmfp, be=block_edges, window=window, nblk=nblk)
+    edge_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblk,),
+        in_specs=[_vm()] * 6,
+        out_specs=tuple([_vm()] * 2),
+    )
+    return pl.pallas_call(
+        edge_kernel,
+        grid_spec=edge_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((fp, npad), dt),
+            jax.ShapeDtypeStruct((steps * kmfp, fp), dt),
+        ),
+        compiler_params=_vmem_params_of(fp, npad, 6 + 2 * steps),
+        interpret=interpret,
+    )(win, ns, src2, dst2, vid2, a2tt, h0t, dmsgs)
+
+
 def _streaming_bwd(res, cot, *, pack, pack_edges, steps, f, fp, od, odp,
                    npad, n, gp, gb, nw, kmf, kmfp, k_vocab, n_graphs,
                    block_edges, window, msg_norm, state_norm, interpret):
@@ -975,38 +1036,38 @@ def _streaming_bwd(res, cot, *, pack, pack_edges, steps, f, fp, od, odp,
      dmw_o, dmbb_o, dsw_o, dsb_o) = walk_outs
     dmsgs = dmsgs_b[:, :npad]
 
-    # --- A0/bias + edge backward (dmsgs whole in VMEM: T·fp rows)
-    mb_kernel = functools.partial(
-        _ps_msg_bwd_kernel, steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
-        be=block_edges, window=window, nblk=nblk, nw=nw, gb=gb)
-    mb_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nblk + 1,),
-        in_specs=[_vm()] * 8,
-        out_specs=tuple([_vm()] * 4),
-        scratch_shapes=[
-            pltpu.VMEM((fp, gp), dt),
-            pltpu.VMEM((fp, gp), dt),
-        ],
-    )
+    # --- A0/bias backward + edge backward, SEPARATE kernels (dmsgs whole
+    # in VMEM: T·fp rows; see _ps_a0_bwd_kernel's branch-pathology note)
     if "msg" in sskip:
-        dh0_msg = jnp.zeros((fp, npad), dt)
+        dh0_a0 = dh0_edge = jnp.zeros((fp, npad), dt)
         da2t = jnp.zeros((steps * kmfp, fp), dt)
         da0p_o = jnp.zeros((steps * fp, fp), dt)
         dmbias_o = jnp.zeros((steps * fp, 1), dt)
+    elif "a0" in sskip:
+        dh0_a0 = jnp.zeros((fp, npad), dt)
+        da0p_o = jnp.zeros((steps * fp, fp), dt)
+        dmbias_o = jnp.zeros((steps * fp, 1), dt)
+        dh0_edge, da2t = _ps_edge_bwd_call(
+            win, ns, src2, dst2, vid2, a2tt, h0t, dmsgs,
+            steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
+            block_edges=block_edges, window=window, nblk=nblk,
+            npad=npad, interpret=interpret)
+    elif "edge" in sskip:
+        dh0_edge = jnp.zeros((fp, npad), dt)
+        da2t = jnp.zeros((steps * kmfp, fp), dt)
+        dh0_a0, da0p_o, dmbias_o = _ps_a0_bwd_call(
+            ns, a0p, h0t, ng_row, dmsgs, steps=steps, fp=fp, nw=nw,
+            gb=gb, gp=gp, npad=npad, interpret=interpret)
     else:
-        (dh0_msg, da2t, da0p_o, dmbias_o) = pl.pallas_call(
-            mb_kernel,
-            grid_spec=mb_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((fp, npad), dt),
-                jax.ShapeDtypeStruct((steps * kmfp, fp), dt),
-                jax.ShapeDtypeStruct((steps * fp, fp), dt),
-                jax.ShapeDtypeStruct((steps * fp, 1), dt),
-            ),
-            compiler_params=_vmem_params_of(fp, npad, 8 + 2 * steps),
-            interpret=interpret,
-        )(win, ns, src2, dst2, vid2, a2tt, a0p, h0t, ng_row, dmsgs)
+        dh0_a0, da0p_o, dmbias_o = _ps_a0_bwd_call(
+            ns, a0p, h0t, ng_row, dmsgs, steps=steps, fp=fp, nw=nw,
+            gb=gb, gp=gp, npad=npad, interpret=interpret)
+        dh0_edge, da2t = _ps_edge_bwd_call(
+            win, ns, src2, dst2, vid2, a2tt, h0t, dmsgs,
+            steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
+            block_edges=block_edges, window=window, nblk=nblk,
+            npad=npad, interpret=interpret)
+    dh0_msg = dh0_a0 + dh0_edge
 
     def _unblocks(ws_):
         return jnp.stack([w[:f, :f] for w in ws_],
@@ -1054,73 +1115,99 @@ def _streaming_bwd(res, cot, *, pack, pack_edges, steps, f, fp, od, odp,
             dro, None, None, None, None, None, None, None)
 
 
-def _ps_msg_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
-                       a2tt_ref, a0_ref, h0_ref, ng_ref, dmsgs_ref,
-                       dh0_out, da2t_out, da0_out, dmbias_out,
-                       s_ref, das_ref,
-                       *, steps: int, f: int, fp: int, kmf: int,
-                       kmfp: int, be: int, window: int, nblk: int,
-                       nw: int, gb: int):
-    """A0/bias + per-edge SpMM backward of the per-step family, fed the
-    streaming walk's dmsgs buffer (monolithic _ps_bwd_kernel's A0/edge
-    sections verbatim, with dmsgs as an input)."""
-    p = pl.program_id(0)
+def _ps_a0_bwd_kernel(ns_ref, a0_ref, h0_ref, ng_ref, dmsgs_ref,
+                      dh0_out, da0_out, dmbias_out,
+                      s_ref, das_ref,
+                      *, steps: int, fp: int, nw: int, gb: int):
+    """A0/bias backward of the per-step family over the streaming walk's
+    dmsgs buffer, as a SEQUENTIAL GRID (2T+1, graph-blocks): phase 0
+    accumulates the per-graph h0 sums; per step t, phase 2t+1 reduces
+    das = Σ_j dmsgs_t·og and phase 2t+2 applies (da0_t, dmbias_t, the
+    a0ᵀ·das transform once, and the per-block dh0 scatter). The fully
+    unrolled T×gb form of this section made the Mosaic register
+    allocator spill 144.19 MiB of scoped VMEM at 53k padded nodes (each
+    of the ~96 block passes' temporaries got its own spill slot, both
+    inside the old combined msg-bwd kernel and split out — isolated by
+    the MPNN_PS_STREAM_SKIP bisection); one block per grid program keeps
+    the live set a single pass's."""
     dt = jnp.float32
     gw = GRAPH_BLOCK
+    q = pl.program_id(0)
+    j = pl.program_id(1)
+    ns = pl.multiple_of(ns_ref[j], 128)
+    og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
+
+    @pl.when(jnp.logical_and(q == 0, j == 0))
+    def _():
+        dh0_out[:] = jnp.zeros_like(dh0_out)
+        da0_out[:] = jnp.zeros_like(da0_out)
+        dmbias_out[:] = jnp.zeros_like(dmbias_out)
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    @pl.when(q == 0)
+    def _():
+        s_ref[:, pl.ds(j * gw, gw)] += \
+            _dot(h0_ref[:, pl.ds(ns, nw)], og)
+
+    t = (q - 1) // 2
+    phase = jax.lax.rem(q - 1, 2)
+
+    @pl.when(jnp.logical_and(q >= 1, phase == 0))
+    def _():
+        @pl.when(j == 0)
+        def _():
+            das_ref[:] = jnp.zeros_like(das_ref)
+        das_ref[:, pl.ds(j * gw, gw)] += _dot(
+            dmsgs_ref[pl.ds(t * fp, fp), pl.ds(ns, nw)], og)
+
+    @pl.when(jnp.logical_and(q >= 1, phase == 1))
+    def _():
+        @pl.when(j == 0)
+        def _():
+            da0_out[pl.ds(t * fp, fp), :] += \
+                _dot(das_ref[:], s_ref[:].T)
+            dmbias_out[pl.ds(t * fp, fp), :] += jnp.sum(
+                dmsgs_ref[pl.ds(t * fp, fp), :], axis=1, keepdims=True)
+            das_ref[:] = _dot(a0_ref[pl.ds(t * fp, fp), :].T,
+                              das_ref[:])
+        dh0_out[:, pl.ds(ns, nw)] += \
+            _dot(das_ref[:, pl.ds(j * gw, gw)], og.T)
+
+
+def _ps_edge_bwd_kernel(win_ref, ns_ref, src_ref, dst_ref, vid_ref,
+                        a2tt_ref, h0_ref, dmsgs_ref,
+                        dh0_out, da2t_out,
+                        *, steps: int, f: int, fp: int, kmf: int,
+                        kmfp: int, be: int, window: int, nblk: int):
+    """Per-edge SpMM backward (grid (nblk,)); see _ps_a0_bwd_kernel's
+    note for why this is not fused with the A0 section."""
+    p = pl.program_id(0)
+    dt = jnp.float32
 
     @pl.when(p == 0)
     def _():
         dh0_out[:] = jnp.zeros_like(dh0_out)
         da2t_out[:] = jnp.zeros_like(da2t_out)
-        da0_out[:] = jnp.zeros_like(da0_out)
-        dmbias_out[:] = jnp.zeros_like(dmbias_out)
-        s_ref[:] = jnp.zeros_like(s_ref)
-        for j in range(gb):
-            ns = pl.multiple_of(ns_ref[j], 128)
-            og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-            s_ref[:, j * gw:(j + 1) * gw] += \
-                _dot(h0_ref[:, pl.ds(ns, nw)], og)
-        for t in range(steps):
-            das_ref[:] = jnp.zeros_like(das_ref)
-            for j in range(gb):
-                ns = pl.multiple_of(ns_ref[j], 128)
-                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-                das_ref[:, j * gw:(j + 1) * gw] += _dot(
-                    dmsgs_ref[t * fp:(t + 1) * fp, pl.ds(ns, nw)], og)
-            da0_out[t * fp:(t + 1) * fp, :] += \
-                _dot(das_ref[:], s_ref[:].T)
-            das_ref[:] = _dot(a0_ref[t * fp:(t + 1) * fp, :].T,
-                              das_ref[:])
-            for j in range(gb):
-                ns = pl.multiple_of(ns_ref[j], 128)
-                og = _graph_onehot(ng_ref, ns, j, nw=nw, dtype=dt)
-                dh0_out[:, pl.ds(ns, nw)] += \
-                    _dot(das_ref[:, j * gw:(j + 1) * gw], og.T)
-            dmbias_out[t * fp:(t + 1) * fp, :] += jnp.sum(
-                dmsgs_ref[t * fp:(t + 1) * fp, :], axis=1, keepdims=True)
 
-    @pl.when(jnp.logical_and(p >= 1, p <= nblk))
-    def _():
-        i = p - 1
-        ws = pl.multiple_of(win_ref[i], 128)
-        src = src_ref[i, :] - ws
-        dst = dst_ref[i, :] - ws
-        vid = vid_ref[i, :]
-        oh_src, oh_dst, ohm = _edge_onehots(
-            src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
-            dtype=dt)
-        sel = _sel_t(f, fp, kmf, kmfp, dt)
-        hw = h0_ref[:, pl.ds(ws, window)]
-        hse = _dot(hw, oh_src.T)
-        for t in range(steps):
-            gwn = dmsgs_ref[t * fp:(t + 1) * fp, pl.ds(ws, window)]
-            gd = _dot(gwn, oh_dst.T)
-            bulk2 = _dot(a2tt_ref[t * kmfp:(t + 1) * kmfp, :], gd)
-            dhe = _dot(sel, ohm * bulk2)
-            dh0_out[:, pl.ds(ws, window)] += _dot(dhe, oh_src)
-            gdr = _dot(sel.T, gd)
-            da2t_out[t * kmfp:(t + 1) * kmfp, :] += \
-                _dot(ohm * gdr, hse.T)
+    ws = pl.multiple_of(win_ref[p], 128)
+    src = src_ref[p, :] - ws
+    dst = dst_ref[p, :] - ws
+    vid = vid_ref[p, :]
+    oh_src, oh_dst, ohm = _edge_onehots(
+        src, dst, vid, be=be, window=window, f=f, kmf=kmf, kmfp=kmfp,
+        dtype=dt)
+    sel = _sel_t(f, fp, kmf, kmfp, dt)
+    hw = h0_ref[:, pl.ds(ws, window)]
+    hse = _dot(hw, oh_src.T)
+    for t in range(steps):
+        gwn = dmsgs_ref[t * fp:(t + 1) * fp, pl.ds(ws, window)]
+        gd = _dot(gwn, oh_dst.T)
+        bulk2 = _dot(a2tt_ref[t * kmfp:(t + 1) * kmfp, :], gd)
+        dhe = _dot(sel, ohm * bulk2)
+        dh0_out[:, pl.ds(ws, window)] += _dot(dhe, oh_src)
+        gdr = _dot(sel.T, gd)
+        da2t_out[t * kmfp:(t + 1) * kmfp, :] += \
+            _dot(ohm * gdr, hse.T)
 
 
 # ---------------------------------------------------------------------------

@@ -108,6 +108,8 @@ def fused_step_eligible(cfg: MPNNConfig, batch, *, training: bool) -> bool:
                    or cfg.bond_encoder is not None)
     if cfg.message_fn == "att_edge_network":
         return _att_family_eligible(cfg, batch)
+    if cfg.message_fn == "bilinear":
+        return _bilinear_eligible(cfg, batch)
     return (training and _shared_family_shape(cfg)
             and cfg.readout == "graph_level"
             and not (has_encoder and not cfg.input_norm)
@@ -168,6 +170,35 @@ def _psteps_eligible(cfg: MPNNConfig, batch, *,
             and int(np.asarray(batch["node_feats"]).shape[0]) <= cap)
 
 
+def _bilinear_eligible(cfg: MPNNConfig, batch) -> bool:
+    """Eligibility of the fused BILINEAR kernel (kernels/fused_bilinear.py
+    — messages from the EVOLVING state through the parameterless bilinear
+    chain, GRU hidden = initial, no norms, concat-state-history readout
+    in XLA around the kernel; basic_model_ecfp.py:5-63). Requires raw
+    (non-encoded) edge features — the per-edge W IS the feature row, so
+    a trainable/bond-encoded variant would need d(edge_feats), which the
+    kernel does not emit — plus the edge vocab (≤vocab_cap distinct bond
+    rows index the tiny A table) and the fused-step window plan."""
+    has_encoder = (cfg.atom_encoder is not None
+                   or cfg.bond_encoder is not None)
+    return (cfg.message_fn == "bilinear"
+            and cfg.aggregation == "adj"
+            and cfg.message_input == "state"
+            and cfg.update_hidden == "initial"
+            and cfg.msg_norm == "none"
+            and cfg.state_norm == "none"
+            and not cfg.input_norm
+            and not has_encoder
+            and cfg.concat_state_history
+            and cfg.readout == "graph_level"
+            and cfg.message_features == cfg.node_features
+            and cfg.edge_features == cfg.node_features ** 3
+            and not cfg.remat
+            and "edge_vid" in batch and "fs_win" in batch
+            and int(np.asarray(batch["node_feats"]).shape[0])
+            <= FUSED_STEP_NODE_CAP)
+
+
 def _att_family_eligible(cfg: MPNNConfig, batch) -> bool:
     """Eligibility of the fused ATT kernels: per-edge gated messages from
     the INITIAL state with either
@@ -219,6 +250,14 @@ def make_fused_step_for_batch(cfg: MPNNConfig, batch,
             node_window=int(batch["fs_node_window"]),
             interpret=interpret,
             msg_norm=cfg.msg_norm, state_norm=cfg.state_norm)
+    if cfg.message_fn == "bilinear":
+        from mpnn_tpu.kernels.fused_bilinear import make_fused_bilinear_op
+        k = int(np.asarray(batch["edge_vfirst"]).shape[0])
+        return make_fused_bilinear_op(
+            cfg.message_steps, cfg.node_features, n, k,
+            block_edges=int(batch["fs_block_edges"]),
+            window=int(batch["fs_window"]),
+            interpret=interpret)
     if cfg.message_fn == "att_edge_network":
         from mpnn_tpu.kernels.fused_att import (make_fused_att_op,
                                                 make_fused_att_steps_op)
@@ -457,6 +496,35 @@ def fused_att_out(params, state, cfg: MPNNConfig, batch, att_op, *,
     return out, new_state
 
 
+def fused_bilinear_out(params, state, cfg: MPNNConfig, batch, op):
+    """The bilinear family through kernels/fused_bilinear.py: the per-step
+    evolving-state bilinear messages + GRU chain in one fwd and one bwd
+    pallas_call, the concat-state-history gated readout in XLA. Serves
+    train AND eval (the family has no norms, so the forward is mode-free;
+    state passes through unchanged). Drop-in for sparse_mpnn_apply on
+    _bilinear_eligible configs."""
+    from mpnn_tpu.models.sparse import sparse_graph_level_output
+    f = cfg.node_features
+    h0 = batch["node_feats"] * batch["node_mask"]
+    ef = batch["edge_feats"] * batch["edge_mask"][:, None]
+    # vocab A-table: A_k[m, n·f + j] = W_k[n, m, j], W_k = the k-th
+    # distinct bond-feature row reshaped (bilinear_edge_network.py index
+    # order, ops/message.py)
+    vrows = ef[batch["edge_vfirst"]]
+    w = vrows.reshape(-1, f, f, f)
+    amat = jnp.transpose(w, (0, 2, 1, 3)).reshape(-1, f, f * f)
+    hist = op(amat, h0, batch["node_mask"], params["gru"],
+              batch["edge_vid"], batch["edge_src"], batch["edge_dst"],
+              batch["fs_win"])
+    ro_in = jnp.concatenate(
+        [h0] + [hist[:, t * f:(t + 1) * f]
+                for t in range(cfg.message_steps)], axis=-1)
+    out = sparse_graph_level_output(
+        params["readout"], ro_in, batch["node_mask"],
+        batch["node_graph"], batch["graph_mask"].shape[0])
+    return out, dict(state)
+
+
 def _build_a_form_psteps(params, cfg: MPNNConfig, batch, edge_feats=None,
                          edge_mlp_fn=None):
     """Per-STEP A-matrix form: stacked (T,K,f,f) amat, (T,f,f) a0, and
@@ -649,7 +717,9 @@ def make_fused_eval_for_batch(cfg: MPNNConfig, batch,
             node_window=int(batch["fs_node_window"]),
             interpret=interpret,
             msg_norm=cfg.msg_norm, state_norm=cfg.state_norm)
-    if cfg.message_fn == "att_edge_network":
+    if cfg.message_fn in ("att_edge_network", "bilinear"):
+        # these families have no in-recurrence norms — the train kernel's
+        # forward IS the eval forward
         return make_fused_step_for_batch(cfg, batch, interpret=interpret)
     from mpnn_tpu.kernels.fused_step import make_fused_eval_op
     n = int(np.asarray(batch["node_feats"]).shape[0])
@@ -674,6 +744,9 @@ def fused_mpnn_eval(params, state, cfg: MPNNConfig, batch, eval_op,
     if cfg.message_fn == "att_edge_network":
         out, _ = fused_att_out(params, state, cfg, batch, eval_op,
                                training=False, edge_mlp_fn=edge_mlp_fn)
+        return out
+    if cfg.message_fn == "bilinear":
+        out, _ = fused_bilinear_out(params, state, cfg, batch, eval_op)
         return out
     if _psteps_shape(cfg):
         h0, edge_feats, _ = _input_transforms(params, state, cfg, batch,
@@ -729,6 +802,8 @@ def fused_mpnn_out(params, state, cfg: MPNNConfig, batch, fused_op,
     if cfg.message_fn == "att_edge_network":
         return fused_att_out(params, state, cfg, batch, fused_op,
                              training=True, edge_mlp_fn=edge_mlp_fn)
+    if cfg.message_fn == "bilinear":
+        return fused_bilinear_out(params, state, cfg, batch, fused_op)
     if _psteps_shape(cfg):
         return fused_psteps_apply(params, state, cfg, batch, fused_op,
                                   edge_mlp_fn=edge_mlp_fn)
