@@ -132,6 +132,8 @@ def shard0_view(superbatch: Dict) -> Dict:
 def _family_of(cfg: MPNNConfig) -> str:
     if cfg.message_fn == "att_edge_network":
         return "att"
+    if cfg.message_fn == "bilinear":
+        return "bilinear"
     return "psteps" if _psteps_shape(cfg) else "shared"
 
 
@@ -196,6 +198,15 @@ def make_fused_dp_train_step(cfg: MPNNConfig, tx, mesh: Mesh,
                     b["edge_src"], b["edge_dst"], b["fs_win"],
                     b["fs_ns"])
                 stats = (tuple(ma_stats), tuple(bn_stats))
+            elif family == "bilinear":
+                # bilinear family: kernel messages+GRU, concat-history
+                # readout in XLA (no norms → no cross-device stats)
+                from mpnn_tpu.models.fused_train import fused_bilinear_out
+                out, _ = fused_bilinear_out(p, state, cfg, b, fused_op)
+                per = ((out - labels[:, None]) ** 2) \
+                    * b["graph_mask"][:, None]
+                loss = per.sum() / cnt
+                stats = ()
             else:
                 ops = fused_op if isinstance(fused_op, dict) \
                     else {"att": fused_op, "s2v": None}

@@ -324,3 +324,72 @@ class TestFusedDPFamilies:
         np.testing.assert_allclose(np.asarray(out),
                                    np.concatenate(outs), rtol=2e-4,
                                    atol=1e-6)
+
+
+class TestBilinearDP:
+    def test_bilinear_dp_matches_weighted_single_device(self):
+        """Round 5: the bilinear family (kernels/fused_bilinear.py) under
+        fused DP — loss = count-weighted per-shard masked MSE, readouts
+        concatenated in device order (no norms → no cross-device
+        stats)."""
+        from mpnn_tpu.models.fused_train import (fused_bilinear_out,
+                                                 fused_step_eligible)
+        n_shards = 2
+        per = 6
+        rng = np.random.RandomState(7)
+        mols = [SMILES[i % len(SMILES)] for i in range(n_shards * per)]
+        gs = G.generate_molgraphs(mols, list(range(len(mols))))
+        gs, ge = G.encode_molgraphs(gs)
+        shards = []
+        for i in range(n_shards):
+            packed = G.collate_packed(gs[i * per:(i + 1) * per],
+                                      node_cap=128, edge_cap=256,
+                                      num_graphs=per).as_dict()
+            ef = np.asarray(packed["edge_feats"])
+            ef = np.pad(ef, ((0, 0), (0, max(0, 8 - ef.shape[-1]))))
+            packed["edge_feats"] = ef[:, :8]
+            packed["node_feats"] = np.concatenate(
+                [packed["node_feats"], packed["node_nafm"]],
+                axis=-1)[:, :2]
+            packed = G.attach_edge_vocab(packed, vocab_cap=16)
+            packed["labels"] = rng.randn(per).astype(np.float32)
+            shards.append(packed)
+        shards = plan_shard_windows(shards, block_edges=128)
+        assert shards is not None
+        cfg = models.MPNNConfig(
+            node_features=2, edge_features=8, message_features=2,
+            output_dim=32, message_fn="bilinear", aggregation="adj",
+            message_steps=2, message_input="state",
+            update_hidden="initial", concat_state_history=True)
+        params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
+        assert fused_step_eligible(cfg, shard0_view(stack_shards(shards)),
+                                   training=True)
+        sup = stack_shards(shards)
+        mesh = mesh_mod.make_mesh(data=n_shards,
+                                  devices=jax.devices()[:n_shards])
+        arrays, _ = split_statics(sup)
+        step = make_fused_dp_train_step(cfg, optax.sgd(1.0), mesh, sup,
+                                        interpret=True)
+        loss, p2, _, _, out = step(params, state,
+                                   optax.sgd(1.0).init(params),
+                                   put_superbatch(mesh, arrays))
+
+        # oracle: per-shard single-device fused losses, count-weighted
+        exp_losses, outs, cnts = [], [], []
+        for b in shards:
+            jb = {k: (jnp.asarray(v) if hasattr(v, "shape") else v)
+                  for k, v in b.items()}
+            labels = jb.pop("labels")
+            op = make_fused_step_for_batch(cfg, b, interpret=True)
+            o, _ = fused_bilinear_out(params, state, cfg, jb, op)
+            gm = jb["graph_mask"][:, None]
+            per_ = ((o - labels[:, None]) ** 2) * gm
+            exp_losses.append(float(per_.sum() / gm.sum()))
+            outs.append(np.asarray(o))
+            cnts.append(float(np.asarray(b["graph_mask"]).sum()))
+        total = sum(cnts)
+        exp = sum(l * c for l, c in zip(exp_losses, cnts)) / total
+        np.testing.assert_allclose(float(loss), exp, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.concatenate(outs), rtol=2e-5,
+                                   atol=1e-6)
