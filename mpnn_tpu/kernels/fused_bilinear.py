@@ -316,7 +316,10 @@ def make_fused_bilinear_op(steps: int, f: int, n: int, k_vocab: int, *,
             kernel,
             grid_spec=grid_spec,
             out_shape=(stash, stash),
-            compiler_params=_vmem_params_of(fp, npad, 8 + 2 * steps),
+            # hardware-calibrated: the eval forward's measured stack need
+            # at 52,480 padded nodes (T=2) was 42.69 MiB — 8+2T panels
+            # left it 2.25 MiB short; 11+2T bounds it with headroom
+            compiler_params=_vmem_params_of(fp, npad, 11 + 2 * steps),
             interpret=interpret,
         )(win, src2, dst2, vid2, *packed)
 
@@ -368,7 +371,10 @@ def make_fused_bilinear_op(steps: int, f: int, n: int, k_vocab: int, *,
             out_shape=(jax.ShapeDtypeStruct((fp, npad), dt),
                        fpf, fpf, fpf, fpf, fpf, fpf,
                        fc, fc, fc, fc),
-            compiler_params=_vmem_params_of(fp, npad, 10 + 2 * steps),
+            # hardware-calibrated: the compiler's stack need at 26,240
+            # padded nodes (T=2) was 26.36 MiB — 10+2T panels left it
+            # 1.93 MiB short; 14+2T bounds it with ~15% headroom
+            compiler_params=_vmem_params_of(fp, npad, 14 + 2 * steps),
             interpret=interpret,
         )(win, src2, dst2, vid2,
           a2tt, packed[1], packed[2], hist, msgs, ghist,
