@@ -843,6 +843,65 @@ def _ps_stream_walk_kernel(h0_hbm, htil_hbm, mask_hbm, c_ref, stats_ref,
 PS_MONO_BWD_NPAD_CAP = 28672
 
 
+def _assemble_ps_grads(res_params, kernel_outs, *, steps, f, fp, kmf,
+                       kmfp, k_vocab, od, n):
+    """Shared gradient-assembly tail of the monolithic AND streaming
+    backwards: map the padded kernel output panels back to the caller's
+    param-tree layout. Both paths MUST return bit-identical grad trees
+    (TestStreamingBwd), so this lives in exactly one place."""
+    amat, a0, mbias, h0, gru, ma_bns, bns, ro = res_params
+    (dh0_t,
+     dwir_o, dwiz_o, dwin_o, dwhr_o, dwhz_o, dwhn_o,
+     dbir_o, dbiz_o, dbin_o, dbhr_o, dbhz_o, dbhn_o,
+     dmw_o, dmbb_o, dsw_o, dsb_o,
+     dwi1, dwi2, dwj1, dwj2, dbri, dbrj,
+     da2t, da0p_o, dmbias_o) = kernel_outs
+
+    def _unblocks(ws_):
+        return jnp.stack([w[:f, :f] for w in ws_],
+                         axis=1).reshape(f, 3 * f)
+
+    def _uncol3(cs_):
+        return jnp.concatenate([cv[:f, 0] for cv in cs_])
+
+    dgru = {
+        "w_ih": _unblocks([dwir_o, dwiz_o, dwin_o]).astype(
+            gru["w_ih"].dtype),
+        "w_hh": _unblocks([dwhr_o, dwhz_o, dwhn_o]).astype(
+            gru["w_hh"].dtype),
+        "b_ih": _uncol3([dbir_o, dbiz_o, dbin_o]).astype(
+            gru["b_ih"].dtype),
+        "b_hh": _uncol3([dbhr_o, dbhz_o, dbhn_o]).astype(
+            gru["b_hh"].dtype),
+    }
+    dma = [{"weight": dmw_o[t * fp:t * fp + f, 0].astype(
+                ma_bns[t]["weight"].dtype),
+            "bias": dmbb_o[t * fp:t * fp + f, 0].astype(
+                ma_bns[t]["bias"].dtype)} for t in range(steps)]
+    dbn = [{"weight": dsw_o[t * fp:t * fp + f, 0].astype(
+                bns[t]["weight"].dtype),
+            "bias": dsb_o[t * fp:t * fp + f, 0].astype(
+                bns[t]["bias"].dtype)} for t in range(steps)]
+    damat = jnp.stack(
+        [da2t[t * kmfp:t * kmfp + kmf, :f].reshape(k_vocab, f, f)
+         for t in range(steps)]).astype(amat.dtype)
+    da0 = jnp.stack([da0p_o[t * fp:t * fp + f, :f]
+                     for t in range(steps)]).astype(a0.dtype)
+    dmbias = jnp.stack([dmbias_o[t * fp:t * fp + f, 0]
+                        for t in range(steps)]).astype(mbias.dtype)
+    dh0 = dh0_t[:f, :n].T.astype(h0.dtype)
+    dro = {"i": {"w": jnp.concatenate(
+                    [dwi1[:od, :f].T, dwi2[:od, :f].T], axis=0)
+                    .astype(ro["i"]["w"].dtype),
+                 "b": dbri[:od, 0].astype(ro["i"]["b"].dtype)},
+           "j": {"w": jnp.concatenate(
+                    [dwj1[:od, :f].T, dwj2[:od, :f].T], axis=0)
+                    .astype(ro["j"]["w"].dtype),
+                 "b": dbrj[:od, 0].astype(ro["j"]["b"].dtype)}}
+    return (damat, da0, dmbias, dh0, None, None, dgru, dma, dbn,
+            dro, None, None, None, None, None, None, None)
+
+
 def _ps_a0_bwd_call(ns, a0p, h0t, ng_row, dmsgs, *, steps, fp, nw, gb,
                     gp, npad, interpret):
     dt = jnp.float32
@@ -970,8 +1029,11 @@ def _streaming_bwd(res, cot, *, pack, pack_edges, steps, f, fp, od, odp,
         )(ns, h_t, h0t, mask_row, ng_row, wi1, wi2, wj1, wj2,
           bri, brj, odm, y_row, gm_row, out_t, gl2, gout_t)
 
-    # --- streaming reverse walk over node blocks
-    blk = pick_stream_blk(npad)
+    # --- streaming reverse walk over node blocks (env override: force a
+    # small block so CPU tests exercise the multi-block cross-phase
+    # machinery — review finding)
+    blk = int(os.environ.get("MPNN_PS_STREAM_BLK", "0")) \
+        or pick_stream_blk(npad)
     nb = -(-npad // blk)
     npad_b = nb * blk
     padb = ((0, 0), (0, npad_b - npad))
@@ -984,11 +1046,13 @@ def _streaming_bwd(res, cot, *, pack, pack_edges, steps, f, fp, od, odp,
         msg_norm=msg_norm, state_norm=state_norm)
     # hardware-calibrated: the compiler's measured stack need at 52,736
     # padded nodes (blk=13184, T=3) was 16.49 MiB — the 6 (fp, blk)
-    # scratch blocks double-buffered plus the walk's live temporaries;
-    # budget 2× the scratch + 8 MiB headroom
+    # scratch blocks double-buffered plus the walk's live temporaries.
+    # Budget 2× EIGHT blk-panels + 8 MiB so the linear extrapolation to
+    # pick_stream_blk's 16384 cap (~20.5 MiB) keeps ~25% headroom (the
+    # 2×6 version had near-zero margin at the cap — review finding).
     walk_vmem = pltpu.CompilerParams(
         vmem_limit_bytes=min(110 * 2 ** 20,
-                             2 * 6 * fp * blk * 4 + 8 * 2 ** 20))
+                             2 * 8 * fp * blk * 4 + 8 * 2 ** 20))
     fpn_b = jax.ShapeDtypeStruct((fp, npad_b), dt)
     fpf = jax.ShapeDtypeStruct((fp, fp), dt)
     fc = jax.ShapeDtypeStruct((fp, 1), dt)
@@ -1068,51 +1132,19 @@ def _streaming_bwd(res, cot, *, pack, pack_edges, steps, f, fp, od, odp,
             block_edges=block_edges, window=window, nblk=nblk,
             npad=npad, interpret=interpret)
     dh0_msg = dh0_a0 + dh0_edge
-
-    def _unblocks(ws_):
-        return jnp.stack([w[:f, :f] for w in ws_],
-                         axis=1).reshape(f, 3 * f)
-
-    def _uncol3(cs_):
-        return jnp.concatenate([cv[:f, 0] for cv in cs_])
-
-    dgru = {
-        "w_ih": _unblocks([dwir_o, dwiz_o, dwin_o]).astype(
-            gru["w_ih"].dtype),
-        "w_hh": _unblocks([dwhr_o, dwhz_o, dwhn_o]).astype(
-            gru["w_hh"].dtype),
-        "b_ih": _uncol3([dbir_o, dbiz_o, dbin_o]).astype(
-            gru["b_ih"].dtype),
-        "b_hh": _uncol3([dbir_o, dbiz_o, dbhn_o]).astype(
-            gru["b_hh"].dtype),
-    }
-    dma = [{"weight": dmw_o[t * fp:t * fp + f, 0].astype(
-                ma_bns[t]["weight"].dtype),
-            "bias": dmbb_o[t * fp:t * fp + f, 0].astype(
-                ma_bns[t]["bias"].dtype)} for t in range(steps)]
-    dbn = [{"weight": dsw_o[t * fp:t * fp + f, 0].astype(
-                bns[t]["weight"].dtype),
-            "bias": dsb_o[t * fp:t * fp + f, 0].astype(
-                bns[t]["bias"].dtype)} for t in range(steps)]
-    damat = jnp.stack(
-        [da2t[t * kmfp:t * kmfp + kmf, :f].reshape(k_vocab, f, f)
-         for t in range(steps)]).astype(amat.dtype)
-    da0 = jnp.stack([da0p_o[t * fp:t * fp + f, :f]
-                     for t in range(steps)]).astype(a0.dtype)
-    dmbias = jnp.stack([dmbias_o[t * fp:t * fp + f, 0]
-                        for t in range(steps)]).astype(mbias.dtype)
-    dh0 = (dh0_chain[:f, :npad][:, :n] + dh0_ro[:f, :n]
-           + dh0_msg[:f, :n]).T.astype(h0.dtype)
-    dro = {"i": {"w": jnp.concatenate(
-                    [dwi1[:od, :f].T, dwi2[:od, :f].T], axis=0)
-                    .astype(ro["i"]["w"].dtype),
-                 "b": dbri[:od, 0].astype(ro["i"]["b"].dtype)},
-           "j": {"w": jnp.concatenate(
-                    [dwj1[:od, :f].T, dwj2[:od, :f].T], axis=0)
-                    .astype(ro["j"]["w"].dtype),
-                 "b": dbrj[:od, 0].astype(ro["j"]["b"].dtype)}}
-    return (damat, da0, dmbias, dh0, None, None, dgru, dma, dbn,
-            dro, None, None, None, None, None, None, None)
+    # total dh0 in panel layout, then the shared assembly tail (the
+    # hidden-path bias grads reuse dbir/dbiz — monolith convention)
+    dh0_all = dh0_chain[:, :npad] + dh0_ro + dh0_msg
+    return _assemble_ps_grads(
+        (amat, a0, mbias, h0, gru, ma_bns, bns, ro),
+        (dh0_all,
+         dwir_o, dwiz_o, dwin_o, dwhr_o, dwhz_o, dwhn_o,
+         dbir_o, dbiz_o, dbin_o, dbir_o, dbiz_o, dbhn_o,
+         dmw_o, dmbb_o, dsw_o, dsb_o,
+         dwi1, dwi2, dwj1, dwj2, dbri, dbrj,
+         da2t, da0p_o, dmbias_o),
+        steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp, k_vocab=k_vocab,
+        od=od, n=n)
 
 
 def _ps_a0_bwd_kernel(ns_ref, a0_ref, h0_ref, ng_ref, dmsgs_ref,
@@ -1597,56 +1629,10 @@ def make_fused_psteps_op(steps: int, f: int, n: int, od: int,
           wir, wiz, win2, whr, whz, whn, bir, biz, bin_c,
           bhr, bhz, bhn, mwp, mbp, swp, sbp,
           a2tt, a0p)
-        (dh0_t,
-         dwir_o, dwiz_o, dwin_o, dwhr_o, dwhz_o, dwhn_o,
-         dbir_o, dbiz_o, dbin_o, dbhr_o, dbhz_o, dbhn_o,
-         dmw_o, dmbb_o, dsw_o, dsb_o,
-         dwi1, dwi2, dwj1, dwj2, dbri, dbrj,
-         da2t, da0p_o, dmbias_o) = outs
-
-        def _unblocks(ws_):
-            return jnp.stack([w[:f, :f] for w in ws_],
-                             axis=1).reshape(f, 3 * f)
-
-        def _uncol3(cs_):
-            return jnp.concatenate([cv[:f, 0] for cv in cs_])
-
-        dgru = {
-            "w_ih": _unblocks([dwir_o, dwiz_o, dwin_o]).astype(
-                gru["w_ih"].dtype),
-            "w_hh": _unblocks([dwhr_o, dwhz_o, dwhn_o]).astype(
-                gru["w_hh"].dtype),
-            "b_ih": _uncol3([dbir_o, dbiz_o, dbin_o]).astype(
-                gru["b_ih"].dtype),
-            "b_hh": _uncol3([dbhr_o, dbhz_o, dbhn_o]).astype(
-                gru["b_hh"].dtype),
-        }
-        dma = [{"weight": dmw_o[t * fp:t * fp + f, 0].astype(
-                    ma_bns[t]["weight"].dtype),
-                "bias": dmbb_o[t * fp:t * fp + f, 0].astype(
-                    ma_bns[t]["bias"].dtype)} for t in range(steps)]
-        dbn = [{"weight": dsw_o[t * fp:t * fp + f, 0].astype(
-                    bns[t]["weight"].dtype),
-                "bias": dsb_o[t * fp:t * fp + f, 0].astype(
-                    bns[t]["bias"].dtype)} for t in range(steps)]
-        damat = jnp.stack(
-            [da2t[t * kmfp:t * kmfp + kmf, :f].reshape(k_vocab, f, f)
-             for t in range(steps)]).astype(amat.dtype)
-        da0 = jnp.stack([da0p_o[t * fp:t * fp + f, :f]
-                         for t in range(steps)]).astype(a0.dtype)
-        dmbias = jnp.stack([dmbias_o[t * fp:t * fp + f, 0]
-                            for t in range(steps)]).astype(mbias.dtype)
-        dh0 = dh0_t[:f, :n].T.astype(h0.dtype)
-        dro = {"i": {"w": jnp.concatenate(
-                        [dwi1[:od, :f].T, dwi2[:od, :f].T], axis=0)
-                        .astype(ro["i"]["w"].dtype),
-                     "b": dbri[:od, 0].astype(ro["i"]["b"].dtype)},
-               "j": {"w": jnp.concatenate(
-                        [dwj1[:od, :f].T, dwj2[:od, :f].T], axis=0)
-                        .astype(ro["j"]["w"].dtype),
-                     "b": dbrj[:od, 0].astype(ro["j"]["b"].dtype)}}
-        return (damat, da0, dmbias, dh0, None, None, dgru, dma, dbn,
-                dro, None, None, None, None, None, None, None)
+        return _assemble_ps_grads(
+            (amat, a0, mbias, h0, gru, ma_bns, bns, ro), outs,
+            steps=steps, f=f, fp=fp, kmf=kmf, kmfp=kmfp,
+            k_vocab=k_vocab, od=od, n=n)
 
     op.defvjp(fwd, bwd)
     return op

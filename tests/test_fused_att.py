@@ -174,12 +174,17 @@ class TestFusedAtt:
 
 
 class TestSet2VecKernel:
-    @pytest.mark.parametrize("batch_softmax", [True, False])
-    def test_forward_and_grads_match_sparse(self, batch_softmax):
+    @pytest.mark.parametrize("batch_softmax,steps",
+                             [(True, 6), (False, 6), (True, 12)])
+    def test_forward_and_grads_match_sparse(self, batch_softmax, steps):
         """The fused set2vec readout kernel (kernels/set2vec.py) vs
         sparse_set2vec: values + gradients in rparams and x — BOTH
         softmax modes (batch-global = the reference quirk; per-graph =
-        the sane default, block-local in-kernel)."""
+        the sane default, block-local in-kernel). steps=12 crosses the
+        gridded kernel's 8-row att-window boundary (fwd index map t//8 +
+        re-zeroing at rem(t,8)==0; bwd reversed map) — the production
+        T=12 / reference T=100 path (review finding: T=6 stays inside
+        one window)."""
         from mpnn_tpu import graphs as G
         from mpnn_tpu.kernels.fused_step import attach_fused_plan
         from mpnn_tpu.kernels.set2vec import make_set2vec_op
@@ -197,11 +202,11 @@ class TestSet2VecKernel:
         rng = np.random.RandomState(11)
         x = jnp.asarray((rng.randn(n, w)
                          * packed["node_mask"]).astype(np.float32))
-        rparams = set2vec_init(jax.random.PRNGKey(5), nf, time_steps=6)
+        rparams = set2vec_init(jax.random.PRNGKey(5), nf, time_steps=steps)
         mask = jnp.asarray(packed["node_mask"])
         ngr = jnp.asarray(packed["node_graph"])
         ns = jnp.asarray(packed["fs_ns"])
-        op = make_set2vec_op(w, n, g, time_steps=6,
+        op = make_set2vec_op(w, n, g, time_steps=steps,
                              node_window=int(packed["fs_node_window"]),
                              interpret=True,
                              batch_softmax=batch_softmax)
@@ -210,7 +215,7 @@ class TestSet2VecKernel:
             return op(rp, xx, mask, ngr, ns)
 
         def out_r(rp, xx):
-            return sparse_set2vec(rp, xx, mask, ngr, g, time_steps=6,
+            return sparse_set2vec(rp, xx, mask, ngr, g, time_steps=steps,
                                   batch_softmax=batch_softmax)
 
         ok = out_k(rparams, x)

@@ -249,3 +249,52 @@ class TestStreamingBwd:
         _tree_close(gs, gm,  1e-4, 1e-6,
                     f"stream grad[{msg_norm},{state_norm}]")
         _tree_close(nss, nsm, 1e-6, 1e-8, "stream state")
+
+    def test_streaming_multiblock_matches_monolith(self, monkeypatch):
+        """Force a tiny node block (MPNN_PS_STREAM_BLK=128) and a multi-
+        graph-block batch so the cross-block machinery — accS/accM phase
+        barriers over b, per-block gh write-back ordering, the A0
+        backward's (2T+1, gb) phase grid — is gradient-compared against
+        the monolith (review finding: the default test shapes collapse
+        to one node block and one graph block)."""
+        from mpnn_tpu import graphs as G
+        from mpnn_tpu import models
+        from mpnn_tpu.kernels.fused_step import attach_fused_plan
+        from mpnn_tpu.models.fused_train import (fused_flagship_loss,
+                                                 make_fused_step_for_batch)
+        gs = G.generate_molgraphs(SMILES * 5, list(range(len(SMILES) * 5)))
+        gs, ge = G.encode_molgraphs(gs)      # 150 graphs -> gb > 1
+        cfg = models.MPNNConfig(
+            node_features=ge.atom_width(), edge_features=ge.bond_width(),
+            message_features=ge.atom_width(), output_dim=6,
+            message_steps=2, share_message_weights=False,
+            per_step_norms=True, msg_norm="bn1d", state_norm="bn1d",
+            edge_mlp_tail_repeats=2)
+        params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
+        packed = G.collate_packed(gs).as_dict()
+        packed = G.attach_edge_vocab(packed, vocab_cap=16)
+        packed = attach_fused_plan(packed, block_edges=128)
+        jb = {kk: jnp.asarray(v) if not np.isscalar(v) else v
+              for kk, v in packed.items()}
+        assert packed["graph_mask"].shape[0] > 128    # gb > 1
+        labels = jnp.asarray(np.random.RandomState(3).randn(
+            packed["graph_mask"].shape[0]).astype(np.float32))
+
+        def grads():
+            op = make_fused_step_for_batch(cfg, jb, interpret=True)
+
+            def loss_fused(p, s):
+                loss, out, ns = fused_flagship_loss(p, s, cfg, jb,
+                                                    labels, op)
+                return loss, (out, ns)
+
+            return jax.value_and_grad(loss_fused, has_aux=True)(
+                params, state)
+
+        monkeypatch.delenv("MPNN_PS_BWD", raising=False)
+        (lm, _), gm = grads()
+        monkeypatch.setenv("MPNN_PS_BWD", "stream")
+        monkeypatch.setenv("MPNN_PS_STREAM_BLK", "128")   # many blocks
+        (ls, _), gs_ = grads()
+        np.testing.assert_allclose(ls, lm, rtol=1e-6)
+        _tree_close(gs_, gm, 1e-4, 1e-6, "stream multiblock grad")
