@@ -42,13 +42,22 @@ def accounting(batch_size: int, dtype: str = "float32",
            "ggnn": bench.ggnn_mpnn_cfg, "encoded": bench.encoded_mpnn_cfg,
            "att_model": bench.att_model_mpnn_cfg,
            "basic": bench.basic_mpnn_cfg,
+           "bilinear": bench.bilinear_mpnn_cfg,
            "graph_norm": bench.graph_norm_mpnn_cfg}[model](ge)
     params, state = models.mpnn_init(jax.random.PRNGKey(317), cfg)
     packed = G.collate_packed(gs).as_dict()
     if model == "ggnn":
         packed = G.with_edge_types(packed, gs)
+    if model == "bilinear":
+        nf3 = cfg.node_features ** 3
+        ef = packed["edge_feats"]
+        if ef.shape[-1] < nf3:
+            ef = np.pad(ef, ((0, 0), (0, nf3 - ef.shape[-1])))
+        packed["edge_feats"] = ef[:, :nf3]
     packed["node_feats"] = np.concatenate(
         [packed["node_feats"], packed["node_nafm"]], axis=-1)
+    if model == "bilinear":
+        packed["node_feats"] = packed["node_feats"][:, :cfg.node_features]
     real_edges = int(packed["edge_mask"].sum())
     jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
           for k, v in packed.items()}
@@ -149,6 +158,7 @@ def onehot_accounting(batch_size: int, model: str = "flagship"):
            "ggnn": bench.ggnn_mpnn_cfg, "encoded": bench.encoded_mpnn_cfg,
            "att_model": bench.att_model_mpnn_cfg,
            "basic": bench.basic_mpnn_cfg,
+           "bilinear": bench.bilinear_mpnn_cfg,
            "graph_norm": bench.graph_norm_mpnn_cfg}[model](ge)
     packed = G.collate_packed(gs).as_dict()
     n_cap = int(packed["node_feats"].shape[0])
@@ -175,7 +185,8 @@ def onehot_accounting(batch_size: int, model: str = "flagship"):
 
     fam = {"flagship": "step", "ggnn": "step", "basic": "step",
            "encoded": "psteps", "graph_norm": "psteps",
-           "att": "att", "att_model": "att_steps"}[model]
+           "att": "att", "att_model": "att_steps",
+           "bilinear": "bilinear"}[model]
 
     if fam == "step":
         # kernels/fused_step.py:259-267 (hs, bulk, me, scatter)
@@ -238,6 +249,27 @@ def onehot_accounting(batch_size: int, model: str = "flagship"):
                         (Ts * gb, w2, nw, GW), (8 * Ts, w2, w2, gp)])
         nom, til = totals["s2v_fwd"]
         totals["s2v_bwd"] = (2 * nom, 2 * til)
+    elif fam == "bilinear":
+        f2 = f * f
+        kmf2 = K * f2
+        # fused_bilinear.py:~100-125 per step (gathers are PER STEP —
+        # messages come from the evolving state): hs+hd, φ via f
+        # row-embedding matmuls, the A-table bulk, sel, scatter
+        sec("edge_fwd", [(2 * T * nblk, f, W, BE),
+                         (T * nblk * f, f2, f, BE),
+                         (T * nblk, kmf, f2, BE),
+                         (T * nblk, f, kmf, BE),
+                         (T * nblk, f, BE, W)])
+        # fused_bilinear.py:~210-260: gd + hs + hd gathers, a2tt·gd,
+        # sel2, f embedding transposes, the two endpoint scatters
+        sec("edge_bwd", [(3 * T * nblk, f, W, BE),
+                         (T * nblk, kmf2, f, BE),
+                         (T * nblk, f2, kmf2, BE),
+                         (T * nblk * f, f, f2, BE),
+                         (2 * T * nblk, f, BE, W)])
+        # GRU fwd gates + internals / bwd walk (readout stays in XLA)
+        sec("node_fwd", [(6 * T, f, f, npad)])
+        sec("node_bwd", [(18 * T, f, f, npad)])
     else:  # att_steps (att_model)
         # fused_att.py:529-558 (shared hd/hs + per-step tail)
         sec("edge_fwd", [(2 * nblk, f, W, BE), (2 * T * nblk, f, f, BE),
