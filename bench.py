@@ -319,9 +319,13 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         # the reference's Linear(32, 16384) head
         # (test_graph_encode_norm_ecfp.py:95-100) trained alongside
         rs = np.random.RandomState(1)
-        node_bits = jnp.asarray(
-            (rs.rand(packed["node_feats"].shape[0], ECFP_BITS) < 0.02)
-            .astype(np.uint8) * packed["node_mask"].astype(np.uint8))
+        raw_bits = (rs.rand(packed["node_feats"].shape[0], ECFP_BITS)
+                    < 0.02).astype(np.uint8) \
+            * packed["node_mask"].astype(np.uint8)
+        # ship the bits bit-PACKED (8×): the compile/dispatch tunnel
+        # rejects request bodies past ~256 MB (HTTP 413 at batch 2048 —
+        # 26k nodes × 16384 bytes); unpacked once per dispatch on device
+        node_bits = jnp.asarray(np.packbits(raw_bits, axis=1))
         params = dict(params)
         params["ecfp_head"] = {
             "w": jnp.asarray(rs.randn(cfg.output_dim, ECFP_BITS)
@@ -345,6 +349,14 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def multi_step(params, state, opt_state, jb, labels0, it):
+        # unpack the bit-packed labels ONCE per dispatch (amortized over
+        # STEPS_PER_CALL scan steps; np.packbits is big-endian)
+        nb_full = None
+        if node_bits is not None:
+            sh = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            nb_full = ((node_bits[:, :, None] >> sh) & 1).reshape(
+                node_bits.shape[0], ECFP_BITS)
+
         def body(carry, k):
             params, state, opt_state = carry
             # per-step-unique labels: no two dispatches compute the same
@@ -380,7 +392,7 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
                     # node_window must be the STATIC plan int (packed is
                     # the host dict; jb's copy is traced inside this jit)
                     s1 = graph_label_sums(
-                        node_bits, ng, jb, pred.shape[0], jnp.float32,
+                        nb_full, ng, jb, pred.shape[0], jnp.float32,
                         node_window=packed.get("fs_node_window"))
                     n_g = jax.ops.segment_sum(
                         nm[:, 0], ng, num_segments=pred.shape[0],

@@ -339,7 +339,7 @@ def make_set2vec_op(w: int, n: int, n_graphs: int, *, time_steps: int,
     each graph lives wholly inside one 128-graph block's node window.
     'dot' energy mode stays on the XLA path."""
     npad = _round_up(n, 128)
-    wp = _round_up(w, 16)
+    wp = _round_up(w, 8)   # 8-sublane tiles: w=20 -> 24 (25% less VPU work in the per-step loops than 16-alignment)
     gp = _round_up(max(n_graphs, 1), GRAPH_BLOCK)
     gb = gp // GRAPH_BLOCK
     nw = min(node_window, npad)
