@@ -1017,11 +1017,14 @@ def make_fused_att_steps_op(steps: int, f: int, n: int, n_graphs: int,
                        jax.ShapeDtypeStruct((tm * fp, fp), dt),
                        fpf, fpf, fpf, fpf, fpf, fpf,
                        fc, fc, fc, fc, fc, fc),
-            compiler_params=_vmem_params_of(fp, npad, 18 + 4 * tm
+            compiler_params=_vmem_params_of(fp, npad, 28 + 4 * tm
                                             + steps),
-            # 18: hardware-measured — 16 left the att_model shape
+            # 28: hardware-measured twice — 16 left the att_model shape
             # (tm=steps=3, npad=13184) 92 KB short of the compiler's
-            # 27.04 MiB stack need (r4 sweep, scoped-vmem OOM at compile)
+            # 27.04 MiB stack need (r4 sweep); at npad=26240 the need was
+            # 67.59 MiB ≈ 40 panels (r5, batch-2048 T=100 run) — the
+            # stack grows slightly faster than linear in npad, so budget
+            # 43 panels (~10% headroom at 26k)
             interpret=interpret,
         )(win, ns, src2, dst2, vid2,
           a2tt, a0p, qvt, q0c, wht, h0t, mask_row, ng_row, htil, stats,
