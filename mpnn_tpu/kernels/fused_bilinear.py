@@ -74,10 +74,18 @@ def _bil_fwd_kernel(win_ref, src_ref, dst_ref, vid_ref,
                     a2t_ref, h0_ref, mask_ref,
                     wir_ref, wiz_ref, win2_ref, whr_ref, whz_ref, whn_ref,
                     bir_ref, biz_ref, bin_ref, bhr_ref, bhz_ref, bhn_ref,
-                    hist_out, msgs_out,
-                    msgs, hcur,
-                    *, steps: int, f: int, fp: int, f2p: int, kmf: int,
-                    kmfp: int, be: int, window: int, nblk: int):
+                    *out_and_scratch,
+                    steps: int, f: int, fp: int, f2p: int, kmf: int,
+                    kmfp: int, be: int, window: int, nblk: int,
+                    keep_msgs: bool = True):
+    # keep_msgs=False is the SERVING flavor: the msgs residual feeds only
+    # the backward, so inference skips its (steps·fp, npad) HBM writes
+    # (review finding — dead bandwidth in the eval path)
+    if keep_msgs:
+        hist_out, msgs_out, msgs, hcur = out_and_scratch
+    else:
+        hist_out, msgs, hcur = out_and_scratch
+        msgs_out = None
     ts = pl.program_id(0)                   # message step 0..steps-1
     p = pl.program_id(1)                    # 0..nblk
     dt = jnp.float32
@@ -114,7 +122,8 @@ def _bil_fwd_kernel(win_ref, src_ref, dst_ref, vid_ref,
     def _():
         m = mask_ref[:]
         mb = msgs[:] * m
-        msgs_out[pl.ds(ts * fp, fp), :] = mb
+        if keep_msgs:
+            msgs_out[pl.ds(ts * fp, fp), :] = mb
         gr = _dot(wir_ref[:].T, mb) + bir_ref[:]
         gz = _dot(wiz_ref[:].T, mb) + biz_ref[:]
         gn = _dot(win2_ref[:].T, mb) + bin_ref[:]
@@ -294,34 +303,38 @@ def make_fused_bilinear_op(steps: int, f: int, n: int, k_vocab: int, *,
                 + blocks(gru["w_ih"]) + blocks(gru["w_hh"])
                 + col3(gru["b_ih"]) + col3(gru["b_hh"]), a2tt)
 
-    def run_fwd(amat, h0, mask, gru, vid, src, dst, win):
+    def run_fwd(amat, h0, mask, gru, vid, src, dst, win,
+                keep_msgs=True):
         packed, _ = pack(amat, None, h0, mask, gru)
         src2, dst2, vid2, nblk = _pack_edge_blocks(vid, src, dst,
                                                    block_edges)
         kernel = functools.partial(
             _bil_fwd_kernel, steps=steps, f=f, fp=fp, f2p=f2p, kmf=kmf,
-            kmfp=kmfp, be=block_edges, window=window, nblk=nblk)
+            kmfp=kmfp, be=block_edges, window=window, nblk=nblk,
+            keep_msgs=keep_msgs)
+        n_out = 2 if keep_msgs else 1
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(steps, nblk + 1),
             in_specs=[_vm()] * (3 + len(packed)),
-            out_specs=tuple([_vm()] * 2),
+            out_specs=tuple([_vm()] * n_out),
             scratch_shapes=[
                 pltpu.VMEM((fp, npad), dt),     # msgs accumulator
                 pltpu.VMEM((fp, npad), dt),     # current state
             ],
         )
         stash = jax.ShapeDtypeStruct((steps * fp, npad), dt)
-        return pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(stash, stash),
+            out_shape=(stash, stash) if keep_msgs else (stash,),
             # hardware-calibrated: the eval forward's measured stack need
             # at 52,480 padded nodes (T=2) was 42.69 MiB — 8+2T panels
             # left it 2.25 MiB short; 11+2T bounds it with headroom
             compiler_params=_vmem_params_of(fp, npad, 11 + 2 * steps),
             interpret=interpret,
         )(win, src2, dst2, vid2, *packed)
+        return outs if keep_msgs else (outs[0], None)
 
     def public(hist):
         return jnp.concatenate(
@@ -330,7 +343,9 @@ def make_fused_bilinear_op(steps: int, f: int, n: int, k_vocab: int, *,
 
     @jax.custom_vjp
     def op(amat, h0, mask, gru, vid, src, dst, win):
-        hist, _ = run_fwd(amat, h0, mask, gru, vid, src, dst, win)
+        # primal-only path (serving): skip the backward-only msgs stash
+        hist, _ = run_fwd(amat, h0, mask, gru, vid, src, dst, win,
+                          keep_msgs=False)
         return public(hist).astype(h0.dtype)
 
     def fwd(amat, h0, mask, gru, vid, src, dst, win):
