@@ -93,21 +93,28 @@ def graph_label_sums(nl, ng, batch, n_graphs: int, dtype,
         n = nl.shape[0]
         nw = min(int(node_window), n)
         ns_arr = batch["fs_ns"]
-        gb = int(ns_arr.shape[0])
-        parts = []
-        for j in range(gb):
+        gb = -(-n_graphs // GRAPH_LABEL_BLOCK)
+        # ONE lax.scan over the graph blocks (round 5): the unrolled form
+        # put gb copies of a 16384-wide matmul + its transpose in the
+        # traced program — at batch 4096 (gb=32) the remote compile of
+        # the ecfp train step wedged past the tunnel's request timeout.
+        # The scan body compiles once; rows past n_graphs in the last
+        # block match no node (one-hot row all-zero) and are sliced off.
+
+        def body(_, j):
             lo = j * GRAPH_LABEL_BLOCK
-            rows = min(GRAPH_LABEL_BLOCK, n_graphs - lo)
-            if rows <= 0:
-                break
             ns = jnp.minimum(ns_arr[j].astype(jnp.int32), n - nw)
             ngw = jax.lax.dynamic_slice(ng, (ns,), (nw,))
             yw = jax.lax.dynamic_slice(
                 nl, (ns, 0), (nw, nl.shape[1])).astype(dtype)
-            og = (lo + jnp.arange(rows, dtype=ngw.dtype)[:, None]
-                  == ngw[None, :]).astype(dtype)       # (rows, nw)
-            parts.append(og @ yw)
-        return jnp.concatenate(parts, axis=0)
+            og = (lo + jnp.arange(GRAPH_LABEL_BLOCK,
+                                  dtype=ngw.dtype)[:, None]
+                  == ngw[None, :]).astype(dtype)   # (GW, nw)
+            return 0, og @ yw
+
+        _, parts = jax.lax.scan(body, 0, jnp.arange(gb))
+        return parts.reshape(gb * GRAPH_LABEL_BLOCK,
+                             nl.shape[1])[:n_graphs]
     return jax.ops.segment_sum(nl.astype(dtype), ng,
                                num_segments=n_graphs,
                                indices_are_sorted=True)
