@@ -94,26 +94,51 @@ def graph_label_sums(nl, ng, batch, n_graphs: int, dtype,
         nw = min(int(node_window), n)
         ns_arr = batch["fs_ns"]
         gb = -(-n_graphs // GRAPH_LABEL_BLOCK)
-        # ONE lax.scan over the graph blocks (round 5): the unrolled form
-        # put gb copies of a 16384-wide matmul + its transpose in the
-        # traced program — at batch 4096 (gb=32) the remote compile of
-        # the ecfp train step wedged past the tunnel's request timeout.
-        # The scan body compiles once; rows past n_graphs in the last
-        # block match no node (one-hot row all-zero) and are sliced off.
 
-        def body(_, j):
-            lo = j * GRAPH_LABEL_BLOCK
+        def block(j, lo, rows):
             ns = jnp.minimum(ns_arr[j].astype(jnp.int32), n - nw)
             ngw = jax.lax.dynamic_slice(ng, (ns,), (nw,))
             yw = jax.lax.dynamic_slice(
                 nl, (ns, 0), (nw, nl.shape[1])).astype(dtype)
-            og = (lo + jnp.arange(GRAPH_LABEL_BLOCK,
-                                  dtype=ngw.dtype)[:, None]
-                  == ngw[None, :]).astype(dtype)   # (GW, nw)
-            return 0, og @ yw
+            og = (lo + jnp.arange(rows, dtype=ngw.dtype)[:, None]
+                  == ngw[None, :]).astype(dtype)   # (rows, nw)
+            return og @ yw
 
-        _, parts = jax.lax.scan(body, 0, jnp.arange(gb))
-        return parts.reshape(gb * GRAPH_LABEL_BLOCK,
+        if gb <= 16:
+            # unrolled: XLA fuses/overlaps the per-window matmuls — the
+            # measured-fast form at batch ≤ 2048 (a lax.scan version
+            # SERIALIZES them: 0.798 → 1.864 ms at batch 1024, measured)
+            parts = []
+            for j in range(gb):
+                lo = j * GRAPH_LABEL_BLOCK
+                rows = min(GRAPH_LABEL_BLOCK, n_graphs - lo)
+                if rows <= 0:
+                    break
+                parts.append(block(j, lo, rows))
+            return jnp.concatenate(parts, axis=0)
+        # gb > 16: CHUNKED lax.scan — the fully unrolled form put gb
+        # copies of a 16384-wide matmul (+ transposes) in the batch-4096
+        # ecfp train program and wedged the remote compile past its
+        # request timeout, while a fully serialized one-window-per-
+        # iteration scan measured 2.3× slower (XLA can no longer overlap
+        # the window matmuls). Eight unrolled windows per scan body keeps
+        # the program the measured-fast batch-1024 size and the windows
+        # within a chunk parallel. Padded chunk slots clamp to a valid
+        # ns index; their lo ≥ n_graphs makes the one-hot all-zero, and
+        # the rows are sliced off.
+        CH = 8
+        gbp = -(-gb // CH) * CH
+
+        def body(_, chunk):
+            outs = [block(jnp.minimum(chunk[c], gb - 1),
+                          chunk[c] * GRAPH_LABEL_BLOCK,
+                          GRAPH_LABEL_BLOCK)
+                    for c in range(CH)]
+            return 0, jnp.concatenate(outs, axis=0)
+
+        _, parts = jax.lax.scan(
+            body, 0, jnp.arange(gbp).reshape(-1, CH))
+        return parts.reshape(gbp * GRAPH_LABEL_BLOCK,
                              nl.shape[1])[:n_graphs]
     return jax.ops.segment_sum(nl.astype(dtype), ng,
                                num_segments=n_graphs,

@@ -176,3 +176,34 @@ class TestGraphLabelSums:
             b, d["node_graph"], d, n_graphs, jnp.float32,
             node_window=packed["fs_node_window"]))
         assert float(jnp.abs(jitted(bits, jb) - ref).max()) == 0.0
+
+
+class TestGraphLabelSumsChunkedScan:
+    def test_large_gb_branch_matches_segment_sum(self):
+        """The gb>16 chunked-scan branch (round 5: unwedges the 53k-node
+        compile) must equal the scatter form bit-for-bit, including the
+        padded-chunk tail (gb not a multiple of 8)."""
+        import jax.numpy as jnp
+        from mpnn_tpu.train.trainer import (GRAPH_LABEL_BLOCK,
+                                            graph_label_sums)
+        rng = np.random.RandomState(0)
+        n_graphs = 17 * GRAPH_LABEL_BLOCK + 37     # gb=18 > 16, ragged
+        npg = 3                                     # nodes per graph
+        n = n_graphs * npg
+        bits = 24
+        nl = (rng.rand(n, bits) < 0.1).astype(np.float32)
+        ng = np.repeat(np.arange(n_graphs, dtype=np.int32), npg)
+        # fs_ns windows: graph block j starts at node j*128*npg (128-
+        # aligned window starts per the plan contract)
+        nw = 1024
+        ns = np.asarray([(j * GRAPH_LABEL_BLOCK * npg) // 128 * 128
+                         for j in range(18)], np.int32)
+        batch = {"fs_ns": jnp.asarray(ns)}
+        got = graph_label_sums(jnp.asarray(nl), jnp.asarray(ng), batch,
+                               n_graphs, jnp.float32, node_window=nw)
+        import jax
+        want = jax.ops.segment_sum(jnp.asarray(nl), jnp.asarray(ng),
+                                   num_segments=n_graphs,
+                                   indices_are_sorted=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=0)
