@@ -116,29 +116,21 @@ def graph_label_sums(nl, ng, batch, n_graphs: int, dtype,
                     break
                 parts.append(block(j, lo, rows))
             return jnp.concatenate(parts, axis=0)
-        # gb > 16: CHUNKED lax.scan — the fully unrolled form put gb
-        # copies of a 16384-wide matmul (+ transposes) in the batch-4096
-        # ecfp train program and wedged the remote compile past its
-        # request timeout, while a fully serialized one-window-per-
-        # iteration scan measured 2.3× slower (XLA can no longer overlap
-        # the window matmuls). Eight unrolled windows per scan body keeps
-        # the program the measured-fast batch-1024 size and the windows
-        # within a chunk parallel. Padded chunk slots clamp to a valid
-        # ns index; their lo ≥ n_graphs makes the one-hot all-zero, and
-        # the rows are sliced off.
-        CH = 8
-        gbp = -(-gb // CH) * CH
+        # gb > 16: ONE window per lax.scan iteration — the fully unrolled
+        # form put gb copies of a 16384-wide matmul (+ transposes) in the
+        # batch-4096 ecfp train program and wedged the remote compile
+        # past its request timeout. Both scan granularities were
+        # MEASURED at batch 4096: one window/iteration 7.447 ms/step,
+        # an 8-window chunked body 10.562 — the serialized form wins
+        # (the wide matmuls already saturate HBM; chunking only added
+        # concat copies), so it stays. Rows past n_graphs in the last
+        # block match no node (all-zero one-hot) and are sliced off.
 
-        def body(_, chunk):
-            outs = [block(jnp.minimum(chunk[c], gb - 1),
-                          chunk[c] * GRAPH_LABEL_BLOCK,
-                          GRAPH_LABEL_BLOCK)
-                    for c in range(CH)]
-            return 0, jnp.concatenate(outs, axis=0)
+        def body(_, j):
+            return 0, block(j, j * GRAPH_LABEL_BLOCK, GRAPH_LABEL_BLOCK)
 
-        _, parts = jax.lax.scan(
-            body, 0, jnp.arange(gbp).reshape(-1, CH))
-        return parts.reshape(gbp * GRAPH_LABEL_BLOCK,
+        _, parts = jax.lax.scan(body, 0, jnp.arange(gb))
+        return parts.reshape(gb * GRAPH_LABEL_BLOCK,
                              nl.shape[1])[:n_graphs]
     return jax.ops.segment_sum(nl.astype(dtype), ng,
                                num_segments=n_graphs,
