@@ -100,6 +100,26 @@ def encoded_mpnn_cfg(ge):
 ECFP_BITS = 16384     # reference Morgan width (load_dataset.py:112-120)
 
 
+def shim_bilinear_widths(packed, cfg):
+    """The bilinear family's width-coherence shim, in ONE place (also
+    used by scripts/sol_accounting.py): pad/slice the real encoded edge
+    features to ef == nf³ (ops/message.py coherence) and truncate the
+    node features to the config's nf — a synthetic-width THROUGHPUT
+    shape (the reference feeds encoder-compressed widths here,
+    basic_model_ecfp.py:53-54). Call BEFORE attach_edge_vocab (the vocab
+    must index the shimmed rows) and handles node_nafm concat itself."""
+    import numpy as np
+    nf3 = cfg.node_features ** 3
+    ef = np.asarray(packed["edge_feats"])
+    if ef.shape[-1] < nf3:
+        ef = np.pad(ef, ((0, 0), (0, nf3 - ef.shape[-1])))
+    packed["edge_feats"] = ef[:, :nf3]
+    packed["node_feats"] = np.concatenate(
+        [packed["node_feats"], packed["node_nafm"]],
+        axis=-1)[:, :cfg.node_features]
+    return packed
+
+
 def encoded_ecfp_mpnn_cfg(ge):
     """encoded_ecfp family (normed_encoded_basic_model_ecfp semantics:
     encoded core with per-step message weights + per-step msg BNs, NO
@@ -224,17 +244,7 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         packed = G.with_edge_types(packed, gs)
         use_vocab = False
     if model == "bilinear":
-        # parameterless bilinear chains need ef == nf³ (ops/message.py);
-        # shape the real features to the config's coherent widths (a
-        # synthetic-width THROUGHPUT row — the reference feeds encoder-
-        # compressed widths here, basic_model_ecfp.py:53-54). The edge
-        # vocab (attached below on the SHIMMED rows) indexes the fused
-        # kernel's A table (kernels/fused_bilinear.py, round 5).
-        nf3 = cfg.node_features ** 3
-        ef = packed["edge_feats"]
-        if ef.shape[-1] < nf3:
-            ef = np.pad(ef, ((0, 0), (0, nf3 - ef.shape[-1])))
-        packed["edge_feats"] = ef[:, :nf3]
+        packed = shim_bilinear_widths(packed, cfg)
     if use_vocab:
         # edge vocab: run the ×50 edge-MLP per DISTINCT bond-feature row
         # (≤16 here), not per edge — exact (graphs/batching.py)
@@ -279,11 +289,9 @@ def bench_sparse(batch_size: int, iters: int, dtype: str = "float32",
         # readout ride gathers instead of TPU-serialized scatters
         from mpnn_tpu.ops.segments import attach_segment_slots
         packed = attach_segment_slots(packed)
-    packed["node_feats"] = np.concatenate(
-        [packed["node_feats"], packed["node_nafm"]], axis=-1)
-    if model == "bilinear":
-        packed["node_feats"] = \
-            packed["node_feats"][:, :cfg.node_features]
+    if model != "bilinear":       # the bilinear shim already handled it
+        packed["node_feats"] = np.concatenate(
+            [packed["node_feats"], packed["node_nafm"]], axis=-1)
     edge_mlp_fn = None
     if tail_kernel:
         from mpnn_tpu.kernels.edge_mlp import make_edge_mlp_op
@@ -486,22 +494,11 @@ def bench_eval(batch_size: int, iters: int, model: str = "flagship",
     if model == "ggnn":
         packed = G.with_edge_types(packed, gs)
     elif model == "bilinear":
-        # shim the widths (ef == nf³ coherence), then the vocab on the
-        # SHIMMED rows indexes the fused kernel's A table (round 5)
-        nf3 = cfg.node_features ** 3
-        ef = packed["edge_feats"]
-        if ef.shape[-1] < nf3:
-            ef = np.pad(ef, ((0, 0), (0, nf3 - ef.shape[-1])))
-        packed["edge_feats"] = ef[:, :nf3]
+        packed = shim_bilinear_widths(packed, cfg)
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
     else:
         packed = G.attach_edge_vocab(packed, vocab_cap=16)
     eval_op = None
-    if model == "bilinear":
-        # eligibility checks node width — truncate before the plan
-        packed["node_feats"] = np.concatenate(
-            [packed["node_feats"], packed["node_nafm"]],
-            axis=-1)[:, :cfg.node_features]
     if fuse and model in ("flagship", "ggnn", "att", "encoded",
                       "att_model", "basic", "graph_norm", "encoded_ecfp",
                       "bilinear"):

@@ -111,10 +111,8 @@ def graph_label_sums(nl, ng, batch, n_graphs: int, dtype,
             parts = []
             for j in range(gb):
                 lo = j * GRAPH_LABEL_BLOCK
-                rows = min(GRAPH_LABEL_BLOCK, n_graphs - lo)
-                if rows <= 0:
-                    break
-                parts.append(block(j, lo, rows))
+                parts.append(block(j, lo,
+                                   min(GRAPH_LABEL_BLOCK, n_graphs - lo)))
             return jnp.concatenate(parts, axis=0)
         # gb > 16: ONE window per lax.scan iteration — the fully unrolled
         # form put gb copies of a 16384-wide matmul (+ transposes) in the

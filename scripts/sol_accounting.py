@@ -49,15 +49,10 @@ def accounting(batch_size: int, dtype: str = "float32",
     if model == "ggnn":
         packed = G.with_edge_types(packed, gs)
     if model == "bilinear":
-        nf3 = cfg.node_features ** 3
-        ef = packed["edge_feats"]
-        if ef.shape[-1] < nf3:
-            ef = np.pad(ef, ((0, 0), (0, nf3 - ef.shape[-1])))
-        packed["edge_feats"] = ef[:, :nf3]
-    packed["node_feats"] = np.concatenate(
-        [packed["node_feats"], packed["node_nafm"]], axis=-1)
-    if model == "bilinear":
-        packed["node_feats"] = packed["node_feats"][:, :cfg.node_features]
+        packed = bench.shim_bilinear_widths(packed, cfg)
+    else:
+        packed["node_feats"] = np.concatenate(
+            [packed["node_feats"], packed["node_nafm"]], axis=-1)
     real_edges = int(packed["edge_mask"].sum())
     jb = {k: jnp.asarray(v) if not np.isscalar(v) else v
           for k, v in packed.items()}
